@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2b E1/E2
+and the north-star mandate): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Scale notes (the whole point of these shapes):
+- exact dedup is one hash-groupBy — row_number over md5(text), NOT
+  dropDuplicates (whose survivor is nondeterministic under shuffle);
+- n-gram Jaccard builds candidate pairs through an inverted shingle index
+  (explode → self-equi-join on shingle) so the join is shuffle-partitioned by
+  shingle, never a cross join;
+- MinHash+LSH replaces the exact index with banded signatures: candidates are
+  pairs sharing a band bucket — the 100 TB path where the exact index is too
+  hot;
+- SimHash gives a 64-bit near-dup key comparable by Hamming distance.
+
+All the hashing uses Spark built-ins (md5/xxhash64/crc32) — JVM-side,
+codegen'd. MinHash/SimHash results are engine-specific (hash choice) so those
+operators are rows-only-checked; exact and n-gram Jaccard have DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions.text import word_shingles
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup: (id, content_hash, is_kept) via deterministic
+    row_number over (hash, id). Survivors = is_kept=1."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        h.alias("content_hash"),
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        id_col, "content_hash", (F.col("rn") == 1).cast("int").alias("is_kept")
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Inverted index: one row per (shingle, doc) — the candidate generator."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|; output
+    (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b. Shuffle keys:
+    shingle (index join) then the pair (group) — no cross product anywhere.
+    """
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(text_col, n)).cast("bigint").alias("n_shingles")
+    )
+    idx = shingle_index(df, text_col, id_col, n)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the at-scale fuzzy-dedup path)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """num_hashes min-hash values per doc over word shingles.
+
+    Hash family: xxhash64(shingle, seed=i) — computed per shingle inside one
+    higher-order ``transform``, min-aggregated per doc. One explode + one
+    groupBy; no Python.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    hashed = idx.select(
+        id_col,
+        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    aggs = [F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", num_bands: int = 8
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash →
+    candidate (id_a, id_b) pairs. Shuffle key = (band, bucket)."""
+    hash_cols = [c for c in signatures.columns if c != id_col]
+    rows_per_band = len(hash_cols) // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(hash_cols[bi * rows_per_band + r]) for r in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
+            )
+            for bi in range(num_bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhashes for each candidate
+    pair (id_a, id_b, est_jaccard)."""
+    hash_cols = [c for c in signatures.columns if c != id_col]
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), F.array(*hash_cols).alias("sig_a")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), F.array(*hash_cols).alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(len(hash_cols)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH fuzzy dedup end-to-end: candidate pairs with estimated
+    Jaccard ≥ threshold (rows-only checked — hash family is engine-specific)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands)
+    return minhash_similarity(sigs, pairs, id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, bit-vote via 64 conditional
+    sums, reassembled into one BIGINT. All JVM expressions."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))

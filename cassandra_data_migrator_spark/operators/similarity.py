@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (SURVEY.md §2b E3).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query set
+against the corpus, scored with JVM higher-order functions, ranked with a
+window. The broadcast means the corpus is never shuffled: at 100 TB the scan
+streams once through the scorer.
+
+Scale path: LSH bucketing via random hyperplane signatures (sign of dot with K
+fixed pseudo-random hyperplanes — deterministic, seeded from the dimension
+index, computed as expressions). Candidates = same bucket in any band; only
+candidates get exact cosine. This bounds the scored pairs per query at the
+cost of recall, the standard ANN trade.
+
+Embedding near-dup (dedup-by-cosine) reuses the same scorer with a threshold
+instead of a top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions.vectors import as_double_array, cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k per query vector: (query_id, vec_id, score_r, rank).
+
+    Scores are rounded to 4dp BEFORE ranking (ties broken by vec_id) so the
+    ranking is reproducible bit-for-bit across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("cvec"))
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_r").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_r", "rank")
+    )
+
+
+def cosine_near_dup(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: probe × corpus cosine ≥ threshold,
+    (id_a, id_b, score_r) with id_a < id_b. Probes broadcast."""
+    p = probes.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("avec"))
+    c = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("bvec"))
+    return (
+        c.join(F.broadcast(p), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("avec"), F.col("bvec")), 4).alias("score_r"))
+        .filter(F.col("score_r") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; engine-specific hashes → rows-only checked)
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: sin-hash of (seed, i) — fixed
+    constants, no RNG state, reproducible across runs."""
+    import math
+
+    return [math.sin(seed * 10007 + i * 101) for i in range(dim)]
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Append a BIGINT 'bucket' = sign-bit signature over num_planes fixed
+    hyperplanes. Pure expressions: dot product per plane via zip_with over a
+    literal array."""
+    out = df
+    sig = F.lit(0).cast("bigint")
+    v = as_double_array(vec_col)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, seed + p)])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bit = F.when(d > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, p))
+    return out.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. The bucket join is
+    an equi-join (shuffle/broadcast by bucket), so scored pairs shrink by
+    ~2^num_planes vs brute force."""
+    cb = random_projection_buckets(corpus, vec_col, dim, num_planes).select(
+        F.col(id_col), F.col("bucket"), as_double_array(vec_col).alias("cvec")
+    )
+    qb = random_projection_buckets(queries, vec_col, dim, num_planes).select(
+        F.col(id_col).alias("query_id"), F.col("bucket"), as_double_array(vec_col).alias("qvec")
+    )
+    scored = cb.join(F.broadcast(qb), ["bucket"]).filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_r").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_r", "rank")
+    )

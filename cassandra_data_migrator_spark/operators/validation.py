@@ -1,0 +1,110 @@
+"""Validation / diff / autocorrect (SURVEY.md §2 #19-#22; CDM DiffData job,
+dispatched at /root/reference/entrypoint.sh:234-236, DiffJobSession
+[upstream@6.0.1]).
+
+CDM validates row-by-row: for each origin row it fetches the target row by PK
+and compares column-by-column, producing statuses valid / missing / mismatch
+(with the differing columns listed), optionally autocorrecting. A Spark-native
+engine replaces the per-row target lookups with ONE distributed PK-equi join:
+AQE picks broadcast vs sort-merge, handles skew, and the comparison itself is a
+codegen'd null-safe projection (SURVEY.md §4.2). At 100 TB this is the
+difference between O(rows) async RPCs and a single co-partitioned shuffle.
+
+Fixture note: the testdata is read-only, so the diff "target" is derived
+in-query from the origin with deterministic perturbations (FIXTURES.md):
+rows with pk % 97 = 0 dropped (→ missing), rows with pk % 101 = 0 get a
+mutated status column (→ mismatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STATUS_VALID = "valid"
+STATUS_MISSING = "missing"
+STATUS_MISMATCH = "mismatch"
+
+
+def derived_target(origin: DataFrame, pk: str, mutate_col: str) -> DataFrame:
+    """Deterministic perturbed copy of the origin (FIXTURES.md convention)."""
+    return origin.filter(F.col(pk) % 97 != 0).withColumn(
+        mutate_col,
+        F.when(F.col(pk) % 101 == 0, F.lit("X")).otherwise(F.col(mutate_col)),
+    )
+
+
+def diff(
+    origin: DataFrame,
+    target: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str],
+    include_valid: bool = False,
+) -> DataFrame:
+    """Row-compare origin vs target → (pk..., status, mismatch_cols).
+
+    One left join on the PK (origin-driven, like CDM's DiffData: target-only
+    rows are not reported [upstream@6.0.1]); per-column null-safe inequality
+    via eqNullSafe; mismatch_cols is a comma-joined, declaration-ordered list
+    so results hash deterministically.
+    """
+    o = origin.alias("o")
+    t = target.alias("t")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"t.{k}")) for k in pk_cols]
+    joined = o.join(t, cond, "left")
+
+    target_absent = F.col(f"t.{pk_cols[0]}").isNull()
+    diffs = [
+        F.when(~F.col(f"o.{c}").eqNullSafe(F.col(f"t.{c}")), F.lit(c)).otherwise(F.lit(None))
+        for c in compare_cols
+    ]
+    mismatch_arr = F.filter(F.array(*diffs), lambda x: x.isNotNull())
+    status = (
+        F.when(target_absent, F.lit(STATUS_MISSING))
+        .when(F.size(mismatch_arr) > 0, F.lit(STATUS_MISMATCH))
+        .otherwise(F.lit(STATUS_VALID))
+    )
+    out = joined.select(
+        *[F.col(f"o.{k}").alias(k) for k in pk_cols],
+        status.alias("status"),
+        F.when(target_absent, F.lit("")).otherwise(F.array_join(mismatch_arr, ",")).alias(
+            "mismatch_cols"
+        ),
+    )
+    if not include_valid:
+        out = out.filter(F.col("status") != STATUS_VALID)
+    return out
+
+
+def autocorrect_missing(origin: DataFrame, target: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Rows present in origin but absent in target (#20,
+    spark.cdm.autocorrect.missing): a left-anti join — the write-back side
+    feeds these to the sink."""
+    return origin.join(target, pk_cols, "left_anti")
+
+
+def autocorrect_mismatch(
+    origin: DataFrame, target: DataFrame, pk_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Origin rows whose target row exists but differs (#21) — upsert payload."""
+    d = diff(origin, target, pk_cols, compare_cols)
+    bad = d.filter(F.col("status") == STATUS_MISMATCH).select(pk_cols)
+    return origin.join(bad, pk_cols, "left_semi")
+
+
+def counter_delta(
+    origin_counts: DataFrame,
+    target_counts: DataFrame,
+    key_cols: list[str],
+    counter_col: str,
+) -> DataFrame:
+    """Counter reconcile (#22): counters can't be overwritten, only
+    incremented, so the correction is the delta origin − coalesce(target, 0)
+    written as a counter update [upstream@6.0.1]."""
+    o = origin_counts.alias("o")
+    t = target_counts.alias("t")
+    joined = o.join(t, key_cols, "left")
+    delta = F.col(f"o.{counter_col}") - F.coalesce(F.col(f"t.{counter_col}"), F.lit(0))
+    return joined.select(
+        *[F.col(f"o.{k}").alias(k) for k in key_cols], delta.alias("delta")
+    ).filter(F.col("delta") != 0)

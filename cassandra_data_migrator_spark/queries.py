@@ -1,0 +1,664 @@
+"""The declared query surface (SURVEY.md §2 query keys).
+
+Each entry pairs a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an ANSI-SQL oracle string DuckDB runs on the same parquet tables. The
+driver hash-compares them (row count + schema + order-insensitive value hash),
+so every computed column is aliased identically on both sides and all
+nondeterminism is engineered out:
+
+- doubles that pass through arithmetic are summed as DECIMAL(18,4) (exact,
+  order-independent) and/or rounded to 4dp on BOTH sides;
+- timestamps are emitted as epoch-µs/ms BIGINTs (no tz-rendering skew);
+- rankings order by (rounded score, id) so ties break identically;
+- token arithmetic is pure BIGINT (functions.tokens).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions import codecs
+from cassandra_data_migrator_spark.functions.json_ops import explode_map, extract_json, json_to_map
+from cassandra_data_migrator_spark.functions.text import (
+    FINGERPRINT_SQL,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    lang_id_sql,
+    quality_features,
+    token_count_bpe_ish,
+    token_count_ws,
+    tokens,
+)
+from cassandra_data_migrator_spark.functions.tokens import (
+    pmod_100,
+    pmod_100_sql,
+    slice_id_sql,
+    tok,
+    tok_sql,
+)
+from cassandra_data_migrator_spark.functions.writetime import (
+    WRITETIME_PROPS_SQL,
+    WRITETIME_VALUE_SQL,
+    attach_event_writetimes,
+    max_writetime,
+)
+from cassandra_data_migrator_spark.operators import dedup, similarity, transforms, validation
+from cassandra_data_migrator_spark.operators.counters import job_counters
+from cassandra_data_migrator_spark.operators.guardrail import colsize_guardrail
+from cassandra_data_migrator_spark.operators.partition import slice_stats
+from cassandra_data_migrator_spark.operators.windows import session_window, tumbling_window
+from cassandra_data_migrator_spark.session import configure_session
+from cassandra_data_migrator_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Tunables shared between the Spark builders and their SQL oracles.
+TOKEN_RANGE = (-1_500_000_000, 500_000_000)
+COVERAGE_PERCENT = 15
+WRITETIME_MIN_US = 1_704_153_600_000_000  # 2024-01-02T00:00:00Z
+WRITETIME_MAX_US = 1_704_585_600_000_000  # 2024-01-07T00:00:00Z
+WRITETIME_INCREMENT_US = 1_000
+GUARDRAIL_MAX_BYTES = 450
+NUM_SLICES = 32
+SKIP_PREDICATE = "o_totalprice < 100000"
+MIGRATE_FILTER = "o_totalprice >= 50000"
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.2
+TOPK_K = 10
+TOPK_QUERY_PRED = "vec_id < 5"
+NEAR_DUP_PROBE_MOD = 50
+NEAR_DUP_THRESHOLD = 0.3
+SENTIMENT_LEXICON = {"fast": 1, "slow": -1, "big": 1, "small": -1, "good": 2, "bad": -2}
+
+TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_ORDER_COMPARE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# 2a reference-surface queries
+
+
+def q_scan_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return transforms.project_rename(
+        li,
+        {
+            "l_orderkey": "order_id",
+            "l_linenumber": "line_no",
+            "l_quantity": "qty",
+            "l_extendedprice": "price",
+            "l_returnflag": "flag",
+        },
+    )
+
+
+def q_const_columns(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return transforms.constant_columns(
+        o, {"migrated_by": ("cdm-spark", "string"), "schema_version": (2, "bigint")}
+    )
+
+
+def q_codec_cast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        codecs.int_to_string(F.col("l_orderkey")).alias("order_id_str"),
+        codecs.double_to_string(F.col("l_quantity"), 10, 2).alias("qty_str"),
+        codecs.string_to_bigint(codecs.int_to_string(F.col("l_partkey"))).alias("partkey_rt"),
+    )
+
+
+def q_codec_timestamp(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id"),
+        codecs.timestamp_to_millis(F.col("ts_us")).alias("ts_ms"),
+        codecs.timestamp_to_string(F.col("ts")).alias("ts_str"),
+    )
+
+
+def q_extract_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = extract_json("props", "k")
+    return e.select(
+        F.col("event_id"), k.alias("k_str"), k.cast("bigint").alias("k_val")
+    )
+
+
+def q_explode_map(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn("props_map", json_to_map("props", "bigint"))
+    return explode_map(e, "props_map", keep=["event_id"])
+
+
+def q_writetime_compute(spark, sf_dir):
+    e = attach_event_writetimes(_t(spark, sf_dir, "events"))
+    wt = max_writetime(
+        ["__writetime_value", "__writetime_props"], increment_by=WRITETIME_INCREMENT_US
+    )
+    return e.select(F.col("event_id"), wt.alias("writetime"))
+
+
+def q_where_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return transforms.where_filter(li, "l_quantity > 30 AND l_returnflag = 'R'").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+def q_token_range_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    lo, hi = TOKEN_RANGE
+    return transforms.token_range_filter(o, "o_orderkey", lo, hi).select(
+        F.col("o_orderkey"), tok("o_orderkey").alias("token")
+    )
+
+
+def q_percent_coverage_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return transforms.percent_coverage_filter(o, "o_orderkey", COVERAGE_PERCENT).select(
+        F.col("o_orderkey"), pmod_100(tok("o_orderkey")).alias("token_mod")
+    )
+
+
+def q_writetime_filter(spark, sf_dir):
+    e = attach_event_writetimes(_t(spark, sf_dir, "events"))
+    wt = max_writetime(["__writetime_value", "__writetime_props"])
+    filtered = transforms.writetime_window_filter(
+        e.withColumn("writetime", wt), F.col("writetime"), WRITETIME_MIN_US, WRITETIME_MAX_US
+    )
+    return filtered.select("event_id", "writetime")
+
+
+def q_column_value_skip_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return transforms.column_value_skip_filter(o, "o_orderpriority", "URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+def q_validate_diff(spark, sf_dir):
+    origin = _t(spark, sf_dir, "orders")
+    target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
+    return validation.diff(origin, target, ["o_orderkey"], _ORDER_COMPARE_COLS)
+
+
+def q_autocorrect_missing(spark, sf_dir):
+    origin = _t(spark, sf_dir, "orders")
+    target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
+    fixed = validation.autocorrect_missing(origin, target, ["o_orderkey"])
+    return fixed.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        "o_orderpriority",
+    )
+
+
+def q_counter_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    origin = e.groupBy("user_id").agg(F.sum(dec).alias("cnt"))
+    target = e.filter(F.col("event_id") % 5 != 0).groupBy("user_id").agg(F.sum(dec).alias("cnt"))
+    d = validation.counter_delta(origin, target, ["user_id"], "cnt")
+    return d.select("user_id", F.col("delta").cast("double").alias("delta"))
+
+
+def q_guardrail_colsize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return colsize_guardrail(d, ["doc_id"], ["text", "lang", "source"], GUARDRAIL_MAX_BYTES)
+
+
+def q_job_counters(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return job_counters(o, F.expr(SKIP_PREDICATE))
+
+
+def q_partition_slices(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return slice_stats(o, "o_orderkey", NUM_SLICES)
+
+
+def q_migrate_rowcount(spark, sf_dir):
+    """End-to-end migrate: read → feature pipeline → parquet sink → re-read →
+    count (SURVEY.md §2 #3; the e2e smoke of the migrate job)."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    piped = transforms.where_filter(
+        transforms.constant_columns(o, {"migrated_by": ("cdm-spark", "string")}),
+        MIGRATE_FILTER,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "cdm_spark_migrate", os.path.basename(sf_dir.rstrip("/"))
+    )
+    piped.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).agg(F.count(F.lit(1)).cast("bigint").alias("written_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# 2b north-star extension queries
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
+def q_dedup_fuzzy(spark, sf_dir):
+    return dedup.dedup_fuzzy(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    sigs = dedup.simhash(_t(spark, sf_dir, "documents"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+def q_topk_similarity(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % NEAR_DUP_PROBE_MOD == 0)
+    return similarity.cosine_near_dup(emb, probes, threshold=NEAR_DUP_THRESHOLD)
+
+
+def q_text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def q_sentiment_lexicon(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "word STRING, weight INT"
+    )
+    toks = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("word"))
+    return (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").cast("bigint").alias("sentiment"))
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id"), lang_id("text").alias("pred_lang"))
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id"),
+        token_count_ws("text").alias("ws_tokens"),
+        token_count_bpe_ish("text").alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id"), fingerprint("text").alias("fp"))
+
+
+def q_group_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_price"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count_distinct(F.col("l_partkey")).cast("bigint").alias("n_parts"),
+    )
+
+
+def q_ranking_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    return tumbling_window(_t(spark, sf_dir, "events"))
+
+
+def q_window_session(spark, sf_dir):
+    return session_window(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "scan_project": q_scan_project,
+        "const_columns": q_const_columns,
+        "codec_cast": q_codec_cast,
+        "codec_timestamp": q_codec_timestamp,
+        "extract_json": q_extract_json,
+        "explode_map": q_explode_map,
+        "writetime_compute": q_writetime_compute,
+        "where_filter": q_where_filter,
+        "token_range_filter": q_token_range_filter,
+        "percent_coverage_filter": q_percent_coverage_filter,
+        "writetime_filter": q_writetime_filter,
+        "column_value_skip_filter": q_column_value_skip_filter,
+        "validate_diff": q_validate_diff,
+        "autocorrect_missing": q_autocorrect_missing,
+        "counter_delta": q_counter_delta,
+        "guardrail_colsize": q_guardrail_colsize,
+        "job_counters": q_job_counters,
+        "partition_slices": q_partition_slices,
+        "migrate_rowcount": q_migrate_rowcount,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "simhash_near_dup": q_simhash_near_dup,
+        "topk_similarity": q_topk_similarity,
+        "dedup_embedding": q_dedup_embedding,
+        "text_tokens": q_text_tokens,
+        "sentiment_lexicon": q_sentiment_lexicon,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "group_agg": q_group_agg,
+        "ranking_topk": q_ranking_topk,
+        "window_tumbling": q_window_tumbling,
+        "window_session": q_window_session,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _lex_values() -> str:
+    return ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON.items())
+
+
+def oracle_sql() -> dict[str, str]:
+    tok_o = tok_sql("o_orderkey")
+    wt = f"greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})"
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "scan_project": """
+            SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
+                   l_extendedprice AS price, l_returnflag AS flag
+            FROM lineitem
+        """,
+        "const_columns": """
+            SELECT o_orderkey, o_orderstatus, 'cdm-spark' AS migrated_by,
+                   CAST(2 AS BIGINT) AS schema_version
+            FROM orders
+        """,
+        "codec_cast": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_orderkey AS VARCHAR) AS order_id_str,
+                   CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR) AS qty_str,
+                   CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS partkey_rt
+            FROM lineitem
+        """,
+        "codec_timestamp": """
+            SELECT event_id, epoch_us(ts) // 1000 AS ts_ms,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM events
+        """,
+        "extract_json": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        """,
+        "explode_map": """
+            SELECT e.event_id, k AS prop_key,
+                   CAST(json_extract_string(e.props, '$.' || k) AS BIGINT) AS prop_value
+            FROM events e, unnest(json_keys(e.props)) AS t(k)
+        """,
+        "writetime_compute": f"""
+            SELECT event_id, {wt} + {WRITETIME_INCREMENT_US} AS writetime FROM events
+        """,
+        "where_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+        """,
+        "token_range_filter": f"""
+            SELECT o_orderkey, {tok_o} AS token FROM orders
+            WHERE {tok_o} >= {TOKEN_RANGE[0]} AND {tok_o} <= {TOKEN_RANGE[1]}
+        """,
+        "percent_coverage_filter": f"""
+            SELECT o_orderkey, {pmod_100_sql(tok_o)} AS token_mod FROM orders
+            WHERE {pmod_100_sql(tok_o)} < {COVERAGE_PERCENT}
+        """,
+        "writetime_filter": f"""
+            SELECT event_id, {wt} AS writetime FROM events
+            WHERE {wt} >= {WRITETIME_MIN_US} AND {wt} <= {WRITETIME_MAX_US}
+        """,
+        "column_value_skip_filter": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE POSITION('URGENT' IN o_orderpriority) = 0
+        """,
+        "validate_diff": """
+            WITH target AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+            )
+            SELECT o.o_orderkey,
+                   CASE WHEN t.o_orderkey IS NULL THEN 'missing'
+                        WHEN o.o_custkey IS DISTINCT FROM t.o_custkey
+                          OR o.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                          OR o.o_totalprice IS DISTINCT FROM t.o_totalprice
+                          OR o.o_orderdate IS DISTINCT FROM t.o_orderdate
+                          OR o.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 'mismatch'
+                        ELSE 'valid' END AS status,
+                   CASE WHEN t.o_orderkey IS NULL THEN '' ELSE concat_ws(',',
+                        CASE WHEN o.o_custkey IS DISTINCT FROM t.o_custkey THEN 'o_custkey' END,
+                        CASE WHEN o.o_orderstatus IS DISTINCT FROM t.o_orderstatus THEN 'o_orderstatus' END,
+                        CASE WHEN o.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'o_totalprice' END,
+                        CASE WHEN o.o_orderdate IS DISTINCT FROM t.o_orderdate THEN 'o_orderdate' END,
+                        CASE WHEN o.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 'o_orderpriority' END
+                   ) END AS mismatch_cols
+            FROM orders o LEFT JOIN target t USING (o_orderkey)
+            WHERE t.o_orderkey IS NULL
+               OR o.o_custkey IS DISTINCT FROM t.o_custkey
+               OR o.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+               OR o.o_totalprice IS DISTINCT FROM t.o_totalprice
+               OR o.o_orderdate IS DISTINCT FROM t.o_orderdate
+               OR o.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+        """,
+        "autocorrect_missing": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+            FROM orders WHERE o_orderkey % 97 = 0
+        """,
+        "counter_delta": """
+            WITH o AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS s
+                       FROM events GROUP BY user_id),
+                 t AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS s
+                       FROM events WHERE event_id % 5 <> 0 GROUP BY user_id)
+            SELECT o.user_id, CAST(o.s - COALESCE(t.s, 0) AS DOUBLE) AS delta
+            FROM o LEFT JOIN t ON o.user_id = t.user_id
+            WHERE o.s - COALESCE(t.s, 0) <> 0
+        """,
+        "guardrail_colsize": f"""
+            SELECT doc_id, col_name, col_bytes FROM (
+                SELECT doc_id, 'text' AS col_name, CAST(strlen(text) AS BIGINT) AS col_bytes FROM documents
+                UNION ALL
+                SELECT doc_id, 'lang', CAST(strlen(lang) AS BIGINT) FROM documents
+                UNION ALL
+                SELECT doc_id, 'source', CAST(strlen(source) AS BIGINT) FROM documents
+            ) WHERE col_bytes > {GUARDRAIL_MAX_BYTES}
+        """,
+        "job_counters": f"""
+            SELECT COUNT(*) AS read_cnt,
+                   CAST(SUM(CASE WHEN {SKIP_PREDICATE} THEN 1 ELSE 0 END) AS BIGINT) AS skipped_cnt,
+                   CAST(SUM(CASE WHEN NOT ({SKIP_PREDICATE}) THEN 1 ELSE 0 END) AS BIGINT) AS written_cnt
+            FROM orders
+        """,
+        "partition_slices": f"""
+            SELECT {slice_id_sql('token', NUM_SLICES)} AS slice_id, COUNT(*) AS row_cnt,
+                   MIN(token) AS min_token, MAX(token) AS max_token
+            FROM (SELECT {tok_o} AS token FROM orders)
+            GROUP BY 1
+        """,
+        "migrate_rowcount": f"""
+            SELECT COUNT(*) AS written_cnt FROM orders WHERE {MIGRATE_FILTER}
+        """,
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS content_hash,
+                   CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+            FROM documents
+        """,
+        "dedup_ngram": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}
+        """,
+        "topk_similarity": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {TOPK_QUERY_PRED}),
+            s AS (SELECT q.query_id, e.vec_id,
+                         ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS score_r
+                  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_r DESC, vec_id) AS rnk
+                  FROM s)
+            SELECT query_id, vec_id, score_r, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= {TOPK_K}
+        """,
+        "dedup_embedding": f"""
+            WITH p AS (SELECT vec_id AS id_a, embedding AS ae FROM embeddings
+                       WHERE vec_id % {NEAR_DUP_PROBE_MOD} = 0)
+            SELECT p.id_a, e.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(p.ae, e.embedding), 4) AS score_r
+            FROM embeddings e, p WHERE p.id_a < e.vec_id
+              AND ROUND(list_cosine_similarity(p.ae, e.embedding), 4) >= {NEAR_DUP_THRESHOLD}
+        """,
+        "text_tokens": f"""
+            SELECT word, COUNT(*) AS cnt FROM (
+                SELECT unnest({TOKS_SQL}) AS word FROM documents
+            ) GROUP BY word
+        """,
+        "sentiment_lexicon": f"""
+            WITH lex(word, weight) AS (VALUES {_lex_values()}),
+            toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents)
+            SELECT t.doc_id, CAST(SUM(l.weight) AS BIGINT) AS sentiment
+            FROM toks t JOIN lex l USING (word) GROUP BY t.doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {lang_id_sql('text')} AS pred_lang FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(toks, x -> x IN ({stop_in}))) AS BIGINT) AS n_stopwords,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   ROUND(least(1.0, len(toks) / 100.0) * 0.5
+                         + (CASE WHEN len(toks) > 0
+                                 THEN CAST(len(list_filter(toks, x -> x IN ({stop_in}))) AS DOUBLE) / len(toks)
+                                 ELSE 0.0 END) * 0.5
+                         - least(1.0, len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / 50.0) * 0.25,
+                         4) AS quality
+            FROM t
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(len({TOKS_SQL}) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, {FINGERPRINT_SQL.format(col='text')} AS fp FROM documents
+        """,
+        "group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+                   COUNT(*) AS cnt,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "ranking_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "window_tumbling": """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "window_session": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+            l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+            f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+            g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                             ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+            SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+                   CAST(SUM(v) AS DOUBLE) AS sum_value
+            FROM g GROUP BY user_id, sid
+        """,
+    }
