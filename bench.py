@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], 3 runs each, median wall-clock per query, plus the
+migrate_rowcount end-to-end rows/sec throughput number. Prints ONE JSON line:
+
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": 0.1, "rows_per_sec": R, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
+def main() -> None:
+    from cassandra_data_migrator_spark.session import get_spark
+    from cassandra_data_migrator_spark import queries as q
+
+    spark = get_spark("cdm-spark-bench", cpus=CPUS)
+    sf = SF_DIR.rstrip("/")
+    sf_label = os.path.basename(sf).replace("sf", "")
+
+    registry = q.queries()
+    timings: dict[str, float] = {}
+    for key, fn in registry.items():
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(samples), 4)
+
+    # migrate throughput: end-to-end rows/sec of the migrate pipeline at this sf
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    n_rows = load_table(spark, sf, "orders").count()
+    mig = timings.get("migrate_rowcount") or 1e-9
+    rows_per_sec = round(n_rows / mig, 1)
+
+    result = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+        "rows_per_sec": rows_per_sec,
+        "cpus": CPUS,
+        "runs": RUNS,
+        "spark_version": spark.version,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

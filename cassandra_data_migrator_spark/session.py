@@ -55,6 +55,7 @@ def get_spark(app_name: str = "cdm-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(min(32, cpus * 2)))
         .config("spark.driver.memory", os.environ.get("CDM_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=ERROR")
     )
     for k, v in {**RUNTIME_CONFS, **BUILD_CONFS}.items():
