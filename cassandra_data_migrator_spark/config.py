@@ -1,0 +1,199 @@
+"""Configuration layer — the engine's user-facing API.
+
+The reference has no query language: its entire API is a flat Java-properties
+file mutated by env vars (/root/reference/Dockerfile:60-61, entrypoint.sh
+88-179). This module reproduces those semantics Pythonically:
+
+- a CLOSED, validated key registry — unknown keys are a hard error, mirroring
+  entrypoint.sh:145-149 ("Error: <key> is not found in ..." → exit 1);
+- env-var injection: ``CDM_PROPERTY_FOO_BAR`` → key ``foo.bar`` (lowercase,
+  ``_``→``.``), mirroring entrypoint.sh:121-135;
+- value indirection: a value of ``env:VAR`` resolves to ``$VAR``, mirroring
+  entrypoint.sh:137-141;
+- job dispatch: migrate | validate/diffdata | guardrail/guardrailcheck,
+  unknown job → error, mirroring entrypoint.sh:230-243.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+ENV_PREFIX = "CDM_PROPERTY_"
+
+# The closed key registry (the subset of CDM's cdm-detailed.properties surface
+# this engine implements; keys are spark.cdm.*-shaped for familiarity).
+# value = (type, default)
+KNOWN_KEYS: dict[str, tuple[type, Any]] = {
+    # connect / io
+    "spark.cdm.connect.origin.format": (str, "parquet"),
+    "spark.cdm.connect.origin.path": (str, ""),
+    "spark.cdm.connect.target.format": (str, "parquet"),
+    "spark.cdm.connect.target.path": (str, ""),
+    # schema
+    "spark.cdm.schema.origin.table": (str, ""),
+    "spark.cdm.schema.target.table": (str, ""),
+    "spark.cdm.schema.origin.column.names.to.target": (str, ""),  # "a:b,c:d"
+    "spark.cdm.schema.pk": (str, ""),  # comma-separated PK columns
+    # transform features
+    "spark.cdm.feature.constantColumns.names": (str, ""),
+    "spark.cdm.feature.constantColumns.values": (str, ""),
+    "spark.cdm.feature.constantColumns.types": (str, ""),
+    "spark.cdm.feature.extractJson.originColumn": (str, ""),
+    "spark.cdm.feature.extractJson.propertyName": (str, ""),
+    "spark.cdm.feature.extractJson.targetColumn": (str, ""),
+    "spark.cdm.feature.explodeMap.origin.name": (str, ""),
+    "spark.cdm.feature.explodeMap.target.name.key": (str, "prop_key"),
+    "spark.cdm.feature.explodeMap.target.name.value": (str, "prop_value"),
+    "spark.cdm.transform.custom.writetime": (int, 0),
+    "spark.cdm.transform.custom.writetime.incrementBy": (int, 0),
+    "spark.cdm.transform.custom.ttl": (int, 0),
+    # filters
+    "spark.cdm.filter.cassandra.whereCondition": (str, ""),
+    "spark.cdm.filter.cassandra.partition.min": (int, -2147483648),
+    "spark.cdm.filter.cassandra.partition.max": (int, 2147483647),
+    "spark.cdm.filter.java.token.percent": (int, 100),
+    "spark.cdm.filter.java.writetime.min": (int, 0),
+    "spark.cdm.filter.java.writetime.max": (int, 0),
+    "spark.cdm.filter.java.column.name": (str, ""),
+    "spark.cdm.filter.java.column.value": (str, ""),
+    # validation / autocorrect
+    "spark.cdm.autocorrect.missing": (bool, False),
+    "spark.cdm.autocorrect.mismatch": (bool, False),
+    "spark.cdm.autocorrect.missing.counter": (bool, False),
+    # guardrail
+    "spark.cdm.feature.guardrail.colSizeInKB": (int, 0),
+    # perfops (rate limits accepted-but-ignored in v1, SURVEY.md §4.3.3)
+    "spark.cdm.perfops.numParts": (int, 32),
+    "spark.cdm.perfops.batchSize": (int, 5),
+    "spark.cdm.perfops.fetchSizeInRows": (int, 1000),
+    "spark.cdm.perfops.ratelimit.origin": (int, 20000),
+    "spark.cdm.perfops.ratelimit.target": (int, 40000),
+    # run tracking
+    "spark.cdm.trackRun": (bool, False),
+    "spark.cdm.trackRun.previousRunId": (str, ""),
+    "spark.cdm.trackRun.runInfo.path": (str, ""),
+}
+
+JOB_ALIASES = {
+    "migrate": "migrate",
+    "validate": "validate",
+    "diffdata": "validate",
+    "guardrail": "guardrail",
+    "guardrailcheck": "guardrail",
+}
+
+
+class UnknownConfigKeyError(KeyError):
+    """Mirror of entrypoint.sh:145-149 — closed config schema."""
+
+
+class UnknownJobError(ValueError):
+    """Mirror of entrypoint.sh:240-242 — unknown job name aborts."""
+
+
+def _coerce(key: str, value: Any) -> Any:
+    typ, _ = KNOWN_KEYS[key]
+    if isinstance(value, typ):
+        return value
+    s = str(value)
+    if typ is bool:
+        return s.strip().lower() in ("true", "1", "yes")
+    return typ(s)
+
+
+def _resolve_env_indirection(value: Any) -> Any:
+    """``env:VAR`` → os.environ['VAR'] (entrypoint.sh:137-141)."""
+    if isinstance(value, str) and value.startswith("env:"):
+        var = value[4:]
+        if var not in os.environ:
+            raise UnknownConfigKeyError(f"env indirection {value!r}: ${var} is not set")
+        return os.environ[var]
+    return value
+
+
+def env_var_to_key(env_name: str) -> str:
+    """CDM_PROPERTY_SPARK_CDM_FOO_BAR → spark.cdm.foo.bar (entrypoint.sh:121-135).
+
+    Note: like the reference, `_` maps to `.` — keys with camelCase segments
+    (whereCondition, colSizeInKB...) are matched case-insensitively against the
+    registry, mirroring the `sed -i "s/.../I"` at entrypoint.sh:172-174.
+    """
+    return env_name[len(ENV_PREFIX):].lower().replace("_", ".")
+
+
+_LOWER_KEY_INDEX = {k.lower(): k for k in KNOWN_KEYS}
+
+
+@dataclass
+class MigrationConfig:
+    values: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        normalized: dict[str, Any] = {}
+        for key, value in self.values.items():
+            canonical = _LOWER_KEY_INDEX.get(key.lower())
+            if canonical is None:
+                raise UnknownConfigKeyError(
+                    f"Error: {key} is not a known spark.cdm property"
+                )
+            normalized[canonical] = _coerce(canonical, _resolve_env_indirection(value))
+        self.values = normalized
+
+    @classmethod
+    def from_env(cls, environ: dict[str, str] | None = None) -> "MigrationConfig":
+        env = os.environ if environ is None else environ
+        raw = {
+            env_var_to_key(name): value
+            for name, value in env.items()
+            if name.startswith(ENV_PREFIX)
+        }
+        return cls(raw)
+
+    def get(self, key: str) -> Any:
+        if key not in KNOWN_KEYS:
+            raise UnknownConfigKeyError(f"Error: {key} is not a known spark.cdm property")
+        return self.values.get(key, KNOWN_KEYS[key][1])
+
+    def with_overrides(self, **kv: Any) -> "MigrationConfig":
+        merged = dict(self.values)
+        merged.update(kv)
+        return MigrationConfig(merged)
+
+    # parsed feature accessors -------------------------------------------------
+
+    def column_mapping(self) -> dict[str, str]:
+        raw = self.get("spark.cdm.schema.origin.column.names.to.target")
+        if not raw:
+            return {}
+        out = {}
+        for pair in raw.split(","):
+            origin, _, target = pair.partition(":")
+            out[origin.strip()] = (target or origin).strip()
+        return out
+
+    def constant_columns(self) -> dict[str, tuple[str, str]]:
+        names = self.get("spark.cdm.feature.constantColumns.names")
+        if not names:
+            return {}
+        values = self.get("spark.cdm.feature.constantColumns.values").split(",")
+        types = self.get("spark.cdm.feature.constantColumns.types").split(",")
+        return {
+            n.strip(): (v.strip(), t.strip())
+            for n, v, t in zip(names.split(","), values, types)
+        }
+
+    def pk_columns(self) -> list[str]:
+        raw = self.get("spark.cdm.schema.pk")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+def dispatch_job(job_name: str) -> str:
+    """Job-name → canonical job (entrypoint.sh:230-243)."""
+    canonical = JOB_ALIASES.get(job_name.strip().lower())
+    if canonical is None:
+        raise UnknownJobError(
+            f"Error: unknown job {job_name!r}; expected one of {sorted(JOB_ALIASES)}"
+        )
+    return canonical

@@ -1,0 +1,152 @@
+"""Job composition — the engine's lifecycle (SURVEY.md §3 'Our engine's
+lifecycle'): MigrationConfig → declarative DataFrame pipeline → Catalyst.
+
+Three jobs, mirroring the only three driver classes the reference can launch
+(/root/reference/entrypoint.sh:230-243, spark-submit-cdm:11-36):
+
+- migrate   (com.datastax.cdm.job.Migrate analog)
+- validate  (com.datastax.cdm.job.DiffData analog)
+- guardrail (com.datastax.cdm.job.GuardrailCheck analog)
+
+The feature pipeline applies in CDM's effective order: source filters first
+(where/token/percent — pushed into the scan), then row transforms (constants,
+extract-json, explode-map, writetime), then writetime-window / column-skip
+filters, then sink. There is no bespoke IR: the logical plan IS Catalyst's.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.config import MigrationConfig, dispatch_job
+from cassandra_data_migrator_spark.functions.json_ops import extract_json, json_to_map
+from cassandra_data_migrator_spark.functions.writetime import max_writetime, writetime_columns
+from cassandra_data_migrator_spark.operators import transforms, validation
+from cassandra_data_migrator_spark.operators.counters import observed
+from cassandra_data_migrator_spark.operators.guardrail import colsize_guardrail
+
+
+@dataclass
+class JobResult:
+    job: str
+    output: DataFrame
+    counters: dict[str, int] | None = None
+
+
+def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> DataFrame:
+    """Config-driven transform chain (pure Column expressions end to end)."""
+    # 1. source-side filters (Catalyst pushes these into the scan)
+    where = cfg.get("spark.cdm.filter.cassandra.whereCondition")
+    if where:
+        df = transforms.where_filter(df, where)
+
+    pk = cfg.pk_columns()
+    tmin = cfg.get("spark.cdm.filter.cassandra.partition.min")
+    tmax = cfg.get("spark.cdm.filter.cassandra.partition.max")
+    if pk and (tmin != -2147483648 or tmax != 2147483647):
+        df = transforms.token_range_filter(df, pk[0], tmin, tmax)
+
+    pct = cfg.get("spark.cdm.filter.java.token.percent")
+    if pk and pct < 100:
+        df = transforms.percent_coverage_filter(df, pk[0], pct)
+
+    col_name = cfg.get("spark.cdm.filter.java.column.name")
+    col_value = cfg.get("spark.cdm.filter.java.column.value")
+    if col_name and col_value:
+        df = transforms.column_value_skip_filter(df, col_name, col_value)
+
+    # 2. writetime compute + window filter
+    wt_cols = writetime_columns(df)
+    if wt_cols:
+        custom = cfg.get("spark.cdm.transform.custom.writetime") or None
+        inc = cfg.get("spark.cdm.transform.custom.writetime.incrementBy")
+        df = df.withColumn("__writetime", max_writetime(wt_cols, custom, inc))
+        wmin = cfg.get("spark.cdm.filter.java.writetime.min") or None
+        wmax = cfg.get("spark.cdm.filter.java.writetime.max") or None
+        df = transforms.writetime_window_filter(df, F.col("__writetime"), wmin, wmax)
+
+    # 3. row transforms
+    ej_col = cfg.get("spark.cdm.feature.extractJson.originColumn")
+    if ej_col:
+        prop = cfg.get("spark.cdm.feature.extractJson.propertyName")
+        target = cfg.get("spark.cdm.feature.extractJson.targetColumn") or prop
+        df = df.withColumn(target, extract_json(ej_col, prop))
+
+    em_col = cfg.get("spark.cdm.feature.explodeMap.origin.name")
+    if em_col:
+        key_name = cfg.get("spark.cdm.feature.explodeMap.target.name.key")
+        val_name = cfg.get("spark.cdm.feature.explodeMap.target.name.value")
+        src = F.col(em_col)
+        if dict(df.dtypes)[em_col] == "string":
+            src = json_to_map(em_col)
+        df = df.select("*", F.explode(src).alias(key_name, val_name)).drop(em_col)
+
+    consts = cfg.constant_columns()
+    if consts:
+        df = transforms.constant_columns(
+            df, {n: (v, t) for n, (v, t) in consts.items()}
+        )
+
+    # 4. projection / rename to target schema (column pruning point)
+    mapping = cfg.column_mapping()
+    if mapping:
+        passthrough = [c for c in df.columns if c not in mapping and not c.startswith("__")]
+        df = df.select(
+            *[F.col(c) for c in passthrough],
+            *[F.col(o).alias(t) for o, t in mapping.items()],
+        )
+    return df
+
+
+def run_migrate(spark: SparkSession, origin: DataFrame, cfg: MigrationConfig) -> JobResult:
+    """Migrate: origin → feature pipeline → target sink (parquet world).
+
+    Counters ride along via df.observe (no second scan, SURVEY.md §2 #24).
+    """
+    piped = build_feature_pipeline(origin, cfg)
+    out_path = cfg.get("spark.cdm.connect.target.path")
+    obs_df, obs = observed(piped, F.lit(False))
+    if out_path:
+        obs_df.write.mode("overwrite").parquet(out_path)
+        counters = {k: int(v) for k, v in obs.get.items()}
+        return JobResult("migrate", spark.read.parquet(out_path), counters)
+    return JobResult("migrate", piped)
+
+
+def run_validate(
+    spark: SparkSession, origin: DataFrame, target: DataFrame, cfg: MigrationConfig
+) -> JobResult:
+    """DiffData: transformed origin vs target, full row compare + optional
+    autocorrect payloads."""
+    piped = build_feature_pipeline(origin, cfg)
+    pk = cfg.pk_columns()
+    compare = [c for c in piped.columns if c not in pk and not c.startswith("__")]
+    report = validation.diff(piped, target, pk, compare)
+    return JobResult("validate", report)
+
+
+def run_guardrail(spark: SparkSession, origin: DataFrame, cfg: MigrationConfig) -> JobResult:
+    kb = cfg.get("spark.cdm.feature.guardrail.colSizeInKB")
+    pk = cfg.pk_columns()
+    checked = [c for c, t in origin.dtypes if t in ("string", "binary") and c not in pk]
+    return JobResult("guardrail", colsize_guardrail(origin, pk, checked, kb * 1024))
+
+
+def run_job(
+    spark: SparkSession,
+    job_name: str,
+    origin: DataFrame,
+    cfg: MigrationConfig,
+    target: DataFrame | None = None,
+) -> JobResult:
+    job = dispatch_job(job_name)
+    if job == "migrate":
+        return run_migrate(spark, origin, cfg)
+    if job == "validate":
+        if target is None:
+            raise ValueError("validate requires a target DataFrame")
+        return run_validate(spark, origin, target, cfg)
+    return run_guardrail(spark, origin, cfg)

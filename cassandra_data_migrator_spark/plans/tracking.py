@@ -1,0 +1,85 @@
+"""Run tracking & resume (SURVEY.md §2 #6, §4.3.2; CDM spark.cdm.trackRun*,
+cdm_run_info / cdm_run_details tables [upstream@6.0.1]).
+
+CDM writes a run-info row plus one status row per token-range slice into the
+target keyspace; a rerun with ``previousRunId`` re-processes only failed or
+unstarted slices. Spark-native shape: two small bookkeeping DataFrames written
+as parquet next to the target; resume = anti-join of the slice manifest
+against completed slices. The bookkeeping is tiny (numParts rows) — the scan
+of the origin is still the only big thing that happens.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.operators.partition import (
+    restrict_to_slices,
+    slice_manifest,
+)
+
+STATUS_PENDING = "pending"
+STATUS_PASSED = "passed"
+STATUS_FAILED = "failed"
+
+
+class RunTracker:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+
+    def _details_path(self, run_id: str) -> str:
+        return f"{self.base_path}/cdm_run_details/run_id={run_id}"
+
+    def _info_path(self, run_id: str) -> str:
+        return f"{self.base_path}/cdm_run_info/run_id={run_id}"
+
+    def start_run(self, job: str, num_slices: int, run_id: str | None = None) -> str:
+        run_id = run_id or uuid.uuid4().hex[:16]
+        info = self.spark.createDataFrame(
+            [(run_id, job, num_slices, int(time.time() * 1000))],
+            "run_id STRING, job STRING, num_slices INT, start_ms BIGINT",
+        )
+        info.coalesce(1).write.mode("overwrite").parquet(self._info_path(run_id))
+        manifest = slice_manifest(self.spark, num_slices).withColumn(
+            "status", F.lit(STATUS_PENDING)
+        )
+        manifest.coalesce(1).write.mode("overwrite").parquet(self._details_path(run_id))
+        return run_id
+
+    def record_slices(self, run_id: str, slice_ids: list[int], status: str) -> None:
+        details = self.spark.read.parquet(self._details_path(run_id))
+        updated = details.withColumn(
+            "status",
+            F.when(F.col("slice_id").isin(slice_ids), F.lit(status)).otherwise(
+                F.col("status")
+            ),
+        )
+        # rewrite via temp path (parquet is not updatable in place)
+        tmp = self._details_path(run_id) + "__new"
+        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = self._details_path(run_id)
+        fresh = self.spark.read.parquet(tmp)
+        fresh.coalesce(1).write.mode("overwrite").parquet(final)
+
+    def pending_slices(self, run_id: str) -> list[int]:
+        """Slices to (re)process on resume: everything not passed — the
+        anti-join CDM does against cdm_run_details [upstream@6.0.1]."""
+        details = self.spark.read.parquet(self._details_path(run_id))
+        rows = details.filter(F.col("status") != STATUS_PASSED).select("slice_id").collect()
+        return sorted(r.slice_id for r in rows)
+
+    def resume_scope(
+        self, df: DataFrame, pk_col: str, num_slices: int, previous_run_id: str
+    ) -> DataFrame:
+        """Restrict the origin scan to the previous run's unfinished slices."""
+        pending = self.pending_slices(previous_run_id)
+        return restrict_to_slices(df, pk_col, num_slices, pending)
+
+    def run_exists(self, run_id: str) -> bool:
+        return os.path.exists(self._info_path(run_id))

@@ -1,0 +1,79 @@
+"""Cassandra source/sink interface (stub).
+
+In production the engine reads/writes through the spark-cassandra-connector
+(format "org.apache.spark.sql.cassandra"), which provides natively what CDM
+hand-rolls: token-range input partitioning, predicate/token pushdown, async
+batched writes grouped by partition key (SURVEY.md §2 #1/#3, §4.1 knob table).
+The connector jar is not present in this environment, so this module is an
+interface: it validates availability at call time and documents the option
+mapping from the reference's perfops knobs.
+
+Knob mapping (reference → connector):
+- spark.cdm.perfops.numParts          → spark.cassandra.input.split.sizeInMB
+- spark.cdm.perfops.fetchSizeInRows   → spark.cassandra.input.fetch.sizeInRows
+- spark.cdm.perfops.batchSize         → spark.cassandra.output.batch.size.rows
+- spark.cdm.perfops.ratelimit.target  → spark.cassandra.output.throughputMBPerSec
+- read/write consistency              → input/output.consistency.level
+
+Per-row writetime/TTL on write (SURVEY.md §4.3.1) needs the connector's
+per-row WriteConf (TTLOption.perRow / TimestampOption.perRow); the DataFrame
+writer only takes constants — isolated here behind ``write_table``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+
+
+class CassandraConnectorUnavailable(RuntimeError):
+    pass
+
+
+def _ensure_connector(spark: SparkSession) -> None:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "com.datastax.spark.connector.CassandraSparkExtensions"
+        )
+    except Exception as exc:  # pragma: no cover - no connector in test env
+        raise CassandraConnectorUnavailable(
+            "spark-cassandra-connector is not on the classpath; add "
+            "com.datastax.spark:spark-cassandra-connector_2.13 and retry"
+        ) from exc
+
+
+def read_table(
+    spark: SparkSession, keyspace: str, table: str, options: dict[str, str] | None = None
+) -> DataFrame:
+    """Token-range parallel scan of a Cassandra table (connector-native)."""
+    _ensure_connector(spark)
+    reader = spark.read.format(CASSANDRA_FORMAT).option("keyspace", keyspace).option(
+        "table", table
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame,
+    keyspace: str,
+    table: str,
+    options: dict[str, str] | None = None,
+    writetime_col: str | None = None,
+    ttl_col: str | None = None,
+) -> None:
+    """Upsert sink (append mode = CQL INSERT semantics). ``writetime_col`` /
+    ``ttl_col`` select per-row timestamp/TTL via connector write options."""
+    _ensure_connector(df.sparkSession)
+    writer = df.write.format(CASSANDRA_FORMAT).option("keyspace", keyspace).option(
+        "table", table
+    )
+    if writetime_col:
+        writer = writer.option("writetime", writetime_col)
+    if ttl_col:
+        writer = writer.option("ttl", ttl_col)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()

@@ -1,0 +1,45 @@
+"""Structured Streaming window variants: availableNow drain over the events
+fixture must agree with the batch operators (same expressions + watermark)."""
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.operators.windows import tumbling_window
+from cassandra_data_migrator_spark.sources.parquet import load_table
+from cassandra_data_migrator_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+    streaming_session,
+    streaming_tumbling,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_tumbling(stream)
+    out = str(tmp_path / "out")
+    run_available_now(agg, out, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(out)
+    batch = tumbling_window(load_table(spark, sf_dir, "events")).select(
+        "window_start_us", "n_events", "sum_value"
+    )
+    # availableNow + watermark: all windows emitted except possibly those still
+    # open at end-of-stream; every emitted window must match batch exactly.
+    joined = got.alias("s").join(batch.alias("b"), "window_start_us", "inner")
+    assert got.count() > 0
+    assert joined.count() == got.count()
+    bad = joined.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.abs(F.col("s.sum_value") - F.col("b.sum_value")) > 1e-9)
+    )
+    assert bad.count() == 0
+
+
+def test_streaming_session_runs(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_session(stream)
+    out = str(tmp_path / "out_s")
+    run_available_now(agg, out, str(tmp_path / "ckpt_s"))
+    got = spark.read.parquet(out)
+    assert got.columns == ["user_id", "session_start_us", "n_events"]
+    assert got.count() > 0
