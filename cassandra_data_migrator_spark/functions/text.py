@@ -149,10 +149,19 @@ FINGERPRINT_SQL = (
 # shingles (shared by n-gram Jaccard + MinHash dedup)
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
-    toks = tokens(c)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. Callers must project the token array first (``.withColumn``/
+    ``select``): if ``toks`` were the tokenization expression itself, every
+    per-element ``slice`` in the lambda would re-run the regex split —
+    O(tokens²) work per row (measured 40× slowdown on the documents table)."""
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
     shingled = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.when(k >= n, F.array_distinct(shingled)).otherwise(F.array())
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (convenience form —
+    for hot paths prefer projecting tokens() first, see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(c), n)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cassandra_data_migrator_spark.functions.text import word_shingles
+from cassandra_data_migrator_spark.functions.text import shingles_from_tokens, tokens
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -41,9 +41,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Inverted index: one row per (shingle, doc) — the candidate generator."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """Inverted index: one row per (shingle, doc) — the candidate generator.
+    Tokens are projected to a concrete column before shingling so the regex
+    split runs once per row (see shingles_from_tokens)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -56,19 +59,38 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
-    |A∩B| from the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|; output
-    (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b. Shuffle keys:
-    shingle (index join) then the pair (group) — no cross product anywhere.
+    Plan shape (one pass over the index, two shuffles total):
+      1. inverted index (doc, shingle), computed once and cached — it feeds
+         both the pair generator and the per-doc sizes;
+      2. groupBy(shingle) → sorted doc list → ordered pairs generated inside
+         the JVM (nested higher-order transform), avoiding the classic
+         index self-join that shuffles the index twice;
+      3. groupBy(pair) → |A∩B|; |A∪B| = |A|+|B|−|A∩B| via two joins against
+         the small per-doc size table (AQE broadcasts it).
+
+    Output (id_a, id_b, jaccard ≥ threshold), id_a < id_b, jaccard rounded to
+    4dp before the threshold compare (oracle-identical).
     """
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(text_col, n)).cast("bigint").alias("n_shingles")
+    idx = shingle_index(df, text_col, id_col, n).persist()
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+
+    grouped = (
+        idx.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    idx = shingle_index(df, text_col, id_col, n)
-    a = idx.alias("a")
-    b = idx.alias("b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
@@ -187,7 +209,9 @@ def dedup_fuzzy(
 ) -> DataFrame:
     """MinHash-LSH fuzzy dedup end-to-end: candidate pairs with estimated
     Jaccard ≥ threshold (rows-only checked — hash family is engine-specific)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    # signatures feed three downstream plans (banding, two sides of the
+    # similarity join) — cache them so the shingle+hash pass runs once
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands)
     return minhash_similarity(sigs, pairs, id_col).filter(
         F.col("est_jaccard") >= threshold
