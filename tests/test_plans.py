@@ -1,0 +1,67 @@
+"""Physical-plan assertions (SURVEY.md §4.2, prompt: 'explain the plan and
+iterate until it's the plan you'd want'). These lock in the scale-critical
+plan properties so a refactor that silently loses pushdown/pruning/broadcast
+fails CI, not the 100 TB run."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark import queries as q
+
+
+def _plan(spark, sf_dir, key, mode="formatted") -> str:
+    df = q.queries()[key](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_where_filter_pushed_to_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "where_filter")
+    assert "GreaterThan(l_quantity,30.0)" in p, "filter not pushed to parquet scan"
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    p = _plan(spark, sf_dir, "scan_project")
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    # only the 5 projected columns reach the scan — not all 11 lineitem cols
+    assert "l_shipdate" not in read and "l_partkey" not in read
+    for c in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"):
+        assert c in read
+
+
+def test_validate_diff_is_single_pk_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "validate_diff")
+    # one join, hash-based (broadcast at this scale; SMJ acceptable at scale)
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sentiment_lexicon_broadcasts_small_dim(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sentiment_lexicon")
+    assert "BroadcastHashJoin" in p, "small lexicon side must broadcast"
+
+
+def test_topk_similarity_broadcasts_queries(spark, sf_dir):
+    p = _plan(spark, sf_dir, "topk_similarity")
+    assert "Broadcast" in p, "query vectors must broadcast (corpus never shuffles)"
+
+
+def test_group_agg_partial_aggregation(spark, sf_dir):
+    # two HashAggregate nodes (partial + final) around one Exchange
+    p = _plan(spark, sf_dir, "group_agg")
+    assert p.count("HashAggregate") >= 2, "map-side partial aggregation missing"
+
+
+def test_no_python_udfs_in_declared_surface(spark, sf_dir):
+    """Every declared query stays JVM-side (BatchEvalPython in a plan would
+    mean a row-at-a-time Python UDF snuck into the hot path)."""
+    for key in q.queries():
+        if key == "migrate_rowcount":
+            continue  # writes as a side effect; plan inspected post-write
+        p = _plan(spark, sf_dir, key, mode="simple")
+        assert "BatchEvalPython" not in p, f"{key} uses a row-at-a-time Python UDF"
