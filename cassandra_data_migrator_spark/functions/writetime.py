@@ -64,6 +64,17 @@ def attach_event_writetimes(events: DataFrame) -> DataFrame:
     )
 
 
+def attach_event_ttls(events: DataFrame) -> DataFrame:
+    """Fixture TTL proxy: ttl(value) = (event_id % 1000) + 100 seconds,
+    ttl(props) = constant 500 — exercises max-of-columns TTL semantics
+    (CDM tracks TTL per cell and takes the max, like writetime)."""
+    return events.withColumn(
+        f"{TTL_PREFIX}value", ((F.col("event_id") % 1000) + 100).cast("bigint")
+    ).withColumn(f"{TTL_PREFIX}props", F.lit(500).cast("bigint"))
+
+
 # SQL-string twins for the DuckDB oracle (FIXTURES.md writetime proxy)
 WRITETIME_VALUE_SQL = "epoch_us(ts)"
 WRITETIME_PROPS_SQL = "epoch_us(ts) - (event_id % 1000) * 1000000"
+TTL_VALUE_SQL = "(event_id % 1000) + 100"
+TTL_PROPS_SQL = "500"

@@ -48,3 +48,47 @@ def slice_manifest(spark: SparkSession, num_slices: int) -> DataFrame:
 def restrict_to_slices(df: DataFrame, pk_col: str, num_slices: int, slices: list[int]) -> DataFrame:
     """Reprocess only the named slices (partition-file retry path, #5)."""
     return with_slice(df, pk_col, num_slices).filter(F.col("slice_id").isin(slices))
+
+
+# ---------------------------------------------------------------------------
+# Partition-file I/O (SURVEY.md §2 #5; spark.cdm.tokenrange.partitionFile.*
+# [upstream@6.0.1]): CDM reads a CSV of "min,max" token ranges to (re)process
+# and appends failed ranges to a file for the next retry run.
+
+
+def read_partition_file(path: str) -> list[tuple[int, int]]:
+    """Parse a token-range CSV (one "min,max" per line, '#' comments)."""
+    ranges: list[tuple[int, int]] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            lo_s, _, hi_s = line.partition(",")
+            lo, hi = int(lo_s), int(hi_s)
+            if lo > hi:
+                raise ValueError(f"invalid token range {line!r}: min > max")
+            ranges.append((lo, hi))
+    return ranges
+
+
+def append_failed_ranges(path: str, ranges: list[tuple[int, int]]) -> None:
+    """Append failed ranges for the retry run (CDM's partitionFile.appendOnDiff)."""
+    with open(path, "a") as fh:
+        for lo, hi in ranges:
+            fh.write(f"{lo},{hi}\n")
+
+
+def restrict_to_token_ranges(
+    df: DataFrame, pk_col: str, ranges: list[tuple[int, int]]
+) -> DataFrame:
+    """Scan scope = union of the listed token ranges (an OR of range
+    predicates — pushable to a token-aware source)."""
+    if not ranges:
+        return df.limit(0)
+    t = tok(pk_col)
+    cond = None
+    for lo, hi in ranges:
+        c = (t >= F.lit(lo)) & (t <= F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond)

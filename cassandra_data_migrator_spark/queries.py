@@ -42,9 +42,13 @@ from cassandra_data_migrator_spark.functions.tokens import (
     tok_sql,
 )
 from cassandra_data_migrator_spark.functions.writetime import (
+    TTL_PROPS_SQL,
+    TTL_VALUE_SQL,
     WRITETIME_PROPS_SQL,
     WRITETIME_VALUE_SQL,
+    attach_event_ttls,
     attach_event_writetimes,
+    max_ttl,
     max_writetime,
 )
 from cassandra_data_migrator_spark.operators import dedup, similarity, transforms, validation
@@ -148,6 +152,11 @@ def q_writetime_compute(spark, sf_dir):
         ["__writetime_value", "__writetime_props"], increment_by=WRITETIME_INCREMENT_US
     )
     return e.select(F.col("event_id"), wt.alias("writetime"))
+
+
+def q_ttl_compute(spark, sf_dir):
+    e = attach_event_ttls(_t(spark, sf_dir, "events"))
+    return e.select(F.col("event_id"), max_ttl(["__ttl_value", "__ttl_props"]).alias("ttl"))
 
 
 def q_where_filter(spark, sf_dir):
@@ -287,6 +296,12 @@ def q_topk_similarity(spark, sf_dir):
     return similarity.brute_force_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K)
 
 
+def q_topk_similarity_lsh(spark, sf_dir):
+    """ANN scale path (rows-only check: bucket hashes are engine-specific)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K, num_planes=4)
+
+
 def q_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % NEAR_DUP_PROBE_MOD == 0)
@@ -384,6 +399,7 @@ def queries() -> dict[str, QueryFn]:
         "extract_json": q_extract_json,
         "explode_map": q_explode_map,
         "writetime_compute": q_writetime_compute,
+        "ttl_compute": q_ttl_compute,
         "where_filter": q_where_filter,
         "token_range_filter": q_token_range_filter,
         "percent_coverage_filter": q_percent_coverage_filter,
@@ -401,6 +417,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_fuzzy": q_dedup_fuzzy,
         "simhash_near_dup": q_simhash_near_dup,
         "topk_similarity": q_topk_similarity,
+        "topk_similarity_lsh": q_topk_similarity_lsh,
         "dedup_embedding": q_dedup_embedding,
         "text_tokens": q_text_tokens,
         "sentiment_lexicon": q_sentiment_lexicon,
@@ -462,6 +479,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "writetime_compute": f"""
             SELECT event_id, {wt} + {WRITETIME_INCREMENT_US} AS writetime FROM events
+        """,
+        "ttl_compute": f"""
+            SELECT event_id, greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL}) AS ttl FROM events
         """,
         "where_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -1,0 +1,109 @@
+"""Unit + property tests for pure functions: codecs, tokens, partition-file
+I/O (SURVEY.md §5.2.3; hypothesis for the closed-form invariants)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions import codecs
+from cassandra_data_migrator_spark.functions.tokens import (
+    TOKEN_MAX,
+    TOKEN_MIN,
+    TOKEN_MODULUS,
+    TOKEN_MULTIPLIER,
+    slice_bounds,
+    slice_width,
+)
+from cassandra_data_migrator_spark.operators.partition import (
+    append_failed_ranges,
+    read_partition_file,
+    restrict_to_token_ranges,
+)
+
+
+def _py_tok(k: int) -> int:
+    # Python's % is floored like Spark/DuckDB for positive divisor+dividend
+    return (k * TOKEN_MULTIPLIER) % TOKEN_MODULUS + TOKEN_MIN
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_token_stays_on_ring(k):
+    assert TOKEN_MIN <= _py_tok(k) <= TOKEN_MAX
+
+
+@given(st.integers(min_value=1, max_value=20).map(lambda p: 2**p))
+@settings(max_examples=20, deadline=None)
+def test_slice_bounds_partition_ring(n):
+    bounds = slice_bounds(n)
+    assert len(bounds) == n
+    assert bounds[0][1] == TOKEN_MIN and bounds[-1][2] == TOKEN_MAX
+    assert all(hi - lo + 1 == slice_width(n) for _, lo, hi in bounds)
+
+
+def test_codec_blob_roundtrip(spark):
+    df = spark.createDataFrame([("hello",)], "s STRING")
+    row = df.select(
+        codecs.blob_to_hex(codecs.string_to_blob(F.col("s"))).alias("hx"),
+        codecs.blob_to_base64(codecs.string_to_blob(F.col("s"))).alias("b64"),
+    ).first()
+    assert row.hx == "68656c6c6f"
+    assert row.b64 == "aGVsbG8="
+
+
+def test_codec_timestamp_string_roundtrip(spark):
+    df = spark.createDataFrame([("2024-03-01 12:30:45",)], "s STRING")
+    row = df.select(
+        codecs.timestamp_to_string(codecs.string_to_timestamp(F.col("s"))).alias("rt")
+    ).first()
+    assert row.rt == "2024-03-01 12:30:45"
+
+
+def test_codec_numeric_string(spark):
+    df = spark.createDataFrame([(17.5, 42)], "d DOUBLE, i LONG")
+    row = df.select(
+        codecs.double_to_string(F.col("d")).alias("ds"),
+        codecs.int_to_string(F.col("i")).alias("is_"),
+        codecs.string_to_bigint(F.lit("123")).alias("bi"),
+    ).first()
+    assert (row.ds, row.is_, row.bi) == ("17.50", "42", 123)
+
+
+def test_timestamp_to_millis_truncates(spark):
+    df = spark.createDataFrame([(1704067798778549,)], "us LONG")
+    assert df.select(codecs.timestamp_to_millis(F.col("us")).alias("ms")).first().ms == 1704067798778
+
+
+def test_partition_file_roundtrip(tmp_path):
+    p = str(tmp_path / "parts.csv")
+    with open(p, "w") as fh:
+        fh.write("# retry list\n-100,50\n")
+    append_failed_ranges(p, [(60, 70)])
+    assert read_partition_file(p) == [(-100, 50), (60, 70)]
+
+
+def test_partition_file_rejects_inverted_range(tmp_path):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as fh:
+        fh.write("10,5\n")
+    try:
+        read_partition_file(p)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_restrict_to_token_ranges(spark, sf_dir):
+    from cassandra_data_migrator_spark.functions.tokens import tok
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    full = o.count()
+    sub = restrict_to_token_ranges(o, "o_orderkey", [(TOKEN_MIN, 0)])
+    n = sub.count()
+    assert 0 < n < full
+    # complement covers the rest exactly
+    rest = restrict_to_token_ranges(o, "o_orderkey", [(1, TOKEN_MAX)])
+    assert n + rest.count() == full
+    # empty range list -> empty scan scope
+    assert restrict_to_token_ranges(o, "o_orderkey", []).count() == 0
