@@ -353,6 +353,46 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select(F.col("doc_id"), fingerprint("text").alias("fp"))
 
 
+def q_tfidf(spark, sf_dir):
+    """TF-IDF per (doc, term): tf · ln(N/df) — one token explode, two
+    aggregations; df side is tiny (vocab) so AQE broadcasts it back."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, driver-side by necessity (constant in expr)
+    toks = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df_ = toks.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return tf.join(df_, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII/number scrubbing via regexp pipeline (training-data cleaning)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id"),
+        F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>").alias("scrubbed_props"),
+        F.regexp_replace(F.col("event_type"), "error", "<ERR>").alias("masked_type"),
+    )
+
+
+def q_length_percentile(spark, sf_dir):
+    """Percentile-based length filter: keep docs in the (5%, 95%) band of
+    n_chars (total order via doc_id tiebreak → deterministic ranks)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return (
+        d.withColumn("pr", F.round(F.percent_rank().over(w), 4))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select("doc_id", "n_chars", F.col("pr").alias("pr_r"))
+    )
+
+
 def q_group_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,4)")
@@ -425,6 +465,9 @@ def queries() -> dict[str, QueryFn]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "tfidf": q_tfidf,
+        "pii_scrub": q_pii_scrub,
+        "length_percentile": q_length_percentile,
         "group_agg": q_group_agg,
         "ranking_topk": q_ranking_topk,
         "window_tumbling": q_window_tumbling,
@@ -646,6 +689,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, {FINGERPRINT_SQL.format(col='text')} AS fp FROM documents
+        """,
+        "tfidf": f"""
+            WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+                      FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+            SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf,
+                   ROUND(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        """,
+        "pii_scrub": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed_props,
+                   regexp_replace(event_type, 'error', '<ERR>', 'g') AS masked_type
+            FROM events
+        """,
+        "length_percentile": """
+            SELECT doc_id, n_chars, pr AS pr_r FROM (
+                SELECT doc_id, n_chars,
+                       ROUND(percent_rank() OVER (ORDER BY n_chars, doc_id), 4) AS pr
+                FROM documents
+            ) WHERE pr >= 0.05 AND pr <= 0.95
         """,
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
