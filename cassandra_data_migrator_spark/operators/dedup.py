@@ -247,3 +247,69 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components)
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Assign every doc to a duplicate cluster: cluster_id = min doc id
+    reachable through the pair graph (connected components via iterative
+    min-label propagation — the standard Spark-side closing step after
+    MinHash-LSH candidate generation).
+
+    Each iteration is one distributed join+groupBy; the driver only loops
+    (log(component-diameter) iterations, capped). Converges when no label
+    changes — checked with a single count per iteration.
+    Returns (id, cluster_id); singletons keep their own id.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        # 1-hop: min over neighbor labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        hop = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label ← label(label)  ⇒ O(log diameter) convergence
+        parent = hop.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
+        jumped = hop.join(parent, hop.cluster_id == parent.p_id, "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # cut lineage each round — iterative plans otherwise grow unboundedly
+        updated = jumped.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "cluster_id")

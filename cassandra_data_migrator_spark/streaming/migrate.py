@@ -1,0 +1,38 @@
+"""Streaming migrate: the batch feature pipeline applied to a continuous
+source (CDC/event-stream shape). The reference is batch-only; this is the
+north-star extension that makes the migrate engine incremental — the same
+``build_feature_pipeline`` (config-driven Column expressions) runs unchanged
+on a readStream DataFrame because it is pure projection/filter (no
+aggregation → append mode, no state).
+
+At scale: the writetime-window filter (#17) is the natural incremental-sync
+predicate — a CDC feed filtered to writetime > last-sync-watermark lands only
+changed rows, replacing CDM's full-table re-migration."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_data_migrator_spark.config import MigrationConfig
+from cassandra_data_migrator_spark.plans.migrate import build_feature_pipeline
+
+
+def streaming_migrate(
+    source: DataFrame,
+    cfg: MigrationConfig,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run the config-driven feature pipeline on a streaming source and sink
+    to parquet. Returns the StreamingQuery (caller awaits)."""
+    piped = build_feature_pipeline(source, cfg)
+    writer = (
+        piped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -43,3 +43,36 @@ def test_streaming_session_runs(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.columns == ["user_id", "session_start_us", "n_events"]
     assert got.count() > 0
+
+
+def test_streaming_migrate_matches_batch(spark, sf_dir, tmp_path):
+    """The config-driven feature pipeline produces identical results on the
+    streaming and batch paths (same Column expressions on both)."""
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.plans.migrate import build_feature_pipeline
+    from cassandra_data_migrator_spark.streaming.migrate import streaming_migrate
+
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "user_id",
+            "spark.cdm.filter.cassandra.whereCondition": "value > 100",
+            "spark.cdm.feature.extractJson.originColumn": "props",
+            "spark.cdm.feature.extractJson.propertyName": "k",
+            "spark.cdm.feature.extractJson.targetColumn": "k_val",
+            "spark.cdm.feature.constantColumns.names": "migrated_by",
+            "spark.cdm.feature.constantColumns.values": "cdm-stream",
+            "spark.cdm.feature.constantColumns.types": "string",
+        }
+    )
+    stream = read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "mig_out")
+    q = streaming_migrate(stream, cfg, out, str(tmp_path / "mig_ckpt"))
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    batch = build_feature_pipeline(load_table(spark, sf_dir, "events"), cfg)
+    assert got.count() == batch.count() > 0
+    assert "migrated_by" in got.columns and "k_val" in got.columns
+    g = {r.event_id: r.k_val for r in got.select("event_id", "k_val").collect()}
+    b = {r.event_id: r.k_val for r in batch.select("event_id", "k_val").collect()}
+    assert g == b
