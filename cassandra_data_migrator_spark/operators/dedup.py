@@ -249,6 +249,54 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    num_chunks: int = 9,
+) -> DataFrame:
+    """SimHash near-dup pairs (id_a, id_b, hamming ≤ max_hamming) WITHOUT the
+    all-pairs product: pigeonhole banding. Split the 64-bit signature into
+    ``num_chunks`` chunks; any pair with hamming ≤ max_hamming < num_chunks
+    agrees exactly on ≥1 chunk, so candidates = equi-join on (chunk_idx,
+    chunk_value) — a hash shuffle, not a BroadcastNestedLoopJoin. Exact
+    hamming filter afterwards keeps the output identical to brute force.
+    """
+    if max_hamming >= num_chunks:
+        raise ValueError("pigeonhole requires max_hamming < num_chunks")
+    width = 64 // num_chunks + (1 if 64 % num_chunks else 0)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(num_chunks)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster assignment (connected components)
 

@@ -278,17 +278,8 @@ def q_dedup_fuzzy(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    sigs = dedup.simhash(_t(spark, sf_dir, "documents"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 8)
-    )
+    sigs = dedup.simhash(_t(spark, sf_dir, "documents")).persist()
+    return dedup.simhash_near_dup_pairs(sigs, max_hamming=8)
 
 
 def q_topk_similarity(spark, sf_dir):

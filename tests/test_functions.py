@@ -107,3 +107,21 @@ def test_restrict_to_token_ranges(spark, sf_dir):
     assert n + rest.count() == full
     # empty range list -> empty scan scope
     assert restrict_to_token_ranges(o, "o_orderkey", []).count() == 0
+
+def test_array_length_guardrail(spark, sf_dir):
+    from cassandra_data_migrator_spark.operators.guardrail import array_length_guardrail
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # fixture vectors are all 64-dim -> none flagged at 64, all flagged at 63
+    assert array_length_guardrail(emb, ["vec_id"], "embedding", 64).count() == 0
+    assert array_length_guardrail(emb, ["vec_id"], "embedding", 63).count() == emb.count()
+
+
+def test_simhash_banding_guard():
+    import pytest as _pytest
+
+    from cassandra_data_migrator_spark.operators.dedup import simhash_near_dup_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(None, max_hamming=9, num_chunks=9)
