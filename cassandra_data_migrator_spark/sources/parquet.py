@@ -72,3 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(path)
     return _normalize_events(df)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every fixture table as a temp view so the engine's surface is
+    also reachable through plain ``spark.sql`` (the reference has no SQL
+    frontend — this is free with Spark and costs nothing to expose)."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

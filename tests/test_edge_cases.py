@@ -1,0 +1,79 @@
+"""Zero-row / degenerate-input robustness: every pipeline must return an
+empty, correctly-shaped result rather than crash (the 100 TB posture includes
+empty slices and filters that match nothing)."""
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.config import MigrationConfig
+from cassandra_data_migrator_spark.operators import dedup, similarity, validation
+from cassandra_data_migrator_spark.operators.windows import session_window, tumbling_window
+from cassandra_data_migrator_spark.plans.migrate import build_feature_pipeline
+from cassandra_data_migrator_spark.sources.parquet import load_table, register_tables
+
+
+def _empty_like(df):
+    return df.filter(F.lit(False))
+
+
+def test_feature_pipeline_on_empty(spark, sf_dir):
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "o_orderkey",
+            "spark.cdm.filter.cassandra.whereCondition": "o_totalprice > 0",
+            "spark.cdm.feature.constantColumns.names": "x",
+            "spark.cdm.feature.constantColumns.values": "1",
+            "spark.cdm.feature.constantColumns.types": "bigint",
+        }
+    )
+    out = build_feature_pipeline(_empty_like(load_table(spark, sf_dir, "orders")), cfg)
+    assert out.count() == 0 and "x" in out.columns
+
+
+def test_diff_on_empty_sides(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").limit(10)
+    empty = _empty_like(o)
+    # empty target: every origin row missing
+    r1 = validation.diff(o, empty, ["o_orderkey"], ["o_orderstatus"])
+    assert r1.filter("status = 'missing'").count() == 10
+    # empty origin: nothing to report (origin-driven)
+    r2 = validation.diff(empty, o, ["o_orderkey"], ["o_orderstatus"])
+    assert r2.count() == 0
+
+
+def test_dedup_on_empty_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "")], "doc_id BIGINT, text STRING"
+    )
+    # docs shorter than the shingle width produce no pairs, no crash
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
+    assert dedup.dedup_exact(docs).count() == 2
+    sigs = dedup.simhash(docs)
+    assert sigs.count() >= 1  # empty text has no tokens -> no signature row
+
+
+def test_topk_with_empty_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, _empty_like(emb), k=5)
+    assert out.count() == 0
+
+
+def test_windows_on_empty(spark, sf_dir):
+    e = _empty_like(load_table(spark, sf_dir, "events"))
+    assert tumbling_window(e).count() == 0
+    assert session_window(e).count() == 0
+
+
+def test_cluster_with_no_pairs(spark):
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(ids, pairs).collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_sql_surface(spark, sf_dir):
+    register_tables(spark, sf_dir, ["orders", "events"])
+    n = spark.sql("SELECT COUNT(*) AS c FROM orders WHERE o_totalprice >= 50000").first().c
+    assert n > 0
+    # events view has the normalized ts columns
+    cols = set(spark.sql("SELECT * FROM events LIMIT 1").columns)
+    assert {"ts", "ts_us", "ts_ns"} <= cols
