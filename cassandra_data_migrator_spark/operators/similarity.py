@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cassandra_data_migrator_spark.functions.vectors import as_double_array, cosine
+from cassandra_data_migrator_spark.functions.vectors import as_double_array, cosine, dot, norm
 
 
 def brute_force_topk(
@@ -35,14 +35,21 @@ def brute_force_topk(
     Scores are rounded to 4dp BEFORE ranking (ties broken by vec_id) so the
     ranking is reproducible bit-for-bit across engines.
     """
+    # norms are per-row, not per-pair: compute once on each side before the
+    # join (cosine = dot/(norm_q·norm_c) — factoring is numerically identical,
+    # and cuts per-pair flops to the dot product alone)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    ).withColumn("qnorm", norm(F.col("qvec")))
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("cvec")).withColumn(
+        "cnorm", norm(F.col("cvec"))
     )
-    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("cvec"))
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score_r"),
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 4
+        ).alias("score_r"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score_r").desc(), F.col(id_col))
     return (
@@ -61,11 +68,21 @@ def cosine_near_dup(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: probe × corpus cosine ≥ threshold,
     (id_a, id_b, score_r) with id_a < id_b. Probes broadcast."""
-    p = probes.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("avec"))
-    c = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("bvec"))
+    p = probes.select(
+        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("avec")
+    ).withColumn("anorm", norm(F.col("avec")))
+    c = corpus.select(
+        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("bvec")
+    ).withColumn("bnorm", norm(F.col("bvec")))
     return (
         c.join(F.broadcast(p), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("avec"), F.col("bvec")), 4).alias("score_r"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm")), 4
+            ).alias("score_r"),
+        )
         .filter(F.col("score_r") >= threshold)
     )
 
