@@ -135,6 +135,40 @@ def run_guardrail(spark: SparkSession, origin: DataFrame, cfg: MigrationConfig) 
     return JobResult("guardrail", colsize_guardrail(origin, pk, checked, kb * 1024))
 
 
+def run_migrate_tracked(
+    spark: SparkSession,
+    origin: DataFrame,
+    cfg: MigrationConfig,
+    tracker,
+    previous_run_id: str | None = None,
+) -> tuple[JobResult, str]:
+    """Migrate with run tracking (#6): restrict the scan to the previous
+    run's unfinished slices (resume), mark slices passed on success. The
+    failure unit stays the token-range slice, as in CDM."""
+    from cassandra_data_migrator_spark.operators.partition import restrict_to_slices
+    from cassandra_data_migrator_spark.plans.tracking import STATUS_PASSED
+
+    num_slices = cfg.get("spark.cdm.perfops.numParts")
+    pk = cfg.pk_columns()
+    if not pk:
+        raise ValueError("tracked migrate requires spark.cdm.schema.pk")
+
+    if previous_run_id:
+        pending = tracker.pending_slices(previous_run_id)
+        run_id = previous_run_id
+        scoped = restrict_to_slices(origin, pk[0], num_slices, pending).drop(
+            "token", "slice_id"
+        )
+    else:
+        pending = list(range(num_slices))
+        run_id = tracker.start_run("migrate", num_slices)
+        scoped = origin
+
+    result = run_migrate(spark, scoped, cfg)
+    tracker.record_slices(run_id, pending, STATUS_PASSED)
+    return result, run_id
+
+
 def run_job(
     spark: SparkSession,
     job_name: str,

@@ -127,3 +127,61 @@ def test_run_tracking_resume(spark, sf_dir, tmp_path):
     full = o.count()
     done = o.count() - resumed.count()
     assert 0 < resumed.count() < full and done > 0
+
+
+def test_run_migrate_tracked_and_resume(spark, sf_dir, tmp_path):
+    """Tracked migrate end-to-end: full run marks all slices passed; a
+    'failed' run resumed by id only reprocesses the pending slices."""
+    from cassandra_data_migrator_spark.plans.migrate import run_migrate_tracked
+
+    origin = load_table(spark, sf_dir, "orders")
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "o_orderkey",
+            "spark.cdm.perfops.numParts": 8,
+            "spark.cdm.connect.target.path": str(tmp_path / "t"),
+        }
+    )
+    tracker = RunTracker(spark, str(tmp_path / "runs"))
+    result, run_id = run_migrate_tracked(spark, origin, cfg, tracker)
+    assert tracker.pending_slices(run_id) == []
+    assert result.counters["read_cnt"] == origin.count()
+
+    # simulate a partial failure: mark two slices failed, resume
+    tracker.record_slices(run_id, [2, 5], STATUS_FAILED)
+    cfg2 = cfg.with_overrides(**{"spark.cdm.connect.target.path": str(tmp_path / "t2")})
+    result2, rid2 = run_migrate_tracked(
+        spark, origin, cfg2, tracker, previous_run_id=run_id
+    )
+    assert rid2 == run_id
+    assert tracker.pending_slices(run_id) == []
+    # the resumed run only processed rows from slices 2 and 5
+    assert 0 < result2.counters["read_cnt"] < origin.count()
+
+
+def test_cli_migrate_and_unknown_job(spark, sf_dir, tmp_path):
+    from cassandra_data_migrator_spark.__main__ import main
+    import json as _json
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "migrate",
+                "--origin", sf_dir,
+                "--table", "orders",
+                "--conf", "spark.cdm.filter.cassandra.whereCondition=o_totalprice >= 50000",
+                "--conf", f"spark.cdm.connect.target.path={tmp_path / 'cli_out'}",
+            ]
+        )
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["job"] == "migrate" and out["rows"] > 0 and "counters" in out
+
+    import pytest as _pytest
+    from cassandra_data_migrator_spark.config import UnknownJobError
+
+    with _pytest.raises(UnknownJobError):
+        main(["compact", "--origin", sf_dir, "--table", "orders"])
