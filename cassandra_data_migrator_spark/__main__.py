@@ -51,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     job = dispatch_job(args.job)  # fail fast on unknown job, like entrypoint.sh:240-242
     cfg = MigrationConfig.from_env().with_overrides(**overrides)
 
-    spark = get_spark(f"cdm-spark-{job}")
+    # reuse an active session if the caller (tests, notebooks) owns one —
+    # only stop sessions this process created
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(f"cdm-spark-{job}")
     try:
         origin = load_table(spark, args.origin, args.table)
         target = None
@@ -66,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(summary))
         return 0
     finally:
-        spark.stop()
+        if existing is None:
+            spark.stop()
 
 
 if __name__ == "__main__":
