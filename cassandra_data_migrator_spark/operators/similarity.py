@@ -120,6 +120,91 @@ def random_projection_buckets(
     return out.withColumn("bucket", sig)
 
 
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: 'cells' = array of the nprobe nearest centroid ids
+    (by cosine). Centroids are a small driver-side list (as in any IVF index —
+    k-means output); distances are computed as expressions against literal
+    arrays, so assignment is a codegen'd projection over the scan."""
+    v = as_double_array(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(v, F.array(*[F.lit(x) for x in cvec]), lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(-1.0)
+                ).alias("neg_dot"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    # sort by (-dot, cell): nearest centroids first, deterministic ties
+    cells = F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s.cell
+    )
+    return df.withColumn("cells", cells)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows live in their nearest cell;
+    each query probes its nprobe nearest cells; only same-cell pairs get exact
+    cosine. The cell join is an equi-join — the corpus shuffles by cell once
+    (or not at all if pre-partitioned by cell, the real IVF layout at rest)."""
+    cb = (
+        assign_ivf_cells(corpus, centroids, vec_col, nprobe=1)
+        .select(
+            F.col(id_col),
+            F.explode(F.col("cells")).alias("cell"),
+            as_double_array(vec_col).alias("cvec"),
+        )
+        .withColumn("cnorm", norm(F.col("cvec")))
+    )
+    qb = (
+        assign_ivf_cells(queries, centroids, vec_col, nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.col("cells")).alias("cell"),
+            as_double_array(vec_col).alias("qvec"),
+        )
+        .withColumn("qnorm", norm(F.col("qvec")))
+    )
+    scored = (
+        cb.join(F.broadcast(qb), ["cell"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 4
+            ).alias("score_r"),
+        )
+        .distinct()  # a pair can meet in several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_r").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_r", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -293,6 +293,17 @@ def q_topk_similarity_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K, num_planes=4)
 
 
+def q_topk_similarity_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (rows-only): centroids = a fixed, deterministic sample
+    of the corpus (vec_id % 97 == 3, max 8) standing in for k-means output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter("vec_id % 97 = 3").orderBy("vec_id").limit(8).collect()
+    ]
+    return similarity.ivf_topk(emb, emb.filter(TOPK_QUERY_PRED), cents, k=TOPK_K, nprobe=2)
+
+
 def q_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % NEAR_DUP_PROBE_MOD == 0)
@@ -449,6 +460,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash_near_dup": q_simhash_near_dup,
         "topk_similarity": q_topk_similarity,
         "topk_similarity_lsh": q_topk_similarity_lsh,
+        "topk_similarity_ivf": q_topk_similarity_ivf,
         "dedup_embedding": q_dedup_embedding,
         "text_tokens": q_text_tokens,
         "sentiment_lexicon": q_sentiment_lexicon,

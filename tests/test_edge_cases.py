@@ -77,3 +77,27 @@ def test_sql_surface(spark, sf_dir):
     # events view has the normalized ts columns
     cols = set(spark.sql("SELECT * FROM events LIMIT 1").columns)
     assert {"ts", "ts_us", "ts_ns"} <= cols
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF with nprobe = all cells must equal brute force exactly; with fewer
+    probes it returns a subset-quality approximation (recall sanity check)."""
+    from cassandra_data_migrator_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter("vec_id % 97 = 3").orderBy("vec_id").limit(4).collect()
+    ]
+    exact = brute_force_topk(emb, queries, k=5)
+    full_probe = ivf_topk(emb, queries, cents, k=5, nprobe=len(cents))
+    e = sorted((r.query_id, r.vec_id, r.score_r) for r in exact.collect())
+    f = sorted((r.query_id, r.vec_id, r.score_r) for r in full_probe.collect())
+    assert e == f
+    # partial probe: valid shape, <= k rows per query, scores from the exact set
+    part = ivf_topk(emb, queries, cents, k=5, nprobe=1)
+    assert part.groupBy("query_id").count().agg({"count": "max"}).first()[0] <= 5
