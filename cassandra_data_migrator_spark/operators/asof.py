@@ -1,0 +1,71 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively
+(prompt: 'when the reference has an operator Spark lacks, compose existing
+DataFrame ops if semantics allow').
+
+Semantics: for each left row, the most recent right row of the same key with
+right.ts <= left.ts (the market-data trade↔quote join, CDC snapshot lookup,
+slowly-changing-dimension resolve).
+
+Plan shape — ONE shuffle, no range explosion: union both sides tagged, sort
+within each key partition by (ts, side-priority), and carry the latest right
+payload forward with last(..., ignorenulls) over an unbounded-preceding
+window. This is strictly better at scale than the bucketize+equi-join+filter
+alternative (no bucket-width tuning, no fan-out) and infinitely better than a
+range theta-join (no O(n·m) pairs). DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: (left.*, matched right_value_cols as rv_<name>,
+    rv_ts). ``how='inner'`` drops left rows with no prior right row (DuckDB
+    ASOF JOIN default); ``'left'`` keeps them with nulls."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    payload = F.struct(
+        F.col(ts_col).alias("__rv_ts"),
+        *[F.col(c).alias(c) for c in right_value_cols],
+    )
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        payload.alias("__payload"),
+        F.lit(0).alias("__side"),  # right sorts before left on ts ties (<=)
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
+    )
+    r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
+    unioned = r.unionByName(l)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left_cols],
+        F.col("__match.__rv_ts").alias("rv_ts"),
+        *[F.col(f"__match.{c}").alias(f"rv_{c}") for c in right_value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("rv_ts").isNotNull())
+    return out

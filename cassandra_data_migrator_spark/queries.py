@@ -395,6 +395,23 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (trade←quote): for each odd-id event, the latest
+    even-id event of the same user at-or-before its timestamp. Custom
+    operator (operators/asof.py — one shuffle, union+window); oracle is
+    DuckDB's native ASOF JOIN."""
+    from cassandra_data_migrator_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_id", "ts_us")
+    quotes = e.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts_us", F.col("event_id").alias("q_id"), F.col("value").alias("q_value")
+    )
+    return asof_join(
+        trades, quotes, ["user_id"], "ts_us", ["q_id", "q_value"], how="inner"
+    ).select("user_id", "event_id", "ts_us", "rv_ts", "rv_q_id", "rv_q_value")
+
+
 def q_group_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,4)")
@@ -471,6 +488,7 @@ def queries() -> dict[str, QueryFn]:
         "tfidf": q_tfidf,
         "pii_scrub": q_pii_scrub,
         "length_percentile": q_length_percentile,
+        "asof_join": q_asof_join,
         "group_agg": q_group_agg,
         "ranking_topk": q_ranking_topk,
         "window_tumbling": q_window_tumbling,
@@ -708,6 +726,13 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed_props,
                    regexp_replace(event_type, 'error', '<ERR>', 'g') AS masked_type
             FROM events
+        """,
+        "asof_join": """
+            SELECT t.user_id, t.event_id, epoch_us(t.ts) AS ts_us,
+                   epoch_us(q.ts) AS rv_ts, q.event_id AS rv_q_id, q.value AS rv_q_value
+            FROM (SELECT * FROM events WHERE event_id % 2 = 1) t
+            ASOF JOIN (SELECT * FROM events WHERE event_id % 2 = 0) q
+              ON t.user_id = q.user_id AND q.ts <= t.ts
         """,
         "length_percentile": """
             SELECT doc_id, n_chars, pr AS pr_r FROM (
