@@ -425,6 +425,63 @@ def q_group_agg(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: per-user event counts by type (explicit value list keeps the
+    plan one pass — no extra distinct scan to discover pivot columns)."""
+    e = _t(spark, sf_dir, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Rollup subtotals over (returnflag, linestatus); grouping levels keyed
+    by grouping_id so subtotal rows hash deterministically."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty", "gid")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations (absent from the reference, SURVEY §2 'explicitly
+    ABSENT' — added): customers with orders EXCEPT customers in the
+    BUILDING segment, plus the INTERSECT count as a marker column."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.distinct().exceptAll(building.distinct()).select("custkey")
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact quantiles (linear interpolation) per group — percentile() in
+    Spark vs quantile_cont() in DuckDB must agree bit-for-bit after 4dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("price_p99"),
+    )
+
+
 def q_ranking_topk(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
@@ -490,6 +547,10 @@ def queries() -> dict[str, QueryFn]:
         "length_percentile": q_length_percentile,
         "asof_join": q_asof_join,
         "group_agg": q_group_agg,
+        "pivot_events": q_pivot_events,
+        "rollup_agg": q_rollup_agg,
+        "set_ops": q_set_ops,
+        "quantiles": q_quantiles,
         "ranking_topk": q_ranking_topk,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
@@ -749,6 +810,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "pivot_events": f"""
+            SELECT user_id,
+                   {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+            FROM events GROUP BY user_id
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+            FROM lineitem GROUP BY l_returnflag
         """,
         "ranking_topk": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
