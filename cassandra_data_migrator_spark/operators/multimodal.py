@@ -87,19 +87,33 @@ def extract_features(df: DataFrame, dim: int = 8, use_fake: bool = False) -> Dat
     Batch shape: pandas DataFrames of the input partition; output conforms to
     FEATURE_SCHEMA. The kernel is the only stubbed piece.
     """
-    import hashlib
-
+    # NB: the batch fn is a self-contained closure (no references to module-
+    # level functions) so cloudpickle ships it by value — Python workers never
+    # need this package importable.
     def _batches(it: Iterator) -> Iterator:
+        import hashlib
+
         import pandas as pd
+
+        def fake_feature(payload: bytes) -> list[float]:
+            if not payload:
+                return [0.0] * dim
+            acc = [0] * dim
+            for i, b in enumerate(payload):
+                acc[i % dim] += b
+            total = float(len(payload))
+            return [a / total for a in acc]
 
         for pdf in it:
             feats = []
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 if use_fake:
-                    vec = _fake_feature(raw, dim)
+                    vec = fake_feature(raw)
                 else:  # pragma: no cover - real decoder absent here
-                    vec = decode_image(raw)
+                    raise NotImplementedError(
+                        "image decoding requires PIL; not available in this env"
+                    )
                 feats.append(hashlib.md5(str([round(x, 6) for x in vec]).encode()).hexdigest())
             yield pd.DataFrame(
                 {

@@ -66,3 +66,45 @@ def test_salted_agg_rejects_nondecomposable(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         salted_agg(e, ["user_id"], {"d": ("count_distinct", "value")})
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    trades=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15
+    ),
+    quotes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.floats(0, 10)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda q: (q[0], q[1]),  # one quote per (key, ts): ties are undefined
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_matches_python_reference(spark_s, trades, quotes):
+    spark = spark_s
+    t_df = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(trades)], "k BIGINT, ts BIGINT, tid BIGINT"
+    )
+    q_df = spark.createDataFrame(
+        [(k, ts, round(v, 3)) for k, ts, v in quotes], "k BIGINT, ts BIGINT, px DOUBLE"
+    )
+    got = {
+        r.tid: r.rv_ts
+        for r in asof_join(t_df, q_df, ["k"], "ts", ["px"], how="left").collect()
+    }
+    for i, (k, ts) in enumerate(trades):
+        eligible = [qts for qk, qts, _ in quotes if qk == k and qts <= ts]
+        expect = max(eligible) if eligible else None
+        assert got[i] == expect, f"trade {i} (k={k}, ts={ts})"
+
+
+import pytest as _pt
+
+
+@_pt.fixture(scope="session")
+def spark_s(spark):
+    return spark
