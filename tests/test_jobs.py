@@ -185,3 +185,47 @@ def test_cli_migrate_and_unknown_job(spark, sf_dir, tmp_path):
 
     with _pytest.raises(UnknownJobError):
         main(["compact", "--origin", sf_dir, "--table", "orders"])
+
+
+def test_writetime_preserved_through_sink(spark, sf_dir, tmp_path):
+    """Per-row writetime survives the migrate sink (SURVEY.md §4.3.1: the
+    computation is engine-side; the parquet world carries it as a column, the
+    Cassandra sink would map it to per-row write options)."""
+    from cassandra_data_migrator_spark.functions.writetime import (
+        attach_event_writetimes,
+        max_writetime,
+    )
+
+    e = attach_event_writetimes(load_table(spark, sf_dir, "events"))
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "user_id",
+            "spark.cdm.transform.custom.writetime.incrementBy": 5,
+            "spark.cdm.connect.target.path": str(tmp_path / "wt"),
+        }
+    )
+    out = run_job(spark, "migrate", e, cfg).output
+    assert "__writetime" in out.columns
+    expected = e.select(
+        "event_id",
+        max_writetime(["__writetime_value", "__writetime_props"], increment_by=5).alias("w"),
+    )
+    joined = out.select("event_id", "__writetime").join(expected, "event_id")
+    assert joined.filter(F.col("__writetime") != F.col("w")).count() == 0
+
+
+def test_contract_key_consistency():
+    """Every oracle key must have a queries() twin, keys are unique and
+    nonempty — guards against a typo silently dropping a check."""
+    import __spark_entry__ as m
+
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_) <= set(qs), f"orphan oracle keys: {set(os_) - set(qs)}"
+    assert len(qs) >= 40 and len(os_) >= 38
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {
+        "dedup_fuzzy",
+        "simhash_near_dup",
+        "topk_similarity_lsh",
+        "topk_similarity_ivf",
+    }
