@@ -428,6 +428,22 @@ def q_group_agg(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_profile_table(spark, sf_dir):
+    """Table profiling (guardrail-adjacent data-quality scan): one row of
+    counts / null counts / bounds / distincts over orders — single pass,
+    partial aggregation map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_custkey"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).cast("bigint").alias("null_status"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count_distinct(F.col("o_orderstatus")).cast("bigint").alias("n_statuses"),
+        F.count_distinct(F.col("o_orderpriority")).cast("bigint").alias("n_priorities"),
+    )
+
+
 def q_pivot_events(spark, sf_dir):
     """Pivot: per-user event counts by type (explicit value list keeps the
     plan one pass — no extra distinct scan to discover pivot columns)."""
@@ -547,6 +563,7 @@ def queries() -> dict[str, QueryFn]:
         "length_percentile": q_length_percentile,
         "asof_join": q_asof_join,
         "group_agg": q_group_agg,
+        "profile_table": q_profile_table,
         "pivot_events": q_pivot_events,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -810,6 +827,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "profile_table": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+                   ROUND(MIN(o_totalprice), 4) AS min_price,
+                   ROUND(MAX(o_totalprice), 4) AS max_price,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+            FROM orders
         """,
         "pivot_events": f"""
             SELECT user_id,
