@@ -428,6 +428,32 @@ def q_group_agg(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel analysis: users whose first 'signup' is followed (>=) by a
+    'purchase'. One groupBy pass per user (min signup ts vs max purchase ts),
+    then a one-row summary — event-ordering analytics without a self-join."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("first_signup"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("last_purchase"),
+    )
+    flags = per_user.select(
+        "user_id",
+        F.col("first_signup").isNotNull().cast("int").alias("signed"),
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_signup"))
+        ).cast("int").alias("converted"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("signed").cast("bigint").alias("n_signed"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.sum("signed"), 4).alias("conv_rate"),
+    )
+
+
 def q_profile_table(spark, sf_dir):
     """Table profiling (guardrail-adjacent data-quality scan): one row of
     counts / null counts / bounds / distincts over orders — single pass,
@@ -564,6 +590,7 @@ def queries() -> dict[str, QueryFn]:
         "asof_join": q_asof_join,
         "group_agg": q_group_agg,
         "profile_table": q_profile_table,
+        "funnel_conversion": q_funnel_conversion,
         "pivot_events": q_pivot_events,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -827,6 +854,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "funnel_conversion": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+                       MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+                FROM events GROUP BY user_id
+            ),
+            flags AS (
+                SELECT user_id,
+                       CAST(first_signup IS NOT NULL AS INTEGER) AS signed,
+                       CAST(first_signup IS NOT NULL AND last_purchase IS NOT NULL
+                            AND last_purchase >= first_signup AS INTEGER) AS converted
+                FROM per_user
+            )
+            SELECT COUNT(*) AS n_users,
+                   CAST(SUM(signed) AS BIGINT) AS n_signed,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted,
+                   ROUND(SUM(converted) * 1.0 / SUM(signed), 4) AS conv_rate
+            FROM flags
         """,
         "profile_table": """
             SELECT COUNT(*) AS n_rows,
