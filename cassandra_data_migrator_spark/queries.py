@@ -428,6 +428,19 @@ def q_group_agg(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of events.value (bucket = floor(v/25)*25) —
+    the portable bucketing idiom (identical integer arithmetic both engines,
+    no engine-specific width_bucket semantics)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 25) * 25).cast("bigint")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+    )
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Funnel analysis: users whose first 'signup' is followed (>=) by a
     'purchase'. One groupBy pass per user (min signup ts vs max purchase ts),
@@ -591,6 +604,7 @@ def queries() -> dict[str, QueryFn]:
         "group_agg": q_group_agg,
         "profile_table": q_profile_table,
         "funnel_conversion": q_funnel_conversion,
+        "value_histogram": q_value_histogram,
         "pivot_events": q_pivot_events,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -854,6 +868,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "value_histogram": """
+            SELECT CAST(FLOOR(value / 25) * 25 AS BIGINT) AS bucket,
+                   COUNT(*) AS cnt,
+                   ROUND(MIN(value), 4) AS min_v,
+                   ROUND(MAX(value), 4) AS max_v
+            FROM events GROUP BY 1
         """,
         "funnel_conversion": """
             WITH per_user AS (
