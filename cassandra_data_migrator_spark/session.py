@@ -22,6 +22,11 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any pandas_udf paths
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local-scale shuffle sizing (Spark's 200 default over-parallelizes the
+    # fixture scales; results are partition-count independent by construction
+    # — deterministic sums/rankings — so this is purely a latency knob. AQE
+    # coalesces further at runtime.)
+    "spark.sql.shuffle.partitions": "64",
 }
 
 # Confs we want at build time for performance (AQE is default-on in Spark 4 but
