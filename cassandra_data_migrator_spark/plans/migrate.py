@@ -159,12 +159,30 @@ def run_migrate_tracked(
         scoped = restrict_to_slices(origin, pk[0], num_slices, pending).drop(
             "token", "slice_id"
         )
+        # Resume must MERGE into the target, not overwrite it: a plain
+        # run_migrate would mode('overwrite') the whole table and destroy the
+        # output of every previously-passed slice. Pending-slice rows upsert
+        # by PK; everything already migrated survives.
+        import os
+
+        out_path = cfg.get("spark.cdm.connect.target.path")
+        piped = build_feature_pipeline(scoped, cfg)
+        if out_path and os.path.exists(out_path):
+            from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
+
+            # read_cnt counts this run's processed rows; the scan is bounded
+            # by the pending slices (the small remainder), so the extra pass
+            # is cheap relative to the merge itself.
+            read_cnt = piped.count()
+            merged = upsert_parquet(spark, piped, out_path, pk)
+            result = JobResult("migrate", merged, {"read_cnt": read_cnt, "skipped_cnt": 0})
+        else:
+            result = run_migrate(spark, scoped, cfg)
     else:
         pending = list(range(num_slices))
         run_id = tracker.start_run("migrate", num_slices)
         scoped = origin
-
-    result = run_migrate(spark, scoped, cfg)
+        result = run_migrate(spark, scoped, cfg)
     tracker.record_slices(run_id, pending, STATUS_PASSED)
     return result, run_id
 

@@ -54,18 +54,18 @@ class RunTracker:
 
     def record_slices(self, run_id: str, slice_ids: list[int], status: str) -> None:
         details = self.spark.read.parquet(self._details_path(run_id))
+        # The manifest is numParts rows — bounded driver-side state by design.
+        # Materialize it before overwriting the path it was read from (parquet
+        # is not updatable in place), so no staging directory is needed.
         updated = details.withColumn(
             "status",
             F.when(F.col("slice_id").isin(slice_ids), F.lit(status)).otherwise(
                 F.col("status")
             ),
         )
-        # rewrite via temp path (parquet is not updatable in place)
-        tmp = self._details_path(run_id) + "__new"
-        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self._details_path(run_id)
-        fresh = self.spark.read.parquet(tmp)
-        fresh.coalesce(1).write.mode("overwrite").parquet(final)
+        rows = updated.collect()
+        fresh = self.spark.createDataFrame(rows, updated.schema)
+        fresh.coalesce(1).write.mode("overwrite").parquet(self._details_path(run_id))
 
     def pending_slices(self, run_id: str) -> list[int]:
         """Slices to (re)process on resume: everything not passed — the

@@ -56,8 +56,12 @@ def upsert_parquet(
     writetime_col: str | None = None,
 ) -> DataFrame:
     """Merge ``updates`` into the parquet table at ``path`` (created if
-    absent); returns the re-read merged table. Write goes through a temp dir
-    then swaps, so a failed write never truncates the target."""
+    absent); returns the re-read merged table.
+
+    Crash-safe swap: write staging → move live table aside → move staging in
+    → delete the old copy. At every instant a readable copy exists (live,
+    aside, or staging); if the staging→live rename fails the aside copy is
+    rolled back into place, so a crash never truncates the target."""
     import os
     import shutil
 
@@ -67,7 +71,17 @@ def upsert_parquet(
     merged.write.mode("overwrite").parquet(tmp)
     staged = spark.read.parquet(tmp)
     staged.count()  # materialize before the swap
+    old = path.rstrip("/") + "__old"
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)  # roll the previous table back into place
+        raise
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return spark.read.parquet(path)

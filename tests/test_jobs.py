@@ -147,16 +147,24 @@ def test_run_migrate_tracked_and_resume(spark, sf_dir, tmp_path):
     assert tracker.pending_slices(run_id) == []
     assert result.counters["read_cnt"] == origin.count()
 
-    # simulate a partial failure: mark two slices failed, resume
+    # simulate a partial failure: mark two slices failed, resume into the
+    # SAME target path — the resume must merge, not overwrite, so the output
+    # of previously-passed slices survives and the table stays complete.
     tracker.record_slices(run_id, [2, 5], STATUS_FAILED)
-    cfg2 = cfg.with_overrides(**{"spark.cdm.connect.target.path": str(tmp_path / "t2")})
     result2, rid2 = run_migrate_tracked(
-        spark, origin, cfg2, tracker, previous_run_id=run_id
+        spark, origin, cfg, tracker, previous_run_id=run_id
     )
     assert rid2 == run_id
     assert tracker.pending_slices(run_id) == []
     # the resumed run only processed rows from slices 2 and 5
     assert 0 < result2.counters["read_cnt"] < origin.count()
+    # full coverage: every origin row is present in the resumed target
+    final = spark.read.parquet(str(tmp_path / "t"))
+    assert final.count() == origin.count()
+    assert final.select("o_orderkey").distinct().count() == origin.count()
+    # no slice-update staging dirs left behind in the run bookkeeping
+    leftovers = [p for p in (tmp_path / "runs" / "cdm_run_details").rglob("*__new")]
+    assert leftovers == []
 
 
 def test_cli_migrate_and_unknown_job(spark, sf_dir, tmp_path):
