@@ -27,10 +27,16 @@ def asof_join(
     ts_col: str,
     right_value_cols: list[str],
     how: str = "inner",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: (left.*, matched right_value_cols as rv_<name>,
     rv_ts). ``how='inner'`` drops left rows with no prior right row (DuckDB
-    ASOF JOIN default); ``'left'`` keeps them with nulls."""
+    ASOF JOIN default); ``'left'`` keeps them with nulls.
+
+    ``tiebreak_col`` (a right-side column, e.g. its id) makes the pick among
+    multiple right rows sharing the same (key, ts) deterministic: the row
+    with the LARGEST tiebreak value wins. Without it the window order among
+    such ties is partitioning-dependent."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
@@ -38,11 +44,13 @@ def asof_join(
         F.col(ts_col).alias("__rv_ts"),
         *[F.col(c).alias(c) for c in right_value_cols],
     )
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(None).cast("bigint")
     r = right.select(
         *key_cols,
         F.col(ts_col),
         payload.alias("__payload"),
         F.lit(0).alias("__side"),  # right sorts before left on ts ties (<=)
+        tb.alias("__tb"),
     )
     left_cols = [c for c in left.columns]
     l = left.select(
@@ -50,14 +58,17 @@ def asof_join(
         F.col(ts_col),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
     )
     r = r.withColumn("__left", F.lit(None).cast(l.schema["__left"].dataType))
     unioned = r.unionByName(l)
 
+    # ties on (ts, side) among right rows resolve by __tb ascending, so
+    # last(...) picks the max-tiebreak row deterministically
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col), F.col("__side"))
+        .orderBy(F.col(ts_col), F.col("__side"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))

@@ -135,11 +135,68 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _bucketed_pairs(
+    banded: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a (doc, bucket) table, hot-bucket
+    guarded — the inverted-index shape ``ngram_jaccard_pairs`` uses: ONE
+    groupBy(bucket) shuffle, pairs generated inside the JVM from each
+    bucket's sorted id list. No self-join (which would shuffle the banding
+    pipeline twice and recompute it per join side).
+
+    A degenerate bucket of f docs would emit f(f−1)/2 pairs — one poison key
+    dominating the whole job at 100 TB — so buckets over ``max_bucket_size``
+    degrade to STAR linking: every doc pairs with the bucket's min id (f−1
+    pairs, linear). The branch is a lazy CASE WHEN, so the quadratic arm is
+    never evaluated for over-cap buckets. The star keeps the bucket
+    connected for downstream cluster assignment (the common degenerate cause
+    is an exact-duplicate flood, where every star pair passes verification);
+    the recall cost is only pairs whose docs share no other, smaller bucket.
+    Per-bucket memory is O(f) (the collected id list); adversarial floods
+    beyond that should be pre-filtered (df-cap, see SCALE.md).
+    """
+    grouped = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    if max_bucket_size is None:
+        pairs = all_pairs
+    else:
+        star_pairs = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
+            lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")),
+        )
+        pairs = F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(star_pairs)
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", num_bands: int = 8
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band hash →
-    candidate (id_a, id_b) pairs. Shuffle key = (band, bucket)."""
+    candidate (id_a, id_b) pairs. Shuffle key = (band, bucket); buckets over
+    ``max_bucket_size`` degrade to star linking (see _bucketed_pairs) so one
+    hot bucket cannot go quadratic."""
     hash_cols = [c for c in signatures.columns if c != id_col]
     rows_per_band = len(hash_cols) // num_bands
     bands = F.array(
@@ -156,18 +213,7 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucketed_pairs(banded, id_col, ["band", "bucket"], max_bucket_size)
 
 
 def minhash_similarity(
@@ -254,47 +300,49 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     num_chunks: int = 9,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """SimHash near-dup pairs (id_a, id_b, hamming ≤ max_hamming) WITHOUT the
     all-pairs product: pigeonhole banding. Split the 64-bit signature into
     ``num_chunks`` chunks; any pair with hamming ≤ max_hamming < num_chunks
     agrees exactly on ≥1 chunk, so candidates = equi-join on (chunk_idx,
     chunk_value) — a hash shuffle, not a BroadcastNestedLoopJoin. Exact
-    hamming filter afterwards keeps the output identical to brute force.
+    hamming filter afterwards keeps the output identical to brute force
+    (modulo the hot-bucket star guard, see _bucketed_pairs).
+
+    Chunk boundaries are [floor(64·i/n), floor(64·(i+1)/n)) so every chunk is
+    real: a uniform width of ceil(64/n) would shift the last chunk past bit
+    63 (the JVM masks shifts mod 64, silently duplicating chunk 0) and break
+    the ≥1-clean-chunk pigeonhole guarantee at hamming == max_hamming.
     """
     if max_hamming >= num_chunks:
         raise ValueError("pigeonhole requires max_hamming < num_chunks")
-    width = 64 // num_chunks + (1 if 64 % num_chunks else 0)
+    bounds = [(64 * i) // num_chunks for i in range(num_chunks + 1)]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftrightunsigned(F.col("simhash"), bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                 .alias("chunk_val"),
             )
             for i in range(num_chunks)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
-        id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val")
+    banded = sigs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .distinct()
+    cand = _bucketed_pairs(banded, id_col, ["chunk_idx", "chunk_val"], max_bucket_size)
+    # exact hamming refine: join the (small, one-row-per-doc) signature table
+    # back onto the candidate ids — AQE broadcasts it when it fits
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming64(F.col("__sig_a"), F.col("__sig_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

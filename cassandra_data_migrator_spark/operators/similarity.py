@@ -99,6 +99,17 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return [math.sin(seed * 10007 + i * 101) for i in range(dim)]
 
 
+def _bucket_sig(v, dim: int, num_planes: int, seed: int):
+    """BIGINT sign-bit signature Column over num_planes fixed hyperplanes."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, seed + p)])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bit = F.when(d > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, p))
+    return sig
+
+
 def random_projection_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -109,15 +120,71 @@ def random_projection_buckets(
     """Append a BIGINT 'bucket' = sign-bit signature over num_planes fixed
     hyperplanes. Pure expressions: dot product per plane via zip_with over a
     literal array."""
-    out = df
-    sig = F.lit(0).cast("bigint")
-    v = as_double_array(vec_col)
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, seed + p)])
-        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        bit = F.when(d > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = sig.bitwiseOR(F.shiftleft(bit, p))
-    return out.withColumn("bucket", sig)
+    return df.withColumn("bucket", _bucket_sig(as_double_array(vec_col), dim, num_planes, seed))
+
+
+def cosine_near_dup_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_bands: int = 4,
+    seed: int = 7,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """FULL-CORPUS embedding near-dup without the probe×corpus nested loop:
+    random-hyperplane buckets on BOTH sides, candidates = equi-join on
+    (band, bucket), exact cosine refine in-bucket. (id_a, id_b, score_r),
+    id_a < id_b, score_r ≥ threshold.
+
+    This is the scale twin of ``cosine_near_dup`` (which broadcast-nested-loops
+    a bounded probe set): here candidate generation is a hash shuffle on the
+    bucket key — probes = corpus stays sub-quadratic. num_bands independent
+    plane sets trade recall (a true pair is missed only if it splits in every
+    band) against candidate volume; over-cap buckets degrade to star linking
+    (see dedup._bucketed_pairs). Hash family is engine-specific → rows-only
+    checked, like the other LSH paths.
+    """
+    from cassandra_data_migrator_spark.operators.dedup import _bucketed_pairs
+
+    base = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("vec")
+    ).withColumn("vnorm", norm(F.col("vec")))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_sig(F.col("vec"), dim, num_planes, seed + 1000 * b).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = base.select(F.col(id_col), F.explode(bands_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    pairs = _bucketed_pairs(banded, id_col, ["band", "bucket"], max_bucket_size)
+    # exact-cosine refine: join the vectors back onto the candidate ids only
+    # (never carried through the pair generation/dedup)
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("vnorm").alias("norm_a")
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("vnorm").alias("norm_b")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")), 4
+            ).alias("score_r"),
+        )
+        .filter(F.col("score_r") >= threshold)
+    )
 
 
 def assign_ivf_cells(

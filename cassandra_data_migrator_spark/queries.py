@@ -252,8 +252,12 @@ def q_migrate_rowcount(spark, sf_dir):
         transforms.constant_columns(o, {"migrated_by": ("cdm-spark", "string")}),
         MIGRATE_FILTER,
     )
+    # unique per-session output dir: concurrent runs (bench + verify, two
+    # sessions on one fixture) must not race on the same path
     out = os.path.join(
-        tempfile.gettempdir(), "cdm_spark_migrate", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.gettempdir(),
+        "cdm_spark_migrate",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
     )
     piped.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).agg(F.count(F.lit(1)).cast("bigint").alias("written_cnt"))
@@ -305,9 +309,30 @@ def q_topk_similarity_ivf(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
+    """Exact probe-bounded near-dup (oracled twin). For the full-corpus scale
+    path see dedup_embedding_lsh."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % NEAR_DUP_PROBE_MOD == 0)
     return similarity.cosine_near_dup(emb, probes, threshold=NEAR_DUP_THRESHOLD)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """FULL-corpus embedding near-dup via random-projection buckets on both
+    sides — candidate generation is an equi-join on (band, bucket), never a
+    probe×corpus nested loop (rows-only check: hash family engine-specific)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_bucketed(emb, threshold=NEAR_DUP_THRESHOLD)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the n-gram
+    Jaccard pair graph (cluster_id = min reachable doc_id). The closing step
+    of every production dedup pipeline; oracle = DuckDB recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=NGRAM_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    return dedup.dedup_clusters(d.select("doc_id"), pairs)
 
 
 def q_text_tokens(spark, sf_dir):
@@ -357,19 +382,21 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_tfidf(spark, sf_dir):
     """TF-IDF per (doc, term): tf · ln(N/df) — one token explode, two
-    aggregations; df side is tiny (vocab) so AQE broadcasts it back."""
+    aggregations; df side is tiny (vocab) so AQE broadcasts it back. N rides
+    along as a broadcast 1-row aggregate (no separate driver-side count
+    action — one plan, one submission)."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar, driver-side by necessity (constant in expr)
     toks = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     df_ = toks.select("doc_id", "word").distinct().groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    return tf.join(df_, "word").select(
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return tf.join(df_, "word").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "word",
         "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
     )
 
 
@@ -385,13 +412,39 @@ def q_pii_scrub(spark, sf_dir):
 
 def q_length_percentile(spark, sf_dir):
     """Percentile-based length filter: keep docs in the (5%, 95%) band of
-    n_chars (total order via doc_id tiebreak → deterministic ranks)."""
+    n_chars, ranks deterministic via doc_id tiebreak.
+
+    Distributed two-phase rank — NO global-order window over the table (that
+    would funnel every row through one reducer at 100 TB). Phase 1 aggregates
+    the n_chars histogram (bounded: one row per distinct length) and takes a
+    running sum over it; phase 2 broadcast-joins the cumulative counts back
+    and ranks only WITHIN each n_chars group (partitioned window). Each row's
+    global position = cum_count(shorter lengths) + rank among equals, so
+    percent_rank = (pos−1)/(N−1) is bit-identical to the single-window form.
+    """
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
-    return (
-        d.withColumn("pr", F.round(F.percent_rank().over(w), 4))
-        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
-        .select("doc_id", "n_chars", F.col("pr").alias("pr_r"))
+    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_before = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = d.join(F.broadcast(cum), "n_chars").select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            (F.col("cum_before") + F.row_number().over(w_in) - 1)
+            / (F.col("n_total") - 1),
+            4,
+        ).alias("pr"),
+    )
+    return ranked.filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)).select(
+        "doc_id", "n_chars", F.col("pr").alias("pr_r")
     )
 
 
@@ -408,7 +461,8 @@ def q_asof_join(spark, sf_dir):
         "user_id", "ts_us", F.col("event_id").alias("q_id"), F.col("value").alias("q_value")
     )
     return asof_join(
-        trades, quotes, ["user_id"], "ts_us", ["q_id", "q_value"], how="inner"
+        trades, quotes, ["user_id"], "ts_us", ["q_id", "q_value"], how="inner",
+        tiebreak_col="q_id",
     ).select("user_id", "event_id", "ts_us", "rv_ts", "rv_q_id", "rv_q_value")
 
 
@@ -549,6 +603,29 @@ def q_ranking_topk(spark, sf_dir):
     )
 
 
+def q_join_agg_pipeline(spark, sf_dir):
+    """TPC-H Q3-shaped multi-join analytics: lineitem ⋈ orders ⋈ customer
+    (BUILDING segment), revenue per order priority. The customer dimension is
+    explicitly broadcast (plan-pinned): the fact-side scan shuffles once on
+    the join key, the dim never does."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_quantity")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_distinct(F.col("o_orderkey")).cast("bigint").alias("n_orders"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -591,6 +668,8 @@ def queries() -> dict[str, QueryFn]:
         "topk_similarity_lsh": q_topk_similarity_lsh,
         "topk_similarity_ivf": q_topk_similarity_ivf,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "text_tokens": q_text_tokens,
         "sentiment_lexicon": q_sentiment_lexicon,
         "lang_id": q_lang_id,
@@ -610,6 +689,7 @@ def queries() -> dict[str, QueryFn]:
         "set_ops": q_set_ops,
         "quantiles": q_quantiles,
         "ranking_topk": q_ranking_topk,
+        "join_agg_pipeline": q_join_agg_pipeline,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -774,6 +854,27 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}
         """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        """,
         "topk_similarity": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {TOPK_QUERY_PRED}),
             s AS (SELECT q.query_id, e.vec_id,
@@ -868,6 +969,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_agg_pipeline": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_lines,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderpriority
         """,
         "value_histogram": """
             SELECT CAST(FLOOR(value / 25) * 25 AS BIGINT) AS bucket,

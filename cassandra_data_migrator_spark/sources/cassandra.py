@@ -56,6 +56,49 @@ def read_table(
     return reader.load()
 
 
+# CDM perfops knob → spark-cassandra-connector option (connector 3.5 public
+# reference: doc/reference.md — input.fetch.sizeInRows, output.batch.size.rows,
+# output.throughputMBPerSec, input/output.consistency.level).
+PERFOPS_TO_CONNECTOR = {
+    "spark.cdm.perfops.fetchSizeInRows": "spark.cassandra.input.fetch.sizeInRows",
+    "spark.cdm.perfops.batchSize": "spark.cassandra.output.batch.size.rows",
+    "spark.cdm.perfops.ratelimit.target": "spark.cassandra.output.throughputMBPerSec",
+}
+
+
+def writer_options(
+    writetime_col: str | None = None,
+    ttl_col: str | None = None,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map the Cassandra writer emits — isolated so the
+    contract is unit-testable without the connector jar.
+
+    Per-row timestamp/TTL use the connector's DSv2 writer options
+    ``writetime`` / ``ttl`` set to a COLUMN NAME (spark-cassandra-connector
+    3.5, doc/14_data_frames.md: per-row WriteConf analog of
+    TimestampOption.perRow / TTLOption.perRow). Constant variants would be
+    ``spark.cassandra.output.timestamp`` / ``spark.cassandra.output.ttl``."""
+    out: dict[str, str] = {}
+    if writetime_col:
+        out["writetime"] = writetime_col
+    if ttl_col:
+        out["ttl"] = ttl_col
+    out.update(options or {})
+    return out
+
+
+def connector_write_options_from_config(cfg) -> dict[str, str]:
+    """Translate the reference's perfops knobs into connector write options
+    (the throughput knob is the connector-native rate-limit pass-through)."""
+    out: dict[str, str] = {}
+    for cdm_key, scc_key in PERFOPS_TO_CONNECTOR.items():
+        v = cfg.get(cdm_key)
+        if v is not None:
+            out[scc_key] = str(v)
+    return out
+
+
 def write_table(
     df: DataFrame,
     keyspace: str,
@@ -70,10 +113,6 @@ def write_table(
     writer = df.write.format(CASSANDRA_FORMAT).option("keyspace", keyspace).option(
         "table", table
     )
-    if writetime_col:
-        writer = writer.option("writetime", writetime_col)
-    if ttl_col:
-        writer = writer.option("ttl", ttl_col)
-    for k, v in (options or {}).items():
+    for k, v in writer_options(writetime_col, ttl_col, options).items():
         writer = writer.option(k, v)
     writer.mode("append").save()

@@ -1,0 +1,110 @@
+"""Pigeonhole-banding correctness + hot-bucket guards for the fuzzy-dedup
+candidate generators.
+
+The banding must be brute-force-equivalent exactly at hamming == max_hamming
+(the boundary the pigeonhole argument guarantees), and a degenerate corpus —
+every doc identical, one poison bucket — must yield a LINEAR number of
+candidate pairs, not f(f−1)/2."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.operators.dedup import (
+    dedup_fuzzy,
+    hamming64,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+)
+
+
+def _brute_force_pairs(spark, sigs, max_hamming):
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def test_pigeonhole_equals_brute_force_at_max_hamming(spark):
+    """Adversarial pair: exactly max_hamming differing bits, one in each
+    8-bit-wide chunk of the old uniform banding (which silently aliased the
+    ninth chunk onto chunk 0 via the JVM's shift-mod-64, leaving only 8 real
+    chunks — this pair was missed). floor-based boundaries keep ≥1 chunk
+    clean, so the pair must be found."""
+    adversarial = 0
+    for pos in (0, 8, 16, 24, 32, 40, 48, 56):  # one bit per old chunk
+        adversarial |= 1 << pos
+    rng = random.Random(7)
+    rows = [(1, 0), (2, adversarial)]
+    # plus random background sigs (some close pairs, some far)
+    base = rng.getrandbits(63)
+    for i in range(3, 40):
+        flips = rng.sample(range(64), rng.choice([2, 5, 8, 30]))
+        v = base
+        for f_ in flips:
+            v ^= 1 << f_
+        # keep values in signed-64 range the way simhash emits them
+        if v >= 1 << 63:
+            v -= 1 << 64
+        rows.append((i, v))
+    sigs = spark.createDataFrame(rows, "doc_id BIGINT, simhash BIGINT")
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(sigs, max_hamming=8, num_chunks=9).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in _brute_force_pairs(spark, sigs, max_hamming=8).collect()
+    )
+    assert (1, 2, 8) in want  # the adversarial pair really is at the boundary
+    assert got == want
+
+
+def test_simhash_hot_bucket_stays_linear(spark):
+    """1k identical docs: every chunk bucket holds all 1000 docs. The star
+    guard must emit exactly n−1 anchored pairs, not ~500k."""
+    n = 1000
+    sigs = spark.createDataFrame(
+        [(i, 123456789) for i in range(1, n + 1)], "doc_id BIGINT, simhash BIGINT"
+    )
+    pairs = simhash_near_dup_pairs(sigs, max_hamming=3, num_chunks=4).collect()
+    assert len(pairs) == n - 1
+    assert all(r.id_a == 1 and r.hamming == 0 for r in pairs)
+    assert {r.id_b for r in pairs} == set(range(2, n + 1))
+
+
+def test_lsh_hot_bucket_stays_linear(spark):
+    n = 1000
+    docs = spark.createDataFrame(
+        [(i, "the same document text repeated for everyone") for i in range(1, n + 1)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = dedup_fuzzy(docs, threshold=0.5)
+    rows = out.collect()
+    # linear star pairs, all exact duplicates -> est_jaccard 1.0
+    assert len(rows) == n - 1
+    assert all(r.id_a == 1 and r.est_jaccard == 1.0 for r in rows)
+
+
+def test_uncapped_and_capped_agree_on_small_buckets(spark, sf_dir):
+    """With no bucket over the cap, the guard is a no-op: capped output ==
+    uncapped output on the real documents table."""
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    sigs = minhash_signatures(docs).persist()
+    capped = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, max_bucket_size=256).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped

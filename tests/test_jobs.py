@@ -229,11 +229,12 @@ def test_contract_key_consistency():
 
     qs, os_ = m.queries(), m.oracle_sql()
     assert set(os_) <= set(qs), f"orphan oracle keys: {set(os_) - set(qs)}"
-    assert len(qs) >= 40 and len(os_) >= 38
+    assert len(qs) >= 52 and len(os_) >= 47
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "dedup_fuzzy",
         "simhash_near_dup",
         "topk_similarity_lsh",
         "topk_similarity_ivf",
+        "dedup_embedding_lsh",
     }

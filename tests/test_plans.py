@@ -57,6 +57,46 @@ def test_group_agg_partial_aggregation(spark, sf_dir):
     assert p.count("HashAggregate") >= 2, "map-side partial aggregation missing"
 
 
+def _walk_jvm_plan(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_jvm_plan(node.children().apply(i))
+
+
+def test_length_percentile_no_global_window_over_table(spark, sf_dir):
+    """The percentile rank must be distributed: any unpartitioned Window in
+    the plan may only run over pre-aggregated (bounded histogram) input,
+    never over the raw table — a global-order window over the full scan is a
+    single-reducer sort at 100 TB."""
+    df = q.queries()["length_percentile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    unpartitioned = 0
+    for node in _walk_jvm_plan(plan):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            unpartitioned += 1
+            names = [n.getClass().getSimpleName() for n in _walk_jvm_plan(node)]
+            assert "Aggregate" in names, "unpartitioned Window reads the raw table"
+    # the histogram cumsum is the only place an unpartitioned window appears
+    assert unpartitioned <= 2
+    # and the histogram joins back via broadcast, not a shuffle
+    p = _plan(spark, sf_dir, "length_percentile")
+    assert "BroadcastHashJoin" in p
+
+
+def test_join_agg_pipeline_broadcasts_customer(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_agg_pipeline")
+    assert "BroadcastHashJoin" in p, "customer dim must broadcast"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_embedding_lsh_is_equi_join(spark, sf_dir):
+    """The full-corpus embedding near-dup path must bucket (equi-join on the
+    LSH key), never fall back to a probe×corpus nested loop."""
+    p = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+
+
 def test_no_python_udfs_in_declared_surface(spark, sf_dir):
     """Every declared query stays JVM-side (BatchEvalPython in a plan would
     mean a row-at-a-time Python UDF snuck into the hot path)."""

@@ -47,3 +47,57 @@ def test_counter_update_frame_shape(spark):
     out = counter_update_frame(df, ["user_id"], ["cnt"])
     assert out.columns == ["user_id", "cnt"]
     assert dict(out.dtypes)["cnt"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# Cassandra writer contract (connector jar absent in-sandbox: the option
+# mapping IS the testable surface — pin it so the production path is at least
+# contract-checked against connector 3.5's documented option names)
+
+
+def test_cassandra_writer_option_contract():
+    from cassandra_data_migrator_spark.sources.cassandra import writer_options
+
+    # per-row writetime/ttl ride as COLUMN-NAME-valued 'writetime'/'ttl'
+    opts = writer_options(writetime_col="__writetime", ttl_col="__ttl")
+    assert opts == {"writetime": "__writetime", "ttl": "__ttl"}
+    # extra options pass through untouched; explicit options win on collision
+    opts = writer_options(
+        writetime_col="wt",
+        options={"spark.cassandra.output.batch.size.rows": "10", "writetime": "override"},
+    )
+    assert opts["spark.cassandra.output.batch.size.rows"] == "10"
+    assert opts["writetime"] == "override"
+    assert writer_options() == {}
+
+
+def test_cassandra_perfops_knob_translation():
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.sources.cassandra import (
+        connector_write_options_from_config,
+    )
+
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.perfops.batchSize": 25,
+            "spark.cdm.perfops.fetchSizeInRows": 2000,
+            "spark.cdm.perfops.ratelimit.target": 60,
+        }
+    )
+    out = connector_write_options_from_config(cfg)
+    assert out == {
+        "spark.cassandra.input.fetch.sizeInRows": "2000",
+        "spark.cassandra.output.batch.size.rows": "25",
+        "spark.cassandra.output.throughputMBPerSec": "60",
+    }
+
+
+def test_cassandra_write_requires_connector(spark):
+    from cassandra_data_migrator_spark.sources.cassandra import (
+        CassandraConnectorUnavailable,
+        write_table,
+    )
+
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(CassandraConnectorUnavailable):
+        write_table(df, "ks", "tbl", writetime_col="__writetime")
