@@ -626,6 +626,109 @@ def q_join_agg_pipeline(spark, sf_dir):
     )
 
 
+def q_window_lag_lead(spark, sf_dir):
+    """Per-user event sequencing: lag/lead/gap/running position — the
+    event-stream feature-engineering staple. Window partitioned by user
+    (distributed), ordered with event_id tiebreak (deterministic)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+def q_date_rollup(spark, sf_dir):
+    """Calendar aggregation: orders per (year, month) with decimal-exact
+    revenue — date_trunc semantics shared by both engines (UTC session)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Existence analytics via genuine semi/anti join operators (not an outer
+    join + null filter): per customer, has_orders ∈ {1,0} from a left-semi
+    and left-anti branch over the same (broadcastable) key set."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    semi = c.join(o, cond, "left_semi").withColumn("has_orders", F.lit(1))
+    anti = c.join(o, cond, "left_anti").withColumn("has_orders", F.lit(0))
+    return semi.unionByName(anti)
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-vector array profiling (dims/norm/mean/min/max) — pure JVM
+    higher-order functions over the float array, scan-bound."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dims"),
+        F.round(norm(v), 4).alias("norm_r"),
+        F.round(total / F.size(v), 4).alias("mean_r"),
+        F.round(F.array_min(v), 4).alias("min_r"),
+        F.round(F.array_max(v), 4).alias("max_r"),
+    )
+
+
+def q_salted_group_agg(spark, sf_dir):
+    """The salted two-phase aggregation operator as a checked key: same
+    result as a plain groupBy (the oracle), but no single reducer ever owns
+    a hot key (partition-id salt, decomposable aggs only)."""
+    from cassandra_data_migrator_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total": ("sum", "value_dec"),
+            "min_v": ("min", "value"),
+            "max_v": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.round(F.col("min_v"), 4).alias("min_v"),
+        F.round(F.col("max_v"), 4).alias("max_v"),
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping levels in one pass,
+    levels keyed by grouping_id for deterministic hashing."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "cnt", "sum_price", "gid")
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -690,6 +793,12 @@ def queries() -> dict[str, QueryFn]:
         "quantiles": q_quantiles,
         "ranking_topk": q_ranking_topk,
         "join_agg_pipeline": q_join_agg_pipeline,
+        "window_lag_lead": q_window_lag_lead,
+        "date_rollup": q_date_rollup,
+        "semi_anti_join": q_semi_anti_join,
+        "embedding_stats": q_embedding_stats,
+        "salted_group_agg": q_salted_group_agg,
+        "cube_agg": q_cube_agg,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -981,6 +1090,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderpriority
+        """,
+        "window_lag_lead": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   lag(event_type) OVER w AS prev_type,
+                   lead(event_type) OVER w AS next_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "date_rollup": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                        THEN 1 ELSE 0 END AS INTEGER) AS has_orders
+            FROM customer c
+        """,
+        "embedding_stats": """
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(e) AS BIGINT) AS dims,
+                   ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS norm_r,
+                   ROUND(list_sum(e) / len(e), 4) AS mean_r,
+                   ROUND(list_min(e), 4) AS min_r,
+                   ROUND(list_max(e), 4) AS max_r
+            FROM v
+        """,
+        "salted_group_agg": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                   ROUND(MIN(value), 4) AS min_v,
+                   ROUND(MAX(value), 4) AS max_v
+            FROM events GROUP BY event_type
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                   CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "value_histogram": """
             SELECT CAST(FLOOR(value / 25) * 25 AS BIGINT) AS bucket,
