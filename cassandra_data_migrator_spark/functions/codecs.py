@@ -59,6 +59,78 @@ def string_to_timestamp(c: Column, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# CQL duration codec (SURVEY.md §1.2: duration = (months, days, nanos) — the
+# one CQL type with no single-integer encoding; no DuckDB oracle exists, so
+# coverage is pytest-level by design)
+
+_DUR_UNITS_NANOS = {
+    "h": 3_600_000_000_000,
+    "m": 60_000_000_000,
+    "s": 1_000_000_000,
+    "ms": 1_000_000,
+    "us": 1_000,
+    "ns": 1,
+}
+
+
+def _dur_unit(c: Column, pattern: str) -> Column:
+    # regexp_extract yields '' on no match; try_cast('' ) -> null -> 0
+    # (ANSI mode would reject a plain cast of the empty string)
+    return F.coalesce(F.regexp_extract(c, pattern, 1).try_cast("bigint"), F.lit(0))
+
+
+def cql_duration_parse(c: Column) -> Column:
+    """Parse a CQL duration string ('1y2mo3w4d5h6m7s8ms9us10ns') into the
+    canonical struct(months INT, days INT, nanos BIGINT) — Cassandra's wire
+    triple. Pure regexp expressions, codegen'd; month/day/sub-day components
+    deliberately do NOT normalize into each other (calendar semantics)."""
+    y = _dur_unit(c, r"(\d+)y")
+    mo = _dur_unit(c, r"(\d+)mo")
+    w = _dur_unit(c, r"(\d+)w")
+    d = _dur_unit(c, r"(\d+)d")
+    h = _dur_unit(c, r"(\d+)h")
+    mi = _dur_unit(c, r"(\d+)m(?![so])")
+    # (\d+)s cannot accidentally match the s of ms/us/ns (a letter breaks the
+    # digit run); only bare m needs the lookahead guard against mo/ms
+    s = _dur_unit(c, r"(\d+)s")
+    ms = _dur_unit(c, r"(\d+)ms")
+    us = _dur_unit(c, r"(\d+)us")
+    ns = _dur_unit(c, r"(\d+)ns")
+    nanos = (
+        h * F.lit(_DUR_UNITS_NANOS["h"])
+        + mi * F.lit(_DUR_UNITS_NANOS["m"])
+        + s * F.lit(_DUR_UNITS_NANOS["s"])
+        + ms * F.lit(_DUR_UNITS_NANOS["ms"])
+        + us * F.lit(_DUR_UNITS_NANOS["us"])
+        + ns * F.lit(_DUR_UNITS_NANOS["ns"])
+    )
+    return F.struct(
+        (y * 12 + mo).cast("int").alias("months"),
+        (w * 7 + d).cast("int").alias("days"),
+        nanos.cast("bigint").alias("nanos"),
+    )
+
+
+def cql_duration_format(dur: Column) -> Column:
+    """Canonical text of a duration struct: months→'Xmo', days→'Xd',
+    nanos→'Xns' (flat units, reversible with cql_duration_parse)."""
+    return F.concat(
+        F.when(dur.months > 0, F.concat(dur.months.cast("string"), F.lit("mo"))).otherwise(F.lit("")),
+        F.when(dur.days > 0, F.concat(dur.days.cast("string"), F.lit("d"))).otherwise(F.lit("")),
+        F.when(dur.nanos > 0, F.concat(dur.nanos.cast("string"), F.lit("ns"))).otherwise(F.lit("")),
+    )
+
+
+def timestamp_add_duration(ts: Column, dur: Column) -> Column:
+    """Shift a timestamp by a duration struct: calendar months first, then
+    days, then the sub-day nano component truncated to Spark's µs precision
+    (Cassandra's application order; add_months alone would drop time-of-day)."""
+    with_calendar = ts + F.make_interval(months=dur.months) + F.make_dt_interval(days=dur.days)
+    us = (dur.nanos / F.lit(1000)).cast("bigint")
+    return F.timestamp_micros(F.unix_micros(with_calendar) + us)
+
+
+# ---------------------------------------------------------------------------
 # blob codecs
 
 

@@ -125,3 +125,63 @@ def test_simhash_banding_guard():
 
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(None, max_hamming=9, num_chunks=9)
+
+
+def test_cql_duration_parse_and_format(spark):
+    """CQL duration type (SURVEY.md §1.2): string → (months, days, nanos)
+    triple and back. No DuckDB oracle exists for duration, so this is the
+    pytest-level coverage the survey designates."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.codecs import (
+        cql_duration_format,
+        cql_duration_parse,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1y2mo3w4d5h6m7s8ms9us10ns",),
+            ("12h30m",),
+            ("2mo",),
+            ("90s",),
+            ("",),
+        ],
+        "d STRING",
+    )
+    rows = df.select(cql_duration_parse(F.col("d")).alias("p")).collect()
+    got = [(r.p.months, r.p.days, r.p.nanos) for r in rows]
+    assert got == [
+        (14, 25, 5 * 3600_000_000_000 + 6 * 60_000_000_000 + 7_000_000_000 + 8_000_000 + 9_000 + 10),
+        (0, 0, 12 * 3600_000_000_000 + 30 * 60_000_000_000),
+        (2, 0, 0),
+        (0, 0, 90_000_000_000),
+        (0, 0, 0),
+    ]
+    # canonical format is reversible
+    fmt = df.select(
+        cql_duration_parse(cql_duration_format(cql_duration_parse(F.col("d")))).alias("p2"),
+        cql_duration_parse(F.col("d")).alias("p1"),
+    ).collect()
+    for r in fmt:
+        assert (r.p1.months, r.p1.days, r.p1.nanos) == (r.p2.months, r.p2.days, r.p2.nanos)
+
+
+def test_timestamp_add_duration(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.codecs import (
+        cql_duration_parse,
+        timestamp_add_duration,
+    )
+
+    df = spark.createDataFrame([("2024-01-31 10:00:00", "1mo2d3h")], "ts STRING, d STRING")
+    out = df.select(
+        F.date_format(
+            timestamp_add_duration(
+                F.to_timestamp("ts"), cql_duration_parse(F.col("d"))
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("shifted")
+    ).first()
+    # +1 month clamps Jan 31 -> Feb 29 (2024 leap), then +2d -> Mar 2, +3h
+    assert out.shifted == "2024-03-02 13:00:00"
