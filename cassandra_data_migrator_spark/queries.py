@@ -729,6 +729,38 @@ def q_cube_agg(spark, sf_dir):
     )
 
 
+def q_bigram_doc_freq(spark, sf_dir):
+    """Bigram document frequency — n-gram LM-style corpus statistics: the
+    number of documents containing each word bigram, floor-filtered. Reuses
+    the distinct shingle index (one explode + one groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    idx = dedup.shingle_index(d, "text", "doc_id", n=2)
+    return (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+    )
+
+
+def q_running_total(spark, sf_dir):
+    """Per-customer running spend: decimal-exact cumulative sum over a
+    partitioned, deterministic (date, orderkey) order."""
+    o = _t(spark, sf_dir, "orders")
+    order_spec = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w_cum).cast("double").alias("cum_spend"),
+        F.row_number().over(w_seq).cast("bigint").alias("order_seq"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -799,6 +831,8 @@ def queries() -> dict[str, QueryFn]:
         "embedding_stats": q_embedding_stats,
         "salted_group_agg": q_salted_group_agg,
         "cube_agg": q_cube_agg,
+        "bigram_doc_freq": q_bigram_doc_freq,
+        "running_total": q_running_total,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1131,6 +1165,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(value), 4) AS min_v,
                    ROUND(MAX(value), 4) AS max_v
             FROM events GROUP BY event_type
+        """,
+        "bigram_doc_freq": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                    FROM toks WHERE len(ts) >= 2),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM pos)
+            SELECT shingle, COUNT(*) AS doc_freq
+            FROM sh GROUP BY shingle HAVING COUNT(*) >= 5
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_cum AS DOUBLE) AS cum_spend,
+                   CAST(ROW_NUMBER() OVER w_seq AS BIGINT) AS order_seq
+            FROM orders
+            WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,
