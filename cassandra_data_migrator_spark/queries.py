@@ -78,6 +78,18 @@ TOPK_QUERY_PRED = "vec_id < 5"
 NEAR_DUP_PROBE_MOD = 50
 NEAR_DUP_THRESHOLD = 0.3
 SENTIMENT_LEXICON = {"fast": 1, "slow": -1, "big": 1, "small": -1, "good": 2, "bad": -2}
+# train/val/test split: first two md5 hex chars, lexicographic cut points
+# ('cd' ≈ 205/256 → ~80% train, 'e6' ≈ 230/256 → ~10% val, rest test)
+SPLIT_TRAIN_LT = "cd"
+SPLIT_VAL_LT = "e6"
+CHUNK_SIZE = 80
+CHUNK_STRIDE = 60
+# mixture weights for stratified sampling (percent kept per language)
+STRATA_RATES = {"en": 90, "de": 50, "fr": 25, "es": 10, "zh": 75}
+PACK_SHARDS = 16
+PACK_BIN_TOKENS = 2048
+CONTAM_NGRAM_N = 5
+CONTAM_EVAL_MOD = 10
 
 TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 _ORDER_COMPARE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
@@ -761,6 +773,227 @@ def q_running_total(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by content-independent key hash —
+    the standard leakage-free dataset split for LLM training corpora. Pure
+    per-row md5 on the key (scan-bound, no shuffle); both engines emit
+    lowercase hex so the lexicographic cut points agree bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(prefix < SPLIT_TRAIN_LT, "train")
+        .when(prefix < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def q_doc_chunking(spark, sf_dir):
+    """RAG-style overlapping chunker: fixed-size char windows with stride.
+    One `sequence` + `explode` per doc — all JVM expressions, rows fan out
+    ~n_chars/stride per doc and the operator stays embarrassingly parallel
+    (no shuffle at all; chunking is the canonical map-side op at 100 TB)."""
+    d = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("bigint"),
+        F.greatest(F.col("n_chars"), F.lit(1).cast("bigint")),
+        F.lit(CHUNK_STRIDE).cast("bigint"),
+    )
+    chunked = d.select(
+        "doc_id", "text", F.explode(starts).alias("start")
+    )
+    chunk = F.col("text").substr(F.col("start").cast("int"), F.lit(CHUNK_SIZE))
+    return chunked.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style intra-document repetition quality signals: type-token
+    ratio and top-token fraction, with a low-quality flag. Two map-side
+    combinable aggregations keyed by doc_id — uniform key distribution, no
+    skew (a doc's tokens all hash to its own key)."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("total_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_toks"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    ttr = F.round(F.col("distinct_toks") / F.col("total_toks"), 4)
+    top_frac = F.round(F.col("top_cnt") / F.col("total_toks"), 4)
+    return agg.select(
+        "doc_id",
+        "total_toks",
+        "distinct_toks",
+        ttr.alias("ttr"),
+        top_frac.alias("top_frac"),
+        F.when((ttr < 0.5) | (top_frac > 0.2), 1).otherwise(0).cast("int").alias("low_quality"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Dataset-mixture sampling: per-language keep rates applied via the
+    deterministic token ring (not `.sample` — reproducible across engines,
+    retries, and partitionings). Emits the kept rows with their inverse-rate
+    mixture weight. Scan-bound row filter; the rate map is a CASE chain."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = pmod_100(tok("doc_id"))
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, r in STRATA_RATES.items():
+        expr = F.when(F.col("lang") == lang, r) if expr is None else expr.when(
+            F.col("lang") == lang, r
+        )
+    rate = expr.otherwise(0)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("keep_rate"))
+        .filter(F.col("bucket") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            F.round(F.lit(100.0) / F.col("keep_rate"), 4).alias("mix_weight"),
+        )
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Train/eval contamination audit: for each eval document (held-out
+    split), how many of its distinct word 5-grams also appear anywhere in the
+    train split. The canonical pre-training hygiene check. Plan: one shingle
+    index feeds both sides; train side reduces to a distinct-shingle set
+    (bounded by vocab, shuffled once); the audit is a shingle equi-join —
+    hash-partitioned both sides, no broadcast needed, scales with corpus."""
+    d = _t(spark, sf_dir, "documents")
+    idx = dedup.shingle_index(d, "text", "doc_id", n=CONTAM_NGRAM_N)
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MOD == 0
+    train_sh = idx.filter(~is_eval).select("shingle").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    hits = idx.filter(is_eval).join(train_sh, "shingle", "left")
+    contaminated = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
+    total = F.count(F.lit(1)).cast("bigint")
+    return hits.groupBy("doc_id").agg(
+        total.alias("total_shingles"),
+        contaminated.alias("contaminated"),
+    ).select(
+        "doc_id",
+        "total_shingles",
+        "contaminated",
+        F.round(F.col("contaminated") / F.col("total_shingles"), 4).alias("contam_rate"),
+        F.when(F.col("contaminated") > 0, 1).otherwise(0).cast("int").alias("is_contaminated"),
+    )
+
+
+def q_seq_packing(spark, sf_dir):
+    """Sequence packing for LLM training: concat-and-chunk documents into
+    fixed token-budget bins, sharded so no global order exists — each shard
+    packs independently (the per-worker packing a real pipeline does), so the
+    cumulative-sum window is partitioned, never a single reducer."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
+        token_count_ws("text").alias("n_tok"),
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w).cast("bigint"))
+    start = F.col("cum_tok") - F.col("n_tok")
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor(start / PACK_BIN_TOKENS).cast("bigint").alias("bin_id"),
+        (start % PACK_BIN_TOKENS).cast("bigint").alias("bin_offset"),
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of embedding vectors (the storage/ANN
+    compression step): per-vector max-abs scale, q_i = floor(127·x_i/s + .5).
+    Pure JVM higher-order functions over the array — scan-bound, no shuffle.
+    floor(x+0.5) instead of round() so both engines break ties identically."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    staged = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.greatest(F.array_max(v), -F.array_min(v)).alias("scale"),
+    )
+    q = F.transform(F.col("v"), lambda x: F.floor(x * 127 / F.col("scale") + 0.5).cast("bigint"))
+    qd = staged.select("vec_id", F.col("scale"), q.alias("q"))
+    return qd.select(
+        "vec_id",
+        F.round(F.col("scale"), 4).alias("scale_r"),
+        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.array_min(F.col("q")).alias("q_min"),
+        F.array_max(F.col("q")).alias("q_max"),
+    )
+
+
+def _roundtrip_dir(spark, sf_dir, fmt):
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_roundtrip",
+        f"{fmt}_{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink → source round-trip (SURVEY §2 source/sink surface
+    beyond parquet): write documents as JSONL, read back with an explicit
+    schema (schema inference would be a second full scan at 100 TB), verify
+    via content checksums. Lossless for strings — text rides along."""
+    d = _t(spark, sf_dir, "documents")
+    out = _roundtrip_dir(spark, sf_dir, "json")
+    d.select("doc_id", "lang", "n_chars", "text").write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint, text string").json(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV sink → source round-trip with header + explicit schema (the other
+    interchange format the reference's users move data through)."""
+    o = _t(spark, sf_dir, "orders")
+    out = _roundtrip_dir(spark, sf_dir, "csv")
+    o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", True).csv(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    ).option("header", True).csv(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -833,6 +1066,15 @@ def queries() -> dict[str, QueryFn]:
         "cube_agg": q_cube_agg,
         "bigram_doc_freq": q_bigram_doc_freq,
         "running_total": q_running_total,
+        "hash_split": q_hash_split,
+        "doc_chunking": q_doc_chunking,
+        "repetition_ratio": q_repetition_ratio,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
+        "seq_packing": q_seq_packing,
+        "embedding_quantize": q_embedding_quantize,
+        "json_roundtrip": q_json_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1182,6 +1424,110 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "hash_split": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_LT}' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_LT}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "doc_chunking": f"""
+            SELECT doc_id,
+                   CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(i AS INTEGER), {CHUNK_SIZE}) AS chunk_text,
+                   CAST(strlen(substr(text, CAST(i AS INTEGER), {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, GREATEST(n_chars, 1) + 1, {CHUNK_STRIDE})) AS i
+                  FROM documents)
+        """,
+        "repetition_ratio": f"""
+            WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
+            per AS (SELECT doc_id, word, COUNT(*) AS cnt FROM toks GROUP BY doc_id, word),
+            agg AS (SELECT doc_id,
+                           CAST(SUM(cnt) AS BIGINT) AS total_toks,
+                           CAST(COUNT(*) AS BIGINT) AS distinct_toks,
+                           CAST(MAX(cnt) AS BIGINT) AS top_cnt
+                    FROM per GROUP BY doc_id)
+            SELECT doc_id, total_toks, distinct_toks,
+                   ROUND(distinct_toks * 1.0 / total_toks, 4) AS ttr,
+                   ROUND(top_cnt * 1.0 / total_toks, 4) AS top_frac,
+                   CAST(CASE WHEN ROUND(distinct_toks * 1.0 / total_toks, 4) < 0.5
+                              OR ROUND(top_cnt * 1.0 / total_toks, 4) > 0.2
+                        THEN 1 ELSE 0 END AS INTEGER) AS low_quality
+            FROM agg
+        """,
+        "stratified_sample": f"""
+            WITH rated AS (
+                SELECT doc_id, lang,
+                       {pmod_100_sql(tok_sql('doc_id'))} AS bucket,
+                       CASE {' '.join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items())}
+                            ELSE 0 END AS keep_rate
+                FROM documents)
+            SELECT doc_id, lang, bucket, ROUND(100.0 / keep_rate, 4) AS mix_weight
+            FROM rated WHERE bucket < keep_rate
+        """,
+        "contamination_check": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - {CONTAM_NGRAM_N - 2})) AS i
+                    FROM toks WHERE len(ts) >= {CONTAM_NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id,
+                          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS shingle
+                   FROM pos),
+            train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+            ev AS (SELECT * FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0)
+            SELECT ev.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_shingles,
+                   CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+                   ROUND(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS contam_rate,
+                   CAST(CASE WHEN SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_contaminated
+            FROM ev LEFT JOIN train t ON ev.shingle = t.shingle
+            GROUP BY ev.doc_id
+        """,
+        "seq_packing": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+                       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tok
+                FROM documents),
+            cum AS (
+                SELECT doc_id, shard, n_tok,
+                       CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+                FROM toks)
+            SELECT doc_id, shard, n_tok,
+                   CAST((cum_tok - n_tok) // {PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
+                   CAST((cum_tok - n_tok) % {PACK_BIN_TOKENS} AS BIGINT) AS bin_offset
+            FROM cum
+        """,
+        "embedding_quantize": """
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            s AS (SELECT vec_id, e, GREATEST(list_max(e), -list_min(e)) AS scale FROM v),
+            q AS (SELECT vec_id, scale,
+                         list_transform(e, x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT)) AS qv
+                  FROM s)
+            SELECT vec_id,
+                   ROUND(scale, 4) AS scale_r,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+                   CAST(list_min(qv) AS BIGINT) AS q_min,
+                   CAST(list_max(qv) AS BIGINT) AS q_max
+            FROM q
+        """,
+        "json_roundtrip": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(strlen(text)) AS BIGINT) AS sum_text_len,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+        """,
+        "csv_roundtrip": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+            FROM orders
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,

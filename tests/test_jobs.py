@@ -229,7 +229,7 @@ def test_contract_key_consistency():
 
     qs, os_ = m.queries(), m.oracle_sql()
     assert set(os_) <= set(qs), f"orphan oracle keys: {set(os_) - set(qs)}"
-    assert len(qs) >= 60 and len(os_) >= 55
+    assert len(qs) >= 69 and len(os_) >= 64
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "dedup_fuzzy",
