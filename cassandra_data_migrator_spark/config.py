@@ -64,10 +64,18 @@ KNOWN_KEYS: dict[str, tuple[type, Any]] = {
     "spark.cdm.autocorrect.missing.counter": (bool, False),
     # guardrail
     "spark.cdm.feature.guardrail.colSizeInKB": (int, 0),
-    # perfops (rate limits accepted-but-ignored in v1, SURVEY.md §4.3.3)
+    # perfops. Rate limits: CDM's limiter is always-on (20k/40k defaults)
+    # because it must protect a live Cassandra origin; this engine's default
+    # is unthrottled (a parquet scan needs no protection), so the knob takes
+    # effect only when ratelimit.enabled is set. When enabled, the origin
+    # limit paces the scan and the target limit paces the sink
+    # (operators/ratelimit.throttled); against a live Cassandra target the
+    # connector-native throughput option is also passed through
+    # (sources/cassandra.connector_write_options_from_config).
     "spark.cdm.perfops.numParts": (int, 32),
     "spark.cdm.perfops.batchSize": (int, 5),
     "spark.cdm.perfops.fetchSizeInRows": (int, 1000),
+    "spark.cdm.perfops.ratelimit.enabled": (bool, False),
     "spark.cdm.perfops.ratelimit.origin": (int, 20000),
     "spark.cdm.perfops.ratelimit.target": (int, 40000),
     # run tracking

@@ -107,6 +107,18 @@ def run_migrate(spark: SparkSession, origin: DataFrame, cfg: MigrationConfig) ->
     Counters ride along via df.observe (no second scan, SURVEY.md §2 #24).
     """
     piped = build_feature_pipeline(origin, cfg)
+    if cfg.get("spark.cdm.perfops.ratelimit.enabled"):
+        from cassandra_data_migrator_spark.operators.ratelimit import throttled
+
+        # CDM semantics: the origin limit paces the read, the target limit
+        # paces the write. In one linear pipeline the tighter budget governs
+        # end-to-end, so apply min(origin, target) once — one pacer, no
+        # second Arrow round-trip.
+        rate = min(
+            cfg.get("spark.cdm.perfops.ratelimit.origin"),
+            cfg.get("spark.cdm.perfops.ratelimit.target"),
+        )
+        piped = throttled(piped, rate)
     out_path = cfg.get("spark.cdm.connect.target.path")
     obs_df, obs = observed(piped, F.lit(False))
     if out_path:
