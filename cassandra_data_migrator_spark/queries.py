@@ -994,6 +994,79 @@ def q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink → source round-trip (the third interchange format after
+    JSONL/CSV). ORC is self-describing — the read needs no schema and no
+    inference scan; verified via decimal-exact checksums."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = _roundtrip_dir(spark, sf_dir, "orc")
+    li.select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("n_flags"),
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean −ln p(token) under the
+    corpus's own unigram LM — the classic cheap LM-quality filter for
+    training-data pipelines (high surprise ⇒ gibberish/boilerplate tails).
+
+    Plan shape: one explode of the token stream feeds BOTH the frequency
+    table (groupBy word — partial-agg, one shuffle) and the scoring join
+    (shuffle by word); the 1-row corpus total rides along via a broadcast
+    cross-join, never a driver collect. Final per-doc avg partial-aggregates
+    before its shuffle. Scale-safe: no global order, no driver loops; the
+    word join's skew (stopwords) is bounded because the frequency side is
+    1 row per word."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = tok.join(freq, "word").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg(-F.ln(F.col("cnt") / F.col("total"))), 4).alias("avg_neg_logprob"),
+    )
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram (cluster_size → n_clusters): the
+    reporting step after cluster assignment — how much of the corpus is
+    singletons vs dup families. Two cheap partial-agg shuffles over the
+    cluster assignment."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    )
+
+
+def q_window_rolling_avg(spark, sf_dir):
+    """Frame-based rolling features: per-user trailing 4-event mean/max of
+    value. Window partitioned by user (distributed), deterministic
+    (ts, event_id) order."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
+        F.round(F.max("value").over(w), 4).alias("roll_max"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -1075,6 +1148,10 @@ def queries() -> dict[str, QueryFn]:
         "embedding_quantize": q_embedding_quantize,
         "json_roundtrip": q_json_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "unigram_logprob": q_unigram_logprob,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "window_rolling_avg": q_window_rolling_avg,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1086,6 +1163,32 @@ def queries() -> dict[str, QueryFn]:
 
 def _lex_values() -> str:
     return ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON.items())
+
+
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE connected components over the n-gram Jaccard pair graph
+    (shared by the dedup_clusters and dedup_cluster_sizes oracles)."""
+    return f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1239,26 +1342,13 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}
         """,
-        "dedup_clusters": f"""
-            WITH RECURSIVE toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
-            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
-                    FROM toks WHERE len(ts) >= {NGRAM_N}),
-            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
-                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT id_a, id_b
-                      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-            reach(id, r) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-            )
-            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_cluster_sizes": f"""
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM ({_dedup_clusters_sql()}) GROUP BY cluster_id)
+            GROUP BY cluster_size
         """,
         "topk_similarity": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {TOPK_QUERY_PRED}),
@@ -1528,6 +1618,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
             FROM orders
+        """,
+        "orc_roundtrip": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+            FROM lineitem
+        """,
+        "unigram_logprob": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
+            freq AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+            tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(-LN(cnt / total)), 4) AS avg_neg_logprob
+            FROM tok JOIN freq USING (word), tot
+            GROUP BY doc_id
+        """,
+        "window_rolling_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER w, 4) AS roll_avg,
+                   ROUND(MAX(value) OVER w, 4) AS roll_max,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,
