@@ -51,7 +51,13 @@ from cassandra_data_migrator_spark.functions.writetime import (
     max_ttl,
     max_writetime,
 )
-from cassandra_data_migrator_spark.operators import dedup, similarity, transforms, validation
+from cassandra_data_migrator_spark.operators import (
+    dedup,
+    interval,
+    similarity,
+    transforms,
+    validation,
+)
 from cassandra_data_migrator_spark.operators.counters import job_counters
 from cassandra_data_migrator_spark.operators.guardrail import colsize_guardrail
 from cassandra_data_migrator_spark.operators.partition import slice_stats
@@ -1067,6 +1073,42 @@ def q_window_rolling_avg(spark, sf_dir):
     )
 
 
+INTERVAL_JOIN_WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour attribution window
+
+
+def q_interval_join(spark, sf_dir):
+    """Attribution-window interval join: per signup event, the same user's
+    purchase count and spend within the following 6 hours. Bucketized
+    equi-join on (user, time-bucket) — see operators/interval.py; zero-match
+    anchors kept via a left join back onto the anchor set."""
+    e = _t(spark, sf_dir, "events")
+    anchors = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    pairs = interval.interval_join_bucketed(
+        anchors,
+        purchases,
+        ["user_id"],
+        "ts_us",
+        "ts_us",
+        INTERVAL_JOIN_WINDOW_US,
+        ["value"],
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("rv_value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    return anchors.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_purchases"), F.lit(0).cast("bigint")).alias("n_purchases"),
+        F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 4).alias("sum_value"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -1152,6 +1194,7 @@ def queries() -> dict[str, QueryFn]:
         "unigram_logprob": q_unigram_logprob,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "window_rolling_avg": q_window_rolling_avg,
+        "interval_join": q_interval_join,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1642,6 +1685,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "interval_join": f"""
+            WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS ats FROM events
+                       WHERE event_type = 'signup'),
+            p AS (SELECT user_id, epoch_us(ts) AS pts, value FROM events
+                  WHERE event_type = 'purchase'),
+            g AS (SELECT a.event_id, COUNT(*) AS cnt,
+                         CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+                  FROM a JOIN p ON a.user_id = p.user_id
+                   AND p.pts > a.ats AND p.pts <= a.ats + {INTERVAL_JOIN_WINDOW_US}
+                  GROUP BY a.event_id)
+            SELECT a.event_id, a.user_id,
+                   CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_purchases,
+                   ROUND(COALESCE(g.sv, 0), 4) AS sum_value
+            FROM a LEFT JOIN g USING (event_id)
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,

@@ -97,6 +97,15 @@ def test_dedup_embedding_lsh_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
 
 
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    """The range join must run as a hash equi-join on (key, time-bucket) —
+    a raw range theta-join would plan per-key quadratic comparison (or a
+    BroadcastNestedLoopJoin without the key predicate)."""
+    p = _plan(spark, sf_dir, "interval_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+
+
 def test_no_python_udfs_in_declared_surface(spark, sf_dir):
     """Every declared query stays JVM-side (BatchEvalPython in a plan would
     mean a row-at-a-time Python UDF snuck into the hot path)."""
