@@ -1109,6 +1109,25 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_event_sequences(spark, sf_dir):
+    """Ordered per-user behavior sequences — the construction step for
+    behavioral/sessionized training corpora: one groupBy(user) with the
+    ordering done INSIDE the aggregate (array_sort over collected structs),
+    so there is no global sort and no window shuffle; order is deterministic
+    via the (ts, event_id) tiebreak. Per-user state is bounded by that
+    user's event count (the same bound any sequence-building job carries)."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["event_type"]), ","
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
@@ -1195,6 +1214,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "window_rolling_avg": q_window_rolling_avg,
         "interval_join": q_interval_join,
+        "event_sequences": q_event_sequences,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1700,6 +1720,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_purchases,
                    ROUND(COALESCE(g.sv, 0), 4) AS sum_value
             FROM a LEFT JOIN g USING (event_id)
+        """,
+        "event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,
