@@ -367,6 +367,13 @@ def dedup_clusters(
     Σcluster_id — compare that one exact decimal aggregate per iteration
     instead of joining old vs new labels (a big⋈big shuffle per round at
     100 TB; the sum is a single reduce over the checkpointed labels).
+
+    The loop runs ONLY over edge endpoints: any id outside the pair graph is
+    a singleton by construction, so it never needs to ride the iterative
+    joins. At 100 TB the dup graph is typically a few percent of the corpus,
+    so this cuts every per-round shuffle from |corpus| to |graph nodes|; the
+    corpus-sized work is exactly one final left join (labels side is the
+    small one — AQE broadcasts it when it fits).
     Returns (id, cluster_id); singletons keep their own id.
     """
     edges = (
@@ -375,9 +382,13 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # edges is symmetrized, so distinct src = every node of the pair graph
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
 
     def _label_sum(lbls: DataFrame):
         return lbls.agg(
@@ -414,4 +425,9 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("id").alias(id_col), "cluster_id")
+    # singletons (ids not in the pair graph) keep their own id; one
+    # corpus-sized left join against the small resolved-label table
+    return ids.select(F.col(id_col).alias("id")).join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+    )
