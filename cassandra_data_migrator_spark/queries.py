@@ -1136,6 +1136,262 @@ def q_window_session(spark, sf_dir):
     return session_window(_t(spark, sf_dir, "events"))
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped six-table join: revenue per nation for ASIA, with the
+    customer-nation == supplier-nation constraint. The fact side (lineitem)
+    shuffles on its join keys; nation⋈region collapses to a broadcast dim so
+    the per-nation rollup never moves the small side. Money math is decimal×
+    decimal (exact, order-independent sums)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+def q_corr_stats(spark, sf_dir):
+    """Per-group Pearson correlation / sample covariance of quantity vs
+    extendedprice — computed from EXACT decimal moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy²), then one double-precision formula per group. Order-independent
+    by construction (no streaming double accumulation), one partial-agg
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,8)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(corr, 4).alias("corr_r"),
+        F.round(cov, 4).alias("covar_r"),
+    )
+
+
+def q_grouping_sets_agg(spark, sf_dir):
+    """GROUPING SETS rollup — per-status, per-priority, and grand-total rows
+    in ONE pass (Spark expands the sets map-side; one shuffle, not three
+    scans)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_time_gap_fill(spark, sf_dir):
+    """Time-series gap filling: dense hourly (event_type × hour) grid with
+    zero-filled missing buckets — the densification step before any
+    training-window feature join. The grid is generated distributed
+    (sequence+explode over a 1-row bounds agg crossed with the distinct-type
+    dim — both tiny), then one left join against the bucket counts; no
+    driver-side loop, no collect."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_us div 3600000000").alias("hr")
+    )
+    bounds = e.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    hours = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hr"))
+    types = e.select("event_type").distinct()
+    counts = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("n_events")
+    )
+
+
+EWMA_ALPHA = 0.5
+EWMA_LAGS = 8
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average over the trailing 8 events per
+    user (α=0.5, weights renormalized over the rows that exist). Fixed-lag
+    formulation — a partitioned window with 8 lag() taps, so the frame never
+    grows with history and the float sum has ONE fixed evaluation order on
+    both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    num, den = None, None
+    for k in range(EWMA_LAGS):
+        wt = EWMA_ALPHA * (1 - EWMA_ALPHA) ** k
+        xk = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        nk = F.lit(wt) * F.coalesce(xk, F.lit(0.0))
+        dk = F.when(xk.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 4).alias("ewma_r")
+    )
+
+
+UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide→long reshape (unpivot/melt) + per-metric rollup: the inverse of
+    pivot_events. Spark plans unpivot as a map-side Expand (no shuffle for
+    the reshape itself — each input row fans to 4 long rows in place), then
+    one partial-agg shuffle on the 4-value metric key."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=UNPIVOT_METRICS,
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+
+
+QUOTA_PER_SOURCE = 10
+
+
+def q_quota_cap(spark, sf_dir):
+    """Per-source quota capping: keep at most N docs per source, chosen in
+    hash order (stable "random" pick, not first-by-id). Window partitioned by
+    source — distributed; per-group state bounded by the source's doc count."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(tok(F.col("doc_id")), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("pick"))
+        .filter(F.col("pick") <= QUOTA_PER_SOURCE)
+    )
+
+
+VOCAB_MIN_COUNT = 5
+VOCAB_SIZE = 1000
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary construction: top-1k tokens by frequency with contiguous
+    ids. The global-order window runs over the AGGREGATED vocab (1 row per
+    distinct token ≥ min-count) — bounded by vocabulary size, not corpus
+    size, so the single-partition sort is over a dimension-sized table."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.select("word", "cnt", F.row_number().over(w).cast("bigint").alias("vocab_id"))
+        .filter(F.col("vocab_id") <= VOCAB_SIZE)
+    )
+
+
+def q_user_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution (behavioral
+    diversity score). H = ln(n) − Σc·ln(c)/n over the per-(user,type) counts
+    — two partial-agg shuffles, all JVM."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.round(
+            F.ln(F.sum("c")) - F.sum(F.col("c") * F.ln("c")) / F.sum("c"), 4
+        ).alias("entropy_r"),
+    )
+
+
+def q_latest_event(spark, sf_dir):
+    """Per-user argmax: the latest event (deterministic (ts, event_id)-max)
+    with its payload — the 'current state' projection of an event stream.
+    Partitioned window, rank-1 filter; at scale this is the standard
+    shuffle-once pattern (AQE handles per-user skew)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id", "event_id", "ts_us", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type",
+                F.round("value", 4).alias("value_r"))
+    )
+
+
+ZSCORE_THRESHOLD = 2.5
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-user z-score outlier flagging: events whose value deviates more
+    than 2.5σ from that user's mean. Stats come from exact decimal moment
+    sums (order-independent), then broadcast back onto the stream — one
+    groupBy shuffle plus a dim-sized join, never a window over raw history."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    stats = stats.select(
+        "user_id",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(stats), "user_id")
+        .filter(F.abs(z) > ZSCORE_THRESHOLD)
+        .select("event_id", "user_id", F.round("value", 4).alias("value_r"),
+                F.round(z, 4).alias("z_r"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1215,6 +1471,17 @@ def queries() -> dict[str, QueryFn]:
         "window_rolling_avg": q_window_rolling_avg,
         "interval_join": q_interval_join,
         "event_sequences": q_event_sequences,
+        "regional_revenue": q_regional_revenue,
+        "corr_stats": q_corr_stats,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "time_gap_fill": q_time_gap_fill,
+        "ewma_smooth": q_ewma_smooth,
+        "unpivot_metrics": q_unpivot_metrics,
+        "quota_cap": q_quota_cap,
+        "vocab_topk": q_vocab_topk,
+        "user_entropy": q_user_entropy,
+        "latest_event": q_latest_event,
+        "anomaly_zscore": q_anomaly_zscore,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1226,6 +1493,29 @@ def queries() -> dict[str, QueryFn]:
 
 def _lex_values() -> str:
     return ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON.items())
+
+
+def _ewma_sql() -> str:
+    """EWMA oracle: same fixed 8-tap lag formulation as q_ewma_smooth, with
+    the SAME left-to-right add order and power-of-two weights, so the double
+    arithmetic is bit-identical on both engines."""
+    lag_cols = ", ".join(f"lag(value, {k}) OVER w AS x{k}" for k in range(1, EWMA_LAGS))
+    num, den = [], []
+    for k in range(EWMA_LAGS):
+        wt = EWMA_ALPHA * (1 - EWMA_ALPHA) ** k
+        x = "value" if k == 0 else f"x{k}"
+        num.append(f"CAST({wt!r} AS DOUBLE) * COALESCE({x}, 0e0)")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN CAST({wt!r} AS DOUBLE) ELSE 0e0 END")
+    return f"""
+        WITH o AS (
+            SELECT event_id, user_id, value, {lag_cols}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT event_id, user_id,
+               ROUND(({" + ".join(num)}) / ({" + ".join(den)}), 4) AS ewma_r
+        FROM o
+    """
 
 
 def _dedup_clusters_sql() -> str:
@@ -1726,6 +2016,114 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "regional_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+        "corr_stats": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   ROUND((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_r,
+                   ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_r
+            FROM m
+        """,
+        "grouping_sets_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "time_gap_fill": """
+            WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events),
+            b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM e),
+            hours AS (SELECT UNNEST(range(mn, mx + 1)) AS hr FROM b),
+            types AS (SELECT DISTINCT event_type FROM e),
+            cnts AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM e GROUP BY 1, 2)
+            SELECT t.event_type, h.hr, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_events
+            FROM hours h CROSS JOIN types t
+            LEFT JOIN cnts c ON c.event_type = t.event_type AND c.hr = h.hr
+        """,
+        "ewma_smooth": _ewma_sql(),
+        "unpivot_metrics": """
+            SELECT metric,
+                   CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY metric
+        """,
+        "quota_cap": f"""
+            SELECT doc_id, source, pick FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY {tok_sql("doc_id")}, doc_id) AS pick
+                FROM documents)
+            WHERE pick <= {QUOTA_PER_SOURCE}
+        """,
+        "vocab_topk": f"""
+            WITH c AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                    SELECT unnest({TOKS_SQL}) AS word FROM documents
+                ) GROUP BY word HAVING COUNT(*) >= {VOCAB_MIN_COUNT})
+            SELECT word, cnt, vocab_id FROM (
+                SELECT word, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_id
+                FROM c)
+            WHERE vocab_id <= {VOCAB_SIZE}
+        """,
+        "user_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                   ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                         - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 4) AS entropy_r
+            FROM c GROUP BY user_id
+        """,
+        "latest_event": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   ROUND(value, 4) AS value_r
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "anomaly_zscore": f"""
+            WITH s AS (SELECT user_id,
+                              CAST(COUNT(*) AS DOUBLE) AS n,
+                              CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+                              CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+                       FROM events GROUP BY user_id),
+            st AS (SELECT user_id, sx / n AS mean,
+                          sqrt((sxx - sx * sx / n) / (n - 1)) AS std FROM s)
+            SELECT e.event_id, e.user_id, ROUND(e.value, 4) AS value_r,
+                   ROUND((e.value - st.mean) / st.std, 4) AS z_r
+            FROM events e JOIN st USING (user_id)
+            WHERE ABS((e.value - st.mean) / st.std) > {ZSCORE_THRESHOLD}
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,

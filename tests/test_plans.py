@@ -106,6 +106,34 @@ def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
 
 
+def test_regional_revenue_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """The Q5-shaped six-table join must broadcast the nation⋈region dim and
+    never degrade to a cartesian/nested-loop (the c_nationkey == s_nationkey
+    constraint rides on the supplier equi-join keys)."""
+    p = _plan(spark, sf_dir, "regional_revenue")
+    assert "BroadcastHashJoin" in p, "nation/region dim must broadcast"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """Per-user stats (one row per user) must broadcast back onto the event
+    stream — the stream itself should never shuffle for the flagging join."""
+    p = _plan(spark, sf_dir, "anomaly_zscore")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_vocab_topk_window_only_over_aggregated_vocab(spark, sf_dir):
+    """vocab_topk's global-order window may only read pre-aggregated (1 row
+    per word) input, never the raw token stream."""
+    df = q.queries()["vocab_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_jvm_plan(plan):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            names = [n.getClass().getSimpleName() for n in _walk_jvm_plan(node)]
+            assert "Aggregate" in names, "unpartitioned Window reads the raw token stream"
+
+
 def test_no_python_udfs_in_declared_surface(spark, sf_dir):
     """Every declared query stays JVM-side (BatchEvalPython in a plan would
     mean a row-at-a-time Python UDF snuck into the hot path)."""
