@@ -263,33 +263,62 @@ def dedup_fuzzy(
 # SimHash
 
 
+SIMHASH_LANE_BITS = 21  # 3 lanes of 21 bits per 64-bit accumulator
+SIMHASH_LANES = 3
+SIMHASH_MAX_TOKENS = (1 << SIMHASH_LANE_BITS) - 1  # per-doc bound: 2,097,151
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, bit-vote via 64 bit-extract
+    """64-bit SimHash per doc: per-token xxhash64, bit-vote via SWAR-packed
     sums, reassembled into one BIGINT. All JVM expressions.
 
-    The ±1 vote is factored as plain bit sums: vote_i > 0 ⟺ 2·Σbit_i > n, so
-    each aggregation column is ``sum((h >> i) & 1)`` — no per-value CASE WHEN
-    branch — plus one shared count. Same signature bit-for-bit, ~25% less agg
-    CPU (the agg dominates the operator; measured at sf0.1)."""
+    The ±1 vote is factored as plain bit sums (vote_i > 0 ⟺ 2·Σbit_i > n),
+    and the 64 per-bit counters are SWAR-packed 3-per-accumulator (21-bit
+    lanes): aggregation column g sums ``Σ_j ((h >> (3g+j)) & 1) << 21j``, so
+    the groupBy carries 22 sum buffers instead of 64 — same signature
+    bit-for-bit, smaller agg state and codegen. A 21-bit lane is exact up to
+    2,097,151 tokens per doc (~10 MB of text); docs over the cap are EXCLUDED
+    from the output (a lane overflow would silently corrupt the signature —
+    exclusion is visible, corruption is not). Feed longer docs through
+    guardrail/truncation first if they must participate."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    n_groups = (64 + SIMHASH_LANES - 1) // SIMHASH_LANES  # 22
+
+    def _packed(g: int):
+        expr = None
+        for j in range(SIMHASH_LANES):
+            i = SIMHASH_LANES * g + j
+            if i >= 64:
+                break
+            lane = F.shiftleft(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)),
+                SIMHASH_LANE_BITS * j,
+            )
+            expr = lane if expr is None else expr + lane
+        return expr
+
     votes = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(64)
-        ],
+        *[F.sum(_packed(g)).alias(f"p{g}") for g in range(n_groups)],
     )
+    lane_mask = (1 << SIMHASH_LANE_BITS) - 1
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
+        g, j = divmod(i, SIMHASH_LANES)
+        b_i = F.shiftright(F.col(f"p{g}"), SIMHASH_LANE_BITS * j).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        bit = F.when(b_i * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    return votes.filter(F.col("n") <= SIMHASH_MAX_TOKENS).select(
+        F.col(id_col), sig.alias("simhash")
+    )
 
 
 def hamming64(a, b):
