@@ -432,37 +432,36 @@ def q_length_percentile(spark, sf_dir):
     """Percentile-based length filter: keep docs in the (5%, 95%) band of
     n_chars, ranks deterministic via doc_id tiebreak.
 
-    Distributed two-phase rank — NO global-order window over the table (that
-    would funnel every row through one reducer at 100 TB). Phase 1 aggregates
-    the n_chars histogram (bounded: one row per distinct length) and takes a
-    running sum over it; phase 2 broadcast-joins the cumulative counts back
-    and ranks only WITHIN each n_chars group (partitioned window). Each row's
-    global position = cum_count(shorter lengths) + rank among equals, so
-    percent_rank = (pos−1)/(N−1) is bit-identical to the single-window form.
-    """
+    Distributed two-phase rank via operators/rank.global_rank — NO
+    global-order window over the table (that would funnel every row through
+    one reducer at 100 TB); percent_rank = pos/(N−1) is bit-identical to the
+    single-window form."""
+    from cassandra_data_migrator_spark.operators.rank import global_rank
+
     d = _t(spark, sf_dir, "documents")
-    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    w_before = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "n_chars",
-        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("cum_before"),
-        F.sum("cnt").over(w_all).alias("n_total"),
-    )
-    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
-    ranked = d.join(F.broadcast(cum), "n_chars").select(
+    ranked = global_rank(d.select("doc_id", "n_chars"), "n_chars", "doc_id").select(
         "doc_id",
         "n_chars",
-        F.round(
-            (F.col("cum_before") + F.row_number().over(w_in) - 1)
-            / (F.col("n_total") - 1),
-            4,
-        ).alias("pr"),
+        F.round(F.col("pos") / (F.col("n_total") - 1), 4).alias("pr"),
     )
     return ranked.filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)).select(
         "doc_id", "n_chars", F.col("pr").alias("pr_r")
+    )
+
+
+def q_decile_assign(spark, sf_dir):
+    """Global decile assignment by doc length — the bucketing step of
+    percentile-based corpus curation (keep/downsample by length decile).
+    Same distributed two-phase rank as length_percentile (operators/rank.py);
+    the decile is pure integer arithmetic on the global position, so there is
+    no floating-point boundary to disagree on."""
+    from cassandra_data_migrator_spark.operators.rank import global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    return global_rank(d.select("doc_id", "n_chars"), "n_chars", "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.expr("CAST(1 + ((pos * 10) div n_total) AS BIGINT)").alias("decile"),
     )
 
 
@@ -1482,6 +1481,7 @@ def queries() -> dict[str, QueryFn]:
         "user_entropy": q_user_entropy,
         "latest_event": q_latest_event,
         "anomaly_zscore": q_anomaly_zscore,
+        "decile_assign": q_decile_assign,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -2124,6 +2124,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((e.value - st.mean) / st.std, 4) AS z_r
             FROM events e JOIN st USING (user_id)
             WHERE ABS((e.value - st.mean) / st.std) > {ZSCORE_THRESHOLD}
+        """,
+        "decile_assign": """
+            SELECT doc_id, n_chars,
+                   1 + ((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 10)
+                       // COUNT(*) OVER () AS decile
+            FROM documents
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,

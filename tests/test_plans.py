@@ -106,6 +106,19 @@ def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
 
 
+def test_decile_assign_no_global_window_over_table(spark, sf_dir):
+    """operators/rank.global_rank: the only unpartitioned Window must read
+    the aggregated histogram, never the raw table."""
+    df = q.queries()["decile_assign"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_jvm_plan(plan):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            names = [n.getClass().getSimpleName() for n in _walk_jvm_plan(node)]
+            assert "Aggregate" in names, "unpartitioned Window reads the raw table"
+    p = _plan(spark, sf_dir, "decile_assign")
+    assert "BroadcastHashJoin" in p
+
+
 def test_regional_revenue_broadcasts_dims_no_cartesian(spark, sf_dir):
     """The Q5-shaped six-table join must broadcast the nation⋈region dim and
     never degrade to a cartesian/nested-loop (the c_nationkey == s_nationkey
