@@ -449,6 +449,34 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_partitioned_sink_prune(spark, sf_dir):
+    """Hive-style partitioned sink + partition-pruned read-back: write events
+    partitioned by event_type, then aggregate ONE partition. The read-back
+    scan must list/touch only the selected partition directory (PartitionFilters
+    in the plan, pinned by tests/test_plans.py) — at 100 TB this is the
+    difference between scanning 1/5th of the lake and all of it."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_partitioned",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    e.select("event_id", "user_id", "value", "event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(38,8)")).cast("double"), 4).alias(
+            "sum_value_r"
+        ),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+    )
+
+
 def q_decile_assign(spark, sf_dir):
     """Global decile assignment by doc length — the bucketing step of
     percentile-based corpus curation (keep/downsample by length decile).
@@ -1482,6 +1510,7 @@ def queries() -> dict[str, QueryFn]:
         "latest_event": q_latest_event,
         "anomaly_zscore": q_anomaly_zscore,
         "decile_assign": q_decile_assign,
+        "partitioned_sink_prune": q_partitioned_sink_prune,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -2130,6 +2159,12 @@ def oracle_sql() -> dict[str, str]:
                    1 + ((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 10)
                        // COUNT(*) OVER () AS decile
             FROM documents
+        """,
+        "partitioned_sink_prune": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4) AS sum_value_r,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events WHERE event_type = 'click'
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority,

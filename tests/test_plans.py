@@ -147,6 +147,17 @@ def test_vocab_topk_window_only_over_aggregated_vocab(spark, sf_dir):
             assert "Aggregate" in names, "unpartitioned Window reads the raw token stream"
 
 
+def test_partitioned_sink_prune_partition_filter(spark, sf_dir):
+    """The read-back scan must prune to the selected event_type partition —
+    PartitionFilters on the scan, not a post-scan Filter over all partitions."""
+    p = _plan(spark, sf_dir, "partitioned_sink_prune")
+    assert "PartitionFilters" in p
+    scan_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("event_type" in l and "click" in l for l in scan_lines), (
+        "event_type=click not in PartitionFilters — scan reads every partition"
+    )
+
+
 def test_no_python_udfs_in_declared_surface(spark, sf_dir):
     """Every declared query stays JVM-side (BatchEvalPython in a plan would
     mean a row-at-a-time Python UDF snuck into the hot path)."""
