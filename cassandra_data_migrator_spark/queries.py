@@ -449,6 +449,19 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-corpus selection — the OUTPUT step of fuzzy dedup: keep
+    exactly one doc per duplicate cluster (the min-id representative) and
+    project it back onto the corpus. Completes the pipeline story:
+    dedup_ngram (pairs) → dedup_clusters (assignment) → dedup_cluster_sizes
+    (report) → this (the corpus you actually train on). One broadcast-sized
+    join on top of the cluster assignment."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return d.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
 def q_partitioned_sink_prune(spark, sf_dir):
     """Hive-style partitioned sink + partition-pruned read-back: write events
     partitioned by event_type, then aggregate ONE partition. The read-back
@@ -1511,6 +1524,7 @@ def queries() -> dict[str, QueryFn]:
         "anomaly_zscore": q_anomaly_zscore,
         "decile_assign": q_decile_assign,
         "partitioned_sink_prune": q_partitioned_sink_prune,
+        "dedup_canonical": q_dedup_canonical,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1731,6 +1745,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT cluster_id, COUNT(*) AS cluster_size
                   FROM ({_dedup_clusters_sql()}) GROUP BY cluster_id)
             GROUP BY cluster_size
+        """,
+        "dedup_canonical": f"""
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN ({_dedup_clusters_sql()}) c
+              ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
         """,
         "topk_similarity": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {TOPK_QUERY_PRED}),
