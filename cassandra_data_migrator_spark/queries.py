@@ -449,6 +449,68 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_window_rank_funcs(spark, sf_dir):
+    """Ranking-function family over a tied ordering: rank / dense_rank /
+    cume_dist per user ordered by event_type (low-cardinality ⇒ real ties, so
+    the three functions genuinely differ). Tie groups share identical outputs,
+    so the result is deterministic without a unique tiebreak. One partitioned
+    window — distributed by user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.cume_dist().over(w), 4).alias("cd_r"),
+    )
+
+
+def q_regex_extract_all(spark, sf_dir):
+    """Multi-match regex extraction over a semi-structured column: all digit
+    runs in props, with count / first / last per event — the log-mining
+    staple. Pure codegen'd per-row expressions, scan-bound."""
+    e = _t(spark, sf_dir, "events")
+    nums = F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)
+    return e.select(
+        "event_id",
+        F.size(nums).cast("bigint").alias("n_nums"),
+        F.element_at(nums, 1).alias("first_num"),
+        F.element_at(nums, -1).alias("last_num"),
+    )
+
+
+CURATE_QUALITY_MIN = 0.35
+
+
+def q_corpus_curate(spark, sf_dir):
+    """End-to-end corpus curation — the composed flagship of the LLM-pipeline
+    surface: quality-score filter → exact-dedup keep-first (md5, min doc_id)
+    → per-language mixture sampling on the deterministic token ring. Each
+    stage is the already-oracled operator (quality_score, dedup_exact,
+    stratified_sample) composed into ONE Catalyst plan: the filters fuse into
+    the scan, the dedup is the only shuffle, and the mixture filter is
+    scan-side arithmetic — at 100 TB the pipeline costs one pass + one
+    hash shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(d).select("doc_id", "quality")
+    base = d.join(q, "doc_id").filter(F.col("quality") >= CURATE_QUALITY_MIN)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = base.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    rate = None
+    for lang, r in STRATA_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lang, r)
+            if rate is None
+            else rate.when(F.col("lang") == lang, r)
+        )
+    rate = rate.otherwise(0)
+    return kept.filter(pmod_100(tok(F.col("doc_id"))) < rate).select(
+        "doc_id", "lang", "quality"
+    )
+
+
 def q_dedup_canonical(spark, sf_dir):
     """Canonical-corpus selection — the OUTPUT step of fuzzy dedup: keep
     exactly one doc per duplicate cluster (the min-id representative) and
@@ -1525,6 +1587,9 @@ def queries() -> dict[str, QueryFn]:
         "decile_assign": q_decile_assign,
         "partitioned_sink_prune": q_partitioned_sink_prune,
         "dedup_canonical": q_dedup_canonical,
+        "window_rank_funcs": q_window_rank_funcs,
+        "regex_extract_all": q_regex_extract_all,
+        "corpus_curate": q_corpus_curate,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
     }
@@ -1751,6 +1816,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN ({_dedup_clusters_sql()}) c
               ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+        """,
+        "window_rank_funcs": """
+            SELECT event_id, user_id, event_type,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   ROUND(CUME_DIST() OVER w, 4) AS cd_r
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+        """,
+        "regex_extract_all": """
+            SELECT event_id,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
+                   regexp_extract_all(props, '[0-9]+')[1] AS first_num,
+                   regexp_extract_all(props, '[0-9]+')[-1] AS last_num
+            FROM events
+        """,
+        "corpus_curate": f"""
+            WITH t AS (SELECT doc_id, text, lang, {TOKS_SQL} AS toks FROM documents),
+            q AS (SELECT doc_id, lang, text,
+                         ROUND(least(1.0, len(toks) / 100.0) * 0.5
+                               + (CASE WHEN len(toks) > 0
+                                       THEN CAST(len(list_filter(toks, x -> x IN ({stop_in}))) AS DOUBLE) / len(toks)
+                                       ELSE 0.0 END) * 0.5
+                               - least(1.0, len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / 50.0) * 0.25,
+                               4) AS quality
+                  FROM t),
+            f AS (SELECT * FROM q WHERE quality >= {CURATE_QUALITY_MIN}),
+            dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                   FROM f)
+            SELECT doc_id, lang, quality FROM dd
+            WHERE rn = 1
+              AND {pmod_100_sql(tok_sql("doc_id"))} <
+                  CASE {" ".join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items())}
+                       ELSE 0 END
         """,
         "topk_similarity": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {TOPK_QUERY_PRED}),
