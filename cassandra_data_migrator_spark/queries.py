@@ -449,6 +449,39 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_part_brand_share(spark, sf_dir):
+    """TPC-H Q14-flavored fact⋈dim revenue share: lineitem ⋈ part, revenue
+    per brand and its share of the total. The share divides by an
+    unpartitioned window — legitimate here because it runs over the
+    AGGREGATED per-brand table (≤ brand cardinality rows), never raw
+    lineitem. Covers the `part` dimension table."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    g = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).alias("__rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "p_brand",
+        F.col("__rev").cast("double").alias("revenue"),
+        "n_lines",
+        F.round(
+            F.col("__rev").cast("double") / F.sum("__rev").over(w_all).cast("double"), 4
+        ).alias("share_r"),
+    )
+
+
 def q_window_rank_funcs(spark, sf_dir):
     """Ranking-function family over a tied ordering: rank / dense_rank /
     cume_dist per user ordered by event_type (low-cardinality ⇒ real ties, so
@@ -1587,6 +1620,7 @@ def queries() -> dict[str, QueryFn]:
         "decile_assign": q_decile_assign,
         "partitioned_sink_prune": q_partitioned_sink_prune,
         "dedup_canonical": q_dedup_canonical,
+        "part_brand_share": q_part_brand_share,
         "window_rank_funcs": q_window_rank_funcs,
         "regex_extract_all": q_regex_extract_all,
         "corpus_curate": q_corpus_curate,
@@ -1816,6 +1850,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN ({_dedup_clusters_sql()}) c
               ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+        """,
+        "part_brand_share": """
+            WITH g AS (
+                SELECT p.p_brand,
+                       SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY p.p_brand)
+            SELECT p_brand,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   n_lines,
+                   ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 4) AS share_r
+            FROM g
         """,
         "window_rank_funcs": """
             SELECT event_id, user_id, event_type,
