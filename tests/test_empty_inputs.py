@@ -1,0 +1,73 @@
+"""Empty-input robustness: every operator family must degrade to an empty
+(or well-defined aggregate) result on zero rows — at 100 TB, empty slices,
+fully-filtered partitions, and empty resume sets are routine, and an
+operator that throws on them kills the job."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.operators import dedup, similarity, transforms, validation
+from cassandra_data_migrator_spark.operators.asof import asof_join
+from cassandra_data_migrator_spark.operators.rank import global_rank
+from cassandra_data_migrator_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(F.lit(False))
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.lit(False))
+
+
+def test_dedup_exact_empty(empty_docs):
+    assert dedup.dedup_exact(empty_docs).count() == 0
+
+
+def test_ngram_pairs_empty(empty_docs):
+    assert dedup.ngram_jaccard_pairs(empty_docs, n=3, threshold=0.5).count() == 0
+
+
+def test_simhash_empty(empty_docs):
+    assert dedup.simhash(empty_docs).count() == 0
+
+
+def test_dedup_clusters_empty_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(10)
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    out = dedup.dedup_clusters(docs, pairs)
+    # no edges ⇒ every doc is its own singleton cluster
+    assert out.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
+    assert out.count() == 10
+
+
+def test_global_rank_empty(empty_docs):
+    assert global_rank(empty_docs.select("doc_id", "n_chars"), "n_chars", "doc_id").count() == 0
+
+
+def test_asof_join_empty_right(spark, sf_dir, empty_events):
+    e = load_table(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_id", "ts_us").limit(100)
+    quotes = empty_events.select(
+        "user_id", "ts_us", F.col("event_id").alias("q_id"), F.col("value").alias("q_value")
+    )
+    out = asof_join(trades, quotes, ["user_id"], "ts_us", ["q_id", "q_value"], how="left")
+    # left as-of join with no right side: all left rows survive, payload null
+    assert out.count() == 100
+    assert out.filter(F.col("rv_q_id").isNotNull()).count() == 0
+
+
+def test_validation_diff_empty_target(spark, sf_dir, empty_events):
+    origin = load_table(spark, sf_dir, "events").limit(50)
+    report = validation.diff(origin, empty_events, ["event_id"], ["value", "event_type"])
+    # every origin row is missing from an empty target
+    assert report.filter(F.col("status") == validation.STATUS_MISSING).count() == 50
+
+
+def test_where_filter_all_rows_filtered(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = transforms.where_filter(li, "l_quantity > 1e18")
+    assert out.count() == 0

