@@ -449,6 +449,26 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_label_balance(spark, sf_dir):
+    """Label-balance audit over the labeled embedding set: per-class count,
+    share, and skew vs uniform — the class-imbalance check before training a
+    probe/classifier. One partial-agg shuffle; the share window runs over the
+    aggregated per-label table (≤ class cardinality rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("n").over(w_all).cast("double")
+    k = F.count(F.lit(1)).over(w_all).cast("double")
+    return g.select(
+        "label",
+        "n",
+        F.round(F.col("n") / total, 4).alias("share_r"),
+        F.round(F.col("n") * k / total, 4).alias("skew_r"),
+    )
+
+
 def q_part_brand_share(spark, sf_dir):
     """TPC-H Q14-flavored fact⋈dim revenue share: lineitem ⋈ part, revenue
     per brand and its share of the total. The share divides by an
@@ -1621,6 +1641,7 @@ def queries() -> dict[str, QueryFn]:
         "partitioned_sink_prune": q_partitioned_sink_prune,
         "dedup_canonical": q_dedup_canonical,
         "part_brand_share": q_part_brand_share,
+        "label_balance": q_label_balance,
         "window_rank_funcs": q_window_rank_funcs,
         "regex_extract_all": q_regex_extract_all,
         "corpus_curate": q_corpus_curate,
@@ -1850,6 +1871,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN ({_dedup_clusters_sql()}) c
               ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+        """,
+        "label_balance": """
+            WITH g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM embeddings GROUP BY label)
+            SELECT label, n,
+                   ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS share_r,
+                   ROUND(n * CAST(COUNT(*) OVER () AS DOUBLE)
+                         / CAST(SUM(n) OVER () AS DOUBLE), 4) AS skew_r
+            FROM g
         """,
         "part_brand_share": """
             WITH g AS (
