@@ -449,6 +449,30 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+WEEK_US = 7 * 86_400_000_000
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort-retention matrix: users grouped by first-seen week, counted per
+    week-offset of later activity — the product-analytics staple. Two
+    partial-agg shuffles (first-seen per user, distinct user-weeks) and one
+    join on user_id; the per-user cohort table is 1 row/user so AQE
+    broadcasts it at dim scale. All integer epoch-week arithmetic — no
+    calendar/timezone parity risk."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) div {WEEK_US}").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.expr(f"ts_us div {WEEK_US}").alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 def q_label_balance(spark, sf_dir):
     """Label-balance audit over the labeled embedding set: per-class count,
     share, and skew vs uniform — the class-imbalance check before training a
@@ -1642,6 +1666,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_canonical": q_dedup_canonical,
         "part_brand_share": q_part_brand_share,
         "label_balance": q_label_balance,
+        "cohort_retention": q_cohort_retention,
         "window_rank_funcs": q_window_rank_funcs,
         "regex_extract_all": q_regex_extract_all,
         "corpus_curate": q_corpus_curate,
@@ -1871,6 +1896,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN ({_dedup_clusters_sql()}) c
               ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+        """,
+        "cohort_retention": f"""
+            WITH f AS (SELECT user_id, MIN(epoch_us(ts)) // {WEEK_US} AS cohort_week
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events)
+            SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "label_balance": """
             WITH g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
