@@ -41,6 +41,30 @@ def tumbling_window(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_window(
+    events: DataFrame, duration: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding (hopping) event-time aggregation: each event contributes to
+    duration/slide overlapping windows; Spark's window() expands the
+    assignment map-side (an Expand of duration/slide rows per event — no
+    extra shuffle beyond the one window-key agg)."""
+    w = F.window(F.col("ts"), duration, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _sum_value_exact().alias("sum_value"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
 def session_window(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (gap-based): (user_id, session_start_us,
     n_events, sum_value). session_window() is the native Spark stateful-window

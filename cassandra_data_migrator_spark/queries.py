@@ -449,6 +449,27 @@ def q_length_percentile(spark, sf_dir):
     )
 
 
+def q_mad_robust(spark, sf_dir):
+    """Robust dispersion stats: per-group median + median-absolute-deviation
+    (the outlier-resistant twin of mean/stddev). Two exact per-group
+    percentiles with a broadcast median join between them; group count is
+    tiny so the per-group sorts are bounded — at 100 TB swap in
+    approx_percentile (tests/test_approx.py pins the substitution's
+    tolerance)."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(F.col("l_extendedprice") - F.col("med")).alias("dev")
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.round(F.min("med"), 4).alias("med_r"),
+        F.round(F.percentile("dev", 0.5), 4).alias("mad_r"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
 WEEK_US = 7 * 86_400_000_000
 
 
@@ -1311,6 +1332,15 @@ def q_window_tumbling(spark, sf_dir):
     return tumbling_window(_t(spark, sf_dir, "events"))
 
 
+def q_window_sliding(spark, sf_dir):
+    """Sliding event-time windows (2h window, 1h hop): each event expands to
+    its 2 overlapping windows map-side; one agg shuffle on the window key.
+    Oracle = union of the two shifted hour-bucket assignments."""
+    from cassandra_data_migrator_spark.operators.windows import sliding_window
+
+    return sliding_window(_t(spark, sf_dir, "events"))
+
+
 def q_window_session(spark, sf_dir):
     return session_window(_t(spark, sf_dir, "events"))
 
@@ -1667,10 +1697,12 @@ def queries() -> dict[str, QueryFn]:
         "part_brand_share": q_part_brand_share,
         "label_balance": q_label_balance,
         "cohort_retention": q_cohort_retention,
+        "mad_robust": q_mad_robust,
         "window_rank_funcs": q_window_rank_funcs,
         "regex_extract_all": q_regex_extract_all,
         "corpus_curate": q_corpus_curate,
         "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
         "window_session": q_window_session,
     }
 
@@ -1896,6 +1928,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN ({_dedup_clusters_sql()}) c
               ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+        """,
+        "mad_robust": """
+            WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+                       FROM lineitem GROUP BY l_returnflag),
+            d AS (SELECT l.l_returnflag, m.med,
+                         ABS(l.l_extendedprice - m.med) AS dev
+                  FROM lineitem l JOIN m USING (l_returnflag))
+            SELECT l_returnflag,
+                   ROUND(MIN(med), 4) AS med_r,
+                   ROUND(quantile_cont(dev, 0.5), 4) AS mad_r,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM d GROUP BY l_returnflag
         """,
         "cohort_retention": f"""
             WITH f AS (SELECT user_id, MIN(epoch_us(ts)) // {WEEK_US} AS cohort_week
@@ -2479,6 +2523,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "window_sliding": """
+            WITH e AS (SELECT epoch_us(ts) AS us, user_id, value FROM events),
+            x AS (
+                SELECT (us // 3600000000) * 3600000000 AS window_start_us, user_id, value FROM e
+                UNION ALL
+                SELECT ((us // 3600000000) - 1) * 3600000000 AS window_start_us, user_id, value FROM e
+            )
+            SELECT window_start_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM x GROUP BY 1
         """,
         "window_session": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,4)) AS v FROM events),
