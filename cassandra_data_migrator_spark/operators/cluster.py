@@ -1,0 +1,111 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+The reference engine has no clustering operator; this is a north-star
+extension (SURVEY.md §2b) — the trainer that produces the centroid list
+`similarity.assign_ivf_cells` / `ivf_topk` consume, and a standard
+training-data-pipeline primitive (corpus partitioning, diversity sampling,
+IVF index builds).
+
+Execution shape (the one that survives 100 TB):
+
+- Centroids are a small driver-side list (k·dim doubles — kilobytes). Each
+  assignment pass embeds them as LITERAL arrays, so the distance argmin is a
+  codegen'd projection over the scan: the corpus is never shuffled for
+  assignment.
+- The update step aggregates per-(cluster, dimension) sums via
+  ``posexplode`` + ``groupBy`` — one partial-agg shuffle of k·dim rows per
+  iteration, then a bounded ``collect()`` of exactly k·dim rows (the same
+  driver-side weight sync every distributed k-means does — this is not a
+  driver-side data loop).
+- Iteration count is a fixed hyperparameter; the driver only stitches
+  iterations together. No RDDs, no Python row loops.
+
+Determinism: init = the k corpus vectors with the smallest ids (explicit,
+seedless); distance ties break toward the lower cluster id via struct
+ordering. Float sums are order-dependent across partitionings, so downstream
+checks round aggregates (the query key is rows-only, per SURVEY §2's
+engine-specific designation for iterative ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions.vectors import as_double_array
+
+
+def _sq_dist(v, centroid: list[float]):
+    """Squared Euclidean distance between an array column and a literal
+    centroid — zip_with + aggregate, all JVM expressions."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append 'cluster' (int) and 'sq_dist' (double): nearest centroid by
+    squared Euclidean distance, ties toward the lower cluster id (struct
+    ordering sorts (dist, id) lexicographically)."""
+    v = as_double_array(vec_col)
+    scored = F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(scored)
+    return df.withColumn("cluster", best["c"]).withColumn("sq_dist", best["d"])
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run `iters` Lloyd iterations; return (assigned_df, centroids).
+
+    assigned_df = input + ('cluster', 'sq_dist') under the FINAL centroids.
+    Empty clusters keep their previous centroid (the standard fallback).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    init_rows = df.orderBy(F.col(id_col)).limit(k).select(as_double_array(vec_col).alias("v")).collect()
+    if not init_rows:
+        raise ValueError("cannot seed k-means from an empty input")
+    centroids = [list(r["v"]) for r in init_rows]
+    dim = len(centroids[0])
+    base = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = assign_clusters(base, centroids, "__v")
+        # per-(cluster, dim) partial sums: one shuffle of ≤ k·dim rows out
+        sums = (
+            assigned.select("cluster", F.posexplode(F.col("__v")).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        rows = sums.collect()  # exactly ≤ k·dim rows — bounded weight sync
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+        centroids = new
+    return assign_clusters(df, centroids, vec_col), centroids
+
+
+def cluster_profile(assigned: DataFrame) -> DataFrame:
+    """Per-cluster summary: size + rounded mean squared distance (inertia
+    contribution). One partial-agg shuffle of k rows."""
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )

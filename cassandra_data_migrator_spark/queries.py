@@ -1601,6 +1601,132 @@ def q_anomaly_zscore(spark, sf_dir):
     )
 
 
+BOILERPLATE_MIN_DF = 5
+BOILERPLATE_FLAG_RATIO = 0.05
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """C4-style corpus-driven boilerplate detection: a word 3-gram whose
+    document frequency reaches BOILERPLATE_MIN_DF is boilerplate; every doc
+    reports its distinct-shingle total, boilerplate hit count, ratio, and a
+    drop flag on the ROUNDED ratio (so both engines compare identical 4dp
+    values).
+
+    Plan shape: the inverted shingle index is computed ONCE (persisted) and
+    feeds both consumers — the df aggregation and the per-doc rollup. The
+    boilerplate set is the df-filtered tail (tiny), so it broadcasts back
+    onto the index: one index shuffle + one per-doc agg shuffle, and the raw
+    corpus is never self-joined."""
+    d = _t(spark, sf_dir, "documents")
+    idx = dedup.shingle_index(d, "text", "doc_id", n=3).persist()
+    boiler = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("shingle", F.lit(1).alias("__boiler"))
+    )
+    ratio = F.round(F.col("boiler_shingles") / F.col("total_shingles"), 4)
+    return (
+        idx.join(F.broadcast(boiler), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_shingles"),
+            F.sum(F.coalesce(F.col("__boiler"), F.lit(0))).cast("bigint").alias("boiler_shingles"),
+        )
+        .select(
+            "doc_id",
+            "total_shingles",
+            "boiler_shingles",
+            ratio.alias("boiler_ratio"),
+            (ratio > BOILERPLATE_FLAG_RATIO).cast("int").alias("drop_flag"),
+        )
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document (chunk-level) exact dedup — the RefinedWeb-style pass
+    that removes repeated spans across the corpus, not just whole-doc dups.
+    Chunks reuse the doc_chunking stride windows; the keep-first winner per
+    chunk hash is the global minimum (doc_id, chunk_idx) via a row_number
+    window partitioned by the md5 — a uniform hash shuffle (same shape as
+    dedup_exact, fanned out ~n_chars/stride per doc). Output is the per-doc
+    survival summary a curation pipeline filters on."""
+    d = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("bigint"),
+        F.greatest(F.col("n_chars"), F.lit(1).cast("bigint")),
+        F.lit(CHUNK_STRIDE).cast("bigint"),
+    )
+    chunk = F.col("text").substr(F.col("start").cast("int"), F.lit(CHUNK_SIZE))
+    chunks = d.select("doc_id", "text", F.explode(starts).alias("start")).select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.md5(chunk).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.sum((F.col("rn") == 1).cast("bigint"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_chunks"),
+        kept.cast("bigint").alias("kept_chunks"),
+        F.round(F.lit(1.0) - kept / F.count(F.lit(1)), 4).alias("dup_ratio"),
+    )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q_winsorize_clamp(spark, sf_dir):
+    """Per-group winsorization: clamp order values into the group's
+    [p05, p95] band before aggregating — the standard outlier-robust
+    normalization before training on heavy-tailed numerics.
+
+    Bounds are exact per-group percentiles over the 5 priority groups (each
+    group's sort is bounded by its partition; the 100 TB substitution is
+    approx_percentile with the tolerance pinned in tests/test_approx.py).
+    Bounds are rounded to 4dp on BOTH sides before clamping so each engine
+    clamps against bit-identical constants, then the clamped sum is
+    decimal-exact (order-independent)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr(f"percentile(o_totalprice, {WINSOR_LO})"), 4).alias("lo"),
+        F.round(F.expr(f"percentile(o_totalprice, {WINSOR_HI})"), 4).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("raw_sum"),
+            F.sum(clamped.cast("decimal(18,4)")).cast("double").alias("clamped_sum"),
+            F.sum((F.col("o_totalprice") < F.col("lo")).cast("bigint")).alias("n_floor"),
+            F.sum((F.col("o_totalprice") > F.col("hi")).cast("bigint")).alias("n_ceil"),
+        )
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus (the trainer
+    for the IVF centroid list), reported as the per-cluster profile. The
+    corpus is never shuffled for assignment (literal-centroid argmin in the
+    scan projection); each iteration's update is one k·dim partial-agg
+    shuffle + bounded k·dim driver sync — see operators/cluster.py.
+    Iterative (non-SQL-expressible) → rows-only checked."""
+    from cassandra_data_migrator_spark.operators.cluster import cluster_profile, lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+    return cluster_profile(assigned)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1704,6 +1830,10 @@ def queries() -> dict[str, QueryFn]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "chunk_dedup": q_chunk_dedup,
+        "winsorize_clamp": q_winsorize_clamp,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -2546,5 +2676,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
                    CAST(SUM(v) AS DOUBLE) AS sum_value
             FROM g GROUP BY user_id, sid
+        """,
+        "boilerplate_ngrams": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= 3),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                   FROM pos),
+            b AS (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING COUNT(*) >= {BOILERPLATE_MIN_DF})
+            SELECT sh.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_shingles,
+                   CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS boiler_shingles,
+                   ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS boiler_ratio,
+                   CAST(CASE WHEN ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                                  > {BOILERPLATE_FLAG_RATIO} THEN 1 ELSE 0 END AS INTEGER) AS drop_flag
+            FROM sh LEFT JOIN b ON sh.shingle = b.shingle
+            GROUP BY sh.doc_id
+        """,
+        "chunk_dedup": f"""
+            WITH ch AS (
+                SELECT doc_id,
+                       CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                       md5(substr(text, CAST(i AS INTEGER), {CHUNK_SIZE})) AS h
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, GREATEST(n_chars, 1) + 1, {CHUNK_STRIDE})) AS i
+                      FROM documents)),
+            r AS (SELECT doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+                  FROM ch)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_chunks,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+                   ROUND(1.0 - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_ratio
+            FROM r GROUP BY doc_id
+        """,
+        "winsorize_clamp": f"""
+            WITH b AS (
+                SELECT o_orderpriority,
+                       ROUND(quantile_cont(o_totalprice, {WINSOR_LO}), 4) AS lo,
+                       ROUND(quantile_cont(o_totalprice, {WINSOR_HI}), 4) AS hi
+                FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(b.lo) AS lo,
+                   MIN(b.hi) AS hi,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS raw_sum,
+                   CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi) AS DECIMAL(18,4))) AS DOUBLE) AS clamped_sum,
+                   CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+                   CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil
+            FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+            GROUP BY o.o_orderpriority
         """,
     }

@@ -1,0 +1,99 @@
+"""Lloyd's k-means (operators/cluster.py) vs an independent numpy
+implementation with the identical deterministic init — assignments must
+agree (distance gaps are far above fp-sum-order noise on real data) and
+centroids must match to tight tolerance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.operators.cluster import (
+    assign_clusters,
+    cluster_profile,
+    lloyd_kmeans,
+)
+
+K = 4
+ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _numpy_kmeans(X, k, iters):
+    centroids = X[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), d.min(axis=1), centroids
+
+
+def _sorted_matrix(emb):
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_lloyd_matches_numpy(emb):
+    ids, X = _sorted_matrix(emb)
+    exp_assign, exp_dist, exp_centroids = _numpy_kmeans(X, K, ITERS)
+
+    assigned, centroids = lloyd_kmeans(emb, "embedding", "vec_id", k=K, iters=ITERS)
+    got = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in assigned.collect()}
+
+    assert np.allclose(np.array(centroids), exp_centroids, atol=1e-9)
+    for i, vid in enumerate(ids):
+        c, d = got[vid]
+        assert c == exp_assign[i], f"vec {vid}: cluster {c} != numpy {exp_assign[i]}"
+        assert abs(d - exp_dist[i]) < 1e-9
+
+
+def test_assign_only_is_exact_argmin(emb):
+    """iters=0: output is the pure argmin against the init centroids."""
+    ids, X = _sorted_matrix(emb)
+    init = X[:K]
+    d = ((X[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    exp = d.argmin(axis=1)
+    assigned, centroids = lloyd_kmeans(emb, "embedding", "vec_id", k=K, iters=0)
+    assert np.allclose(np.array(centroids), init, atol=0)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    for i, vid in enumerate(ids):
+        assert got[vid] == exp[i]
+
+
+def test_profile_covers_all_rows(emb):
+    assigned, _ = lloyd_kmeans(emb, "embedding", "vec_id", k=K, iters=1)
+    prof = cluster_profile(assigned).collect()
+    assert sum(r["size"] for r in prof) == emb.count()
+    assert all(0 <= r["cluster"] < K for r in prof)
+    assert all(r["mean_sq_dist"] >= 0 for r in prof)
+
+
+def test_tie_breaks_to_lower_cluster(spark):
+    """Two identical centroids: struct ordering must pick the lower id."""
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"])
+    out = assign_clusters(df, [[0.5, 0.5], [0.5, 0.5]], "embedding")
+    assert [r["cluster"] for r in out.orderBy("vec_id").collect()] == [0, 0]
+
+
+def test_k_larger_than_corpus(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"])
+    assigned, centroids = lloyd_kmeans(df, "embedding", "vec_id", k=5, iters=2)
+    assert len(centroids) == 2
+    assert assigned.count() == 2
+
+
+def test_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError):
+        lloyd_kmeans(df, "embedding", "vec_id", k=3, iters=1)
