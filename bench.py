@@ -75,7 +75,22 @@ def main() -> None:
         "spark_version": spark.version,
     }
     spark.stop()
-    print(json.dumps(result))
+    # BENCH_r02.json's stdout capture truncated the head of the (long) JSON
+    # line, losing 27 per-query numbers (r2 verdict, Next round #4). Persist
+    # the full result to a file the driver/judge can always read, THEN print
+    # the one-line contract JSON (separators= keeps the line as short as
+    # possible for tail-capture robustness).
+    out_file = os.environ.get(
+        "BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    )
+    try:
+        with open(out_file, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
+    sys.stdout.flush()
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -182,12 +182,13 @@ def run_migrate_tracked(
         if out_path and os.path.exists(out_path):
             from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
 
-            # read_cnt counts this run's processed rows; the scan is bounded
-            # by the pending slices (the small remainder), so the extra pass
-            # is cheap relative to the merge itself.
-            read_cnt = piped.count()
-            merged = upsert_parquet(spark, piped, out_path, pk)
-            result = JobResult("migrate", merged, {"read_cnt": read_cnt, "skipped_cnt": 0})
+            # read_cnt rides on df.observe over the merge write (same as
+            # run_migrate) — no separate count() pass over the pending-slice
+            # scan; the observation fires when the staging write materializes.
+            obs_piped, obs = observed(piped, F.lit(False))
+            merged = upsert_parquet(spark, obs_piped, out_path, pk)
+            counters = {k: int(v) for k, v in obs.get.items()}
+            result = JobResult("migrate", merged, counters)
         else:
             result = run_migrate(spark, scoped, cfg)
     else:
