@@ -1770,6 +1770,240 @@ def q_kmeans_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("fast", "slow", "good", "bad", "big")
+BM25_TOPK = 20
+OOV_VOCAB_N = 200
+SALT_N = 8
+
+
+def q_codec_blob(spark, sf_dir):
+    """Blob codec family checked end-to-end (SURVEY §2 #10's blob↔string
+    codecs were pytest-only): string→binary→lower-hex / base64 / string
+    round-trip on a 16-char document prefix. Pure codegen'd scan
+    expressions — embarrassingly parallel."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.substring(F.col("text"), 1, 16)
+    blob = codecs.string_to_blob(prefix)
+    return d.select(
+        "doc_id",
+        codecs.blob_to_hex(blob).alias("hex_str"),
+        codecs.blob_to_base64(blob).alias("b64_str"),
+        blob.cast("string").alias("rt_str"),
+    )
+
+
+def q_validate_diff_composite(spark, sf_dir):
+    """DiffData over a COMPOSITE primary key (partition key + clustering
+    columns — events' (user_id, event_id), FIXTURES.md PK declaration): the
+    wide-row model's defining shape. Same single PK-equi join as
+    validate_diff, keyed on both columns; the derived target drops rows
+    where a PK hash ≡ 0 mod 97 and mutates event_type where ≡ 0 mod 101.
+    (lineitem's declared PK is not unique in the synthetic fixture, so the
+    events PK — verified unique — carries this check.)"""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    pk_hash = F.col("user_id") * 7 + F.col("event_id")
+    target = e.filter(pk_hash % 97 != 0).withColumn(
+        "event_type",
+        F.when(pk_hash % 101 == 0, F.lit("X")).otherwise(F.col("event_type")),
+    )
+    return validation.diff(
+        e,
+        target,
+        ["user_id", "event_id"],
+        ["event_type", "value"],
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the document corpus against
+    a fixed term set — the classic sparse-retrieval ranking operator for
+    training-data search. Plan: ONE token explode feeds tf (per doc,term),
+    dl (per doc) and df (per term); N and avgdl ride along as 1-row
+    broadcast cross-joins (never a driver collect); top-k via a global
+    window ONLY over the scored candidate set (docs containing ≥1 term),
+    which is corpus-sparse — at 100 TB the candidate set is the inverted-
+    index posting union, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = toks.filter(F.col("word").isin(*BM25_TERMS))
+    tf = hits.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # df_ (≤|terms| rows) and stats (1 row) broadcast; dl is corpus-sized so
+    # it joins by shuffle on doc_id (tf is the sparse candidate set — the
+    # posting-list union — so the shuffle moves candidates, not the corpus).
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (BM25_K1 + 1)
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 4).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("doc_id", "score", "rnk")
+    )
+
+
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus's own top-N
+    vocabulary — the tokenizer-coverage audit for training mixes. The global
+    vocab window runs ONLY over the aggregated word-count table (bounded by
+    vocab size × partitions, same posture as vocab_topk); scoring is a
+    broadcast semi-join of the token stream against the N-row vocab."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    vocab = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OOV_VOCAB_N)
+        .select("word")
+    )
+    tagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)) / F.count(F.lit(1)), 4
+        ).alias("oov_rate"),
+    )
+
+
+def q_sentence_split(spark, sf_dir):
+    """Sentence segmentation with positional index (doc structuring for
+    chunked training data): split on terminal punctuation runs, keep the
+    ORIGINAL split index (stable under filtering), per-sentence word count.
+    sequence+posexplode — shuffle-free, scan-bound."""
+    d = _t(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), r"[.!?]+")
+    exploded = d.select("doc_id", F.posexplode(parts).alias("sent_idx", "raw"))
+    sent = F.trim(F.col("raw"))
+    return (
+        exploded.withColumn("sent", sent)
+        .filter(F.col("sent") != "")
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("bigint").alias("sent_idx"),
+            "sent",
+            F.size(F.filter(F.split(F.col("sent"), r"\s+"), lambda t: t != F.lit(""))).cast(
+                "bigint"
+            ).alias("n_words"),
+        )
+    )
+
+
+def q_user_event_types(spark, sf_dir):
+    """Per-user distinct-set aggregation (collect_set → sorted CSV string):
+    the grouped array-agg reshape, emitted as canonical text so it hashes
+    deterministically. One shuffle, map-side partial collect."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count_distinct(F.col("event_type")).cast("bigint").alias("n_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (the manual pattern AQE's skew handling
+    generalizes; salting stays necessary when ONE key dominates a
+    broadcast-ineligible join). Fact side (lineitem) gets a deterministic
+    salt from its clustering column; the dim side (orders) is exploded S=8
+    ways so (key, salt) partitions evenly. Same result as the plain join —
+    the oracle IS the plain join."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT_N).cast("int")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    o_salted = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_N)]))
+    )
+    joined = li.join(
+        o_salted,
+        (li.l_orderkey == o_salted.o_orderkey) & (li.salt == o_salted.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+    )
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (mergeSchema over partition generations): batch 1
+    written before a column existed, batch 2 with the new column; one merged
+    scan null-fills the old generation. The per-batch checksum proves the
+    merge didn't smear values across generations. At scale this is the
+    standard additive-column migration — no table rewrite."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_evolve",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("bigint").alias(
+            "n_null_price"
+        ),
+        F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_text_normalize(spark, sf_dir):
+    """C4-style text normalization: lowercase → strip non-[a-z0-9 .,] →
+    collapse whitespace → trim, emitted as md5 + length + prefix so the
+    full normalized text is value-checked without hashing megabytes of
+    output. Scan-bound regexp chain, RE2-compatible patterns."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 .,]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 # Keys deliberately declared WITHOUT a DuckDB oracle (engine-specific hash
@@ -1854,6 +2088,15 @@ def queries() -> dict[str, QueryFn]:
         "winsorize_clamp": q_winsorize_clamp,
         # --- new in r03 + rows-only rotation (lead r04's window) ---
         "codec_duration": q_codec_duration,
+        "codec_blob": q_codec_blob,
+        "validate_diff_composite": q_validate_diff_composite,
+        "bm25_topk": q_bm25_topk,
+        "oov_rate": q_oov_rate,
+        "sentence_split": q_sentence_split,
+        "user_event_types": q_user_event_types,
+        "salted_join": q_salted_join,
+        "schema_evolution": q_schema_evolution,
+        "text_normalize": q_text_normalize,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2025,6 +2268,115 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN nanos > 0 THEN CAST(nanos AS VARCHAR) || 'ns' ELSE '' END
                        AS canon
             FROM built
+        """,
+        "codec_blob": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 16) AS prefix FROM documents)
+            SELECT doc_id, lower(hex(encode(prefix))) AS hex_str,
+                   to_base64(encode(prefix)) AS b64_str, prefix AS rt_str
+            FROM p
+        """,
+        "validate_diff_composite": """
+            WITH target AS (
+                SELECT user_id, event_id,
+                       CASE WHEN (user_id * 7 + event_id) % 101 = 0 THEN 'X'
+                            ELSE event_type END AS event_type,
+                       value
+                FROM events WHERE (user_id * 7 + event_id) % 97 <> 0
+            )
+            SELECT o.user_id, o.event_id,
+                   CASE WHEN t.user_id IS NULL THEN 'missing'
+                        WHEN o.event_type IS DISTINCT FROM t.event_type
+                          OR o.value IS DISTINCT FROM t.value THEN 'mismatch'
+                        ELSE 'valid' END AS status,
+                   CASE WHEN t.user_id IS NULL THEN '' ELSE concat_ws(',',
+                        CASE WHEN o.event_type IS DISTINCT FROM t.event_type THEN 'event_type' END,
+                        CASE WHEN o.value IS DISTINCT FROM t.value THEN 'value' END
+                   ) END AS mismatch_cols
+            FROM events o LEFT JOIN target t
+              ON o.user_id = t.user_id AND o.event_id = t.event_id
+            WHERE t.user_id IS NULL
+               OR o.event_type IS DISTINCT FROM t.event_type
+               OR o.value IS DISTINCT FROM t.value
+        """,
+        "bm25_topk": f"""
+            WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+                   WHERE word IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+                   GROUP BY doc_id, word),
+            df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+            scored AS (
+                SELECT t.doc_id,
+                       ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * ({BM25_K1} + 1)
+                       / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS term_score
+                FROM tf t JOIN df d USING (word) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+            per_doc AS (SELECT doc_id, ROUND(SUM(term_score), 4) AS score
+                        FROM scored GROUP BY doc_id)
+            SELECT doc_id, score, rnk FROM (
+                SELECT doc_id, score,
+                       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+                FROM per_doc)
+            WHERE rnk <= {BM25_TOPK}
+        """,
+        "oov_rate": f"""
+            WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
+            counts AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+            vocab AS (SELECT word FROM (
+                SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk FROM counts)
+                WHERE rnk <= {OOV_VOCAB_N})
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                       AS oov_rate
+            FROM toks t LEFT JOIN vocab v USING (word) GROUP BY t.doc_id
+        """,
+        "sentence_split": """
+            WITH s AS (SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+                       FROM documents),
+            p AS (SELECT doc_id, unnest(range(len(parts))) AS i, parts FROM s)
+            SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, trim(parts[i + 1]) AS sent,
+                   CAST(len(list_filter(string_split_regex(trim(parts[i + 1]), '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_words
+            FROM p WHERE trim(parts[i + 1]) <> ''
+        """,
+        "user_event_types": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "salted_join": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "schema_evolution": """
+            WITH merged AS (
+                SELECT 1 AS batch, o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT 2 AS batch, o_orderkey, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 1)
+            SELECT CAST(batch AS INTEGER) AS batch, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null_price,
+                   CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_price
+            FROM merged GROUP BY batch
+        """,
+        "text_normalize": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(regexp_replace(lower(text),
+                                   '[^a-z0-9 .,]', '', 'g'), ' +', ' ', 'g')) AS norm
+                       FROM documents)
+            SELECT doc_id, md5(norm) AS norm_md5,
+                   CAST(length(norm) AS BIGINT) AS norm_len,
+                   substr(norm, 1, 40) AS norm_prefix
+            FROM n
         """,
         "extract_json": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_str,

@@ -158,6 +158,52 @@ def test_partitioned_sink_prune_partition_filter(spark, sf_dir):
     )
 
 
+def test_bm25_window_only_over_scored_candidates(spark, sf_dir):
+    """bm25_topk's global top-k window may only read the per-doc aggregated
+    candidate scores (posting-list union), never the raw token stream."""
+    df = q.queries()["bm25_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_jvm_plan(plan):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            names = [n.getClass().getSimpleName() for n in _walk_jvm_plan(node)]
+            assert "Aggregate" in names, "unpartitioned Window reads the raw token stream"
+    p = _plan(spark, sf_dir, "bm25_topk")
+    assert "CartesianProduct" not in p  # stats ride a broadcast nested-loop 1-row join
+
+
+def test_oov_vocab_broadcasts(spark, sf_dir):
+    """The top-N vocabulary must broadcast back onto the token stream — the
+    stream itself never shuffles for the tagging join."""
+    p = _plan(spark, sf_dir, "oov_rate")
+    assert "BroadcastHashJoin" in p
+    df = q.queries()["oov_rate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_jvm_plan(plan):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            names = [n.getClass().getSimpleName() for n in _walk_jvm_plan(node)]
+            assert "Aggregate" in names, "vocab window reads the raw token stream"
+
+
+def test_salted_join_is_equi_join_on_key_and_salt(spark, sf_dir):
+    """The salted join must stay a hash equi-join over (key, salt) — no
+    cartesian/nested-loop, and both join keys present in the join node."""
+    p = _plan(spark, sf_dir, "salted_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+    key_lines = [
+        l for l in p.splitlines() if l.strip().startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines and all("salt" in l for l in key_lines), (
+        "salt column missing from the join keys"
+    )
+
+
+def test_validate_diff_composite_single_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "validate_diff_composite")
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_no_python_udfs_in_declared_surface(spark, sf_dir):
     """Every declared query stays JVM-side (BatchEvalPython in a plan would
     mean a row-at-a-time Python UDF snuck into the hot path)."""
