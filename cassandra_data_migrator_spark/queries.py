@@ -2003,6 +2003,154 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+PMI_MIN_COUNT = 10
+TOPK_PCT = 10  # group_topk_pct keeps the top 10% per group
+
+
+def q_migrate_incremental(spark, sf_dir):
+    """End-to-end INCREMENTAL migrate (the writetime-window delta pattern,
+    SURVEY §2 #17 + upsert sink): full base load, then a delta batch whose
+    rows overwrite same-PK rows via the merge sink (plans/upsert.py), then a
+    checksum of the merged state. The oracle recomputes the expected final
+    state directly — proving the merge neither dropped base rows nor kept
+    stale versions. At 100 TB the merge is one PK shuffle (lakehouse formats
+    make the rewrite a metadata swap; the merge plan is format-agnostic)."""
+    import os
+    import tempfile
+
+    from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
+
+    o = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_incr",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    o.write.mode("overwrite").parquet(base)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    merged = upsert_parquet(spark, delta, base, ["o_orderkey"])
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.sum((F.col("o_orderkey") % 10 == 0).cast("int")).cast("bigint").alias("n_mutated"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Probability-proportional-to-size sampling (curation mixes weighted by
+    doc length): keep-rate = min(95, floor(n_chars/10)) percent, decided by
+    the deterministic token hash — reproducible across runs and engines,
+    no rand(). Scan-bound, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.least(F.lit(95), F.floor(F.col("n_chars") / 10)).cast("bigint")
+    return (
+        d.withColumn("rate", rate)
+        .filter(pmod_100(tok(F.col("doc_id"))) < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+    )
+
+
+def q_group_topk_pct(spark, sf_dir):
+    """Relative top-k: the top 10% rows per group (per-priority top spenders)
+    — rank and group-size ride the SAME partitioned window (one shuffle);
+    the threshold is ceil(n/10) computed per row, no second pass."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("grp_n"),
+        )
+        .filter(F.col("rnk") <= F.ceil(F.col("grp_n") * TOPK_PCT / 100))
+    )
+
+
+WINDOW_RANGE_US = 3_600_000_000  # trailing 1 hour
+
+
+def q_window_time_range(spark, sf_dir):
+    """Time-RANGE window frame (vs window_rolling_avg's ROWS frame): per-user
+    trailing 1-hour event count and decimal-exact value sum. The frame is
+    defined by ts VALUES, so duplicate timestamps resolve identically on
+    both engines with no tiebreak needed."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-WINDOW_RANGE_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Pointwise mutual information of adjacent word pairs — the classic
+    collocation detector for corpus analysis. One token explode feeds both
+    the unigram and (via slice+zip_with, map-side) the bigram counts; corpus
+    totals ride as 1-row broadcast cross-joins; the unigram join keys on the
+    aggregated vocab (bounded), never the raw stream."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    toks = d.select(F.explode(t).alias("w"))
+    ucnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t_tot"))
+    with_arr = d.select(t.alias("ts")).filter(F.size("ts") >= 2)
+    bigrams = with_arr.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    btot = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b_tot"))
+    bcnt = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    scored = (
+        bcnt.join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(ucnt.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.log(
+        (F.col("c_ab") / F.col("b_tot"))
+        / ((F.col("c1") / F.col("t_tot")) * (F.col("c2") / F.col("t_tot")))
+    )
+    return scored.select(
+        "w1", "w2", F.col("c_ab").cast("bigint").alias("c_ab"), F.round(pmi, 4).alias("pmi")
+    )
+
+
+def q_graph_degree(spark, sf_dir):
+    """Degree distribution of the near-duplicate pair graph (dedup
+    observability: hub documents = template/boilerplate families). Degrees
+    are counted from the edge list's endpoints only — the corpus itself
+    never enters the aggregation."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2097,6 +2245,12 @@ def queries() -> dict[str, QueryFn]:
         "salted_join": q_salted_join,
         "schema_evolution": q_schema_evolution,
         "text_normalize": q_text_normalize,
+        "migrate_incremental": q_migrate_incremental,
+        "weighted_sample": q_weighted_sample,
+        "group_topk_pct": q_group_topk_pct,
+        "window_time_range": q_window_time_range,
+        "bigram_pmi": q_bigram_pmi,
+        "graph_degree": q_graph_degree,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2377,6 +2531,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(norm) AS BIGINT) AS norm_len,
                    substr(norm, 1, 40) AS norm_prefix
             FROM n
+        """,
+        "migrate_incremental": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                                      THEN o_totalprice + 1000.0
+                                      ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_price,
+                   CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mutated
+            FROM orders
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, lang,
+                   CAST(LEAST(95, FLOOR(n_chars / 10)) AS BIGINT) AS rate
+            FROM documents
+            WHERE {pmod_100_sql(tok_sql("doc_id"))}
+                  < CAST(LEAST(95, FLOOR(n_chars / 10)) AS BIGINT)
+        """,
+        "group_topk_pct": f"""
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, grp_n FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+                       CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS grp_n
+                FROM orders)
+            WHERE rnk <= CEIL(grp_n * {TOPK_PCT} / 100)
+        """,
+        "window_time_range": f"""
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN {WINDOW_RANGE_US} PRECEDING AND CURRENT ROW)
+        """,
+        "bigram_pmi": f"""
+            WITH toks AS (SELECT {TOKS_SQL} AS ts FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            ucnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM uni GROUP BY w),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_tot FROM uni),
+            bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+                   FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks
+                         WHERE len(ts) >= 2)),
+            btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b_tot FROM bg),
+            bcnt AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2
+                     HAVING COUNT(*) >= {PMI_MIN_COUNT})
+            SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+                   ROUND(ln((b.c_ab / bt.b_tot)
+                         / ((u1.c / t.t_tot) * (u2.c / t.t_tot))), 4) AS pmi
+            FROM bcnt b JOIN ucnt u1 ON u1.w = b.w1 JOIN ucnt u2 ON u2.w = b.w2
+            CROSS JOIN tot t CROSS JOIN btot bt
+        """,
+        "graph_degree": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
+            ends AS (SELECT id_a AS doc_id FROM pairs
+                     UNION ALL SELECT id_b AS doc_id FROM pairs)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM ends GROUP BY doc_id
         """,
         "extract_json": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_str,
