@@ -127,6 +127,48 @@ def extract_features(df: DataFrame, dim: int = 8, use_fake: bool = False) -> Dat
     return df.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+DIGEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def payload_digest(df: DataFrame) -> DataFrame:
+    """Arrow-batched payload digestion over mapInPandas — the oracle-checkable
+    half of the multimodal path: per-payload byte length and md5, computed in
+    Python from the raw bytes the JVM handed over. Because both outputs are
+    exactly reproducible in ANSI SQL (octet_length / md5), the driver's
+    DuckDB check verifies the Arrow binary round-trip BYTE-FOR-BYTE — if
+    batching, encoding, or null handling corrupted a single payload byte the
+    hashes would diverge. Same batch shape as extract_features."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            n_bytes, digests = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                n_bytes.append(len(raw))
+                digests.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": n_bytes,
+                    "payload_md5": digests,
+                }
+            )
+
+    return df.mapInPandas(_batches, DIGEST_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_nth: int, frame_col: str = "media_id") -> DataFrame:
     """Deterministic frame sampling by index — a pure JVM filter, the payload
     column is untouched (columnar pruning keeps it out of the scan if the

@@ -2137,6 +2137,27 @@ def q_bigram_pmi(spark, sf_dir):
     )
 
 
+def q_multimodal_extract(spark, sf_dir):
+    """Multimodal binary-column pipeline under the DRIVER check (E10 was
+    pytest-only): documents become media rows (payload = UTF-8 bytes, typed
+    mime), then the Arrow mapInPandas digest kernel computes per-payload
+    byte length + md5 — both exactly reproducible in SQL, so the oracle
+    verifies the JVM→Arrow→Python binary round-trip byte-for-byte. The
+    decode stub (operators/multimodal.decode_image) stays honestly
+    unimplemented; this key proves the PLUMBING."""
+    from cassandra_data_migrator_spark.operators.multimodal import payload_digest
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("lang") == "en", F.lit("image/png"))
+        .otherwise(F.lit("image/jpeg"))
+        .alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return payload_digest(media)
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
@@ -2251,6 +2272,7 @@ def queries() -> dict[str, QueryFn]:
         "window_time_range": q_window_time_range,
         "bigram_pmi": q_bigram_pmi,
         "graph_degree": q_graph_degree,
+        "multimodal_extract": q_multimodal_extract,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2582,6 +2604,13 @@ def oracle_sql() -> dict[str, str]:
                          / ((u1.c / t.t_tot) * (u2.c / t.t_tot))), 4) AS pmi
             FROM bcnt b JOIN ucnt u1 ON u1.w = b.w1 JOIN ucnt u2 ON u2.w = b.w2
             CROSS JOIN tot t CROSS JOIN btot bt
+        """,
+        "multimodal_extract": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
         """,
         "graph_degree": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
