@@ -2172,6 +2172,113 @@ def q_graph_degree(spark, sf_dir):
     return ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
 
 
+SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5)
+CDC_INSERT_OFFSET = 10_000_000
+
+
+def q_cdc_delta_detect(spark, sf_dir):
+    """CDC-style snapshot delta: FULL-outer PK diff classifying every change
+    as insert / update / delete (generalizes validate_diff, which is
+    origin-driven and cannot see target-only rows — CDM's own blind spot).
+    New snapshot derived deterministically: mod-89 keys deleted, mod-97
+    prices updated, mod-83 keys re-inserted under offset ids. One
+    co-partitioned full-outer join, AQE-skew-safe."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 83 == 0).select(
+        (F.col("o_orderkey") + CDC_INSERT_OFFSET).alias("o_orderkey"), "o_totalprice"
+    )
+    new = new.unionByName(inserts)
+    old_a, new_a = o.alias("old"), new.alias("new")
+    joined = old_a.join(new_a, F.col("old.o_orderkey") == F.col("new.o_orderkey"), "full_outer")
+    op = (
+        F.when(F.col("old.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("new.o_orderkey").isNull(), F.lit("delete"))
+        .when(
+            ~F.col("old.o_totalprice").eqNullSafe(F.col("new.o_totalprice")), F.lit("update")
+        )
+        .otherwise(F.lit("same"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("old.o_orderkey"), F.col("new.o_orderkey")).alias("key"),
+            op.alias("op"),
+        )
+        .filter(F.col("op") != "same")
+    )
+
+
+def q_json_key_profile(spark, sf_dir):
+    """JSON schema profiling: which keys appear in the semi-structured props
+    column, in how many events — the discovery scan run before declaring an
+    extract-json mapping (SURVEY §2 #11's operational prerequisite). One
+    explode of json_object_keys, one groupBy."""
+    e = _t(spark, sf_dir, "events")
+    keys = e.select(F.explode(F.json_object_keys("props")).alias("key"))
+    total = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    per_key = keys.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n_total"), 4).alias("presence"),
+    )
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning curve: near-dup pair counts at each Jaccard
+    threshold, computed from ONE shingle-index pass (the pair list with
+    scores is reused across all thresholds — no re-scan per setting)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=min(SWEEP_THRESHOLDS)
+    )
+    t = F.explode(F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])).alias("threshold")
+    swept = pairs.select("jaccard", t).filter(F.col("jaccard") >= F.col("threshold"))
+    return swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+ZIPF_VOCAB_MIN_COUNT = 5
+
+
+def q_vocab_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of ln(freq) over
+    ln(rank) — the one-number corpus-health statistic (natural text ≈ −1).
+    Per-word logs are rounded to 6dp then summed as DECIMALs, so the
+    regression sums are exact and order-independent on both engines; the
+    rank window runs only over the aggregated vocab (bounded)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= ZIPF_VOCAB_MIN_COUNT
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum("y").cast("decimal(28,6)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return sums.select(
+        "n", F.round(slope, 4).alias("zipf_slope")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2273,6 +2380,10 @@ def queries() -> dict[str, QueryFn]:
         "bigram_pmi": q_bigram_pmi,
         "graph_degree": q_graph_degree,
         "multimodal_extract": q_multimodal_extract,
+        "cdc_delta_detect": q_cdc_delta_detect,
+        "json_key_profile": q_json_key_profile,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "vocab_zipf_slope": q_vocab_zipf_slope,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2611,6 +2722,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "cdc_delta_detect": f"""
+            WITH old_t AS (SELECT o_orderkey, o_totalprice FROM orders),
+            new_t AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 89 <> 0
+                UNION ALL
+                SELECT o_orderkey + {CDC_INSERT_OFFSET}, o_totalprice
+                FROM orders WHERE o_orderkey % 83 = 0)
+            SELECT key, op FROM (
+                SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS key,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                            WHEN n.o_orderkey IS NULL THEN 'delete'
+                            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+                            ELSE 'same' END AS op
+                FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey)
+            WHERE op <> 'same'
+        """,
+        "json_key_profile": """
+            SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 4) AS presence
+            FROM (SELECT unnest(json_keys(props)) AS key FROM events) GROUP BY key
+        """,
+        "dedup_threshold_sweep": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            scored AS (SELECT ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+                       FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                  JOIN sizes sb ON sb.doc_id = id_b
+                       WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {min(SWEEP_THRESHOLDS)}),
+            th AS (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_THRESHOLDS)}])
+                       AS threshold)
+            SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM th JOIN scored ON jaccard >= threshold GROUP BY threshold
+        """,
+        "vocab_zipf_slope": f"""
+            WITH toks AS (SELECT unnest({TOKS_SQL}) AS w FROM documents),
+            counts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+                       HAVING COUNT(*) >= {ZIPF_VOCAB_MIN_COUNT}),
+            ranked AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+                       FROM counts),
+            xy AS (SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                          CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+                   FROM ranked),
+            sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(x) AS DECIMAL(28,6)) AS sx,
+                            CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+                            SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+                            SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
+                     FROM xy)
+            SELECT n,
+                   ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                         4) AS zipf_slope
+            FROM sums
         """,
         "graph_degree": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
