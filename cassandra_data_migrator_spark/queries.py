@@ -2279,6 +2279,67 @@ def q_vocab_zipf_slope(spark, sf_dir):
     )
 
 
+APPROX_DISTINCT_TOL = 0.15  # HLL++ at rsd=0.05: 3σ relative tolerance
+APPROX_PCT_TOL = 0.05  # percentile_approx(acc=1000): 5% relative tolerance
+GUARDRAIL_ROW_BYTES = 520
+
+
+def q_approx_distinct_audit(spark, sf_dir):
+    """Sketch-accuracy audit under the DRIVER check: HLL++ distinct counts
+    (the 100 TB substitution for exact count_distinct, SCALE.md 'Approximate
+    substitutions') are compared against the exact count per group, and the
+    EMITTED column is the within-tolerance boolean + the exact count — so
+    the oracle (exact + literal TRUE) fails if Spark's sketch ever drifts
+    outside its documented rsd bound on this data. Both aggregates ride one
+    partial-agg pass."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("exact_custs"),
+        F.expr("approx_count_distinct(o_custkey, 0.05)").cast("bigint").alias("approx"),
+    )
+    ok = (
+        F.abs(F.col("approx") - F.col("exact_custs"))
+        <= F.col("exact_custs") * APPROX_DISTINCT_TOL
+    )
+    return agg.select("o_orderpriority", "exact_custs", ok.alias("within_tol"))
+
+
+def q_approx_percentile_audit(spark, sf_dir):
+    """KLL-style quantile-sketch audit: percentile_approx vs the exact
+    percentile per group; emits the exact value + within-tolerance boolean
+    (oracle = exact + TRUE), pinning the approx path's accuracy contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+    )
+    ok = (
+        F.abs(F.col("approx_p50") - F.col("exact_p50"))
+        <= F.abs(F.col("exact_p50")) * APPROX_PCT_TOL
+    )
+    return agg.select(
+        "l_returnflag", F.round(F.col("exact_p50"), 4).alias("exact_p50"), ok.alias("within_tol")
+    )
+
+
+def q_guardrail_rowsize(spark, sf_dir):
+    """Row-size guardrail (companion to the per-column colSizeInKB check,
+    SURVEY §2 #23): flag rows whose total serialized payload — string bytes
+    plus 8 bytes per numeric column — exceeds the threshold. Same
+    embarrassingly-parallel scan shape as guardrail_colsize."""
+    d = _t(spark, sf_dir, "documents")
+    row_bytes = (
+        F.octet_length("text")
+        + F.octet_length("lang")
+        + F.octet_length("source")
+        + F.lit(16)  # doc_id + n_chars, 8 bytes each
+    ).cast("bigint")
+    return (
+        d.select("doc_id", row_bytes.alias("row_bytes"))
+        .filter(F.col("row_bytes") > GUARDRAIL_ROW_BYTES)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2384,6 +2445,9 @@ def queries() -> dict[str, QueryFn]:
         "json_key_profile": q_json_key_profile,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "vocab_zipf_slope": q_vocab_zipf_slope,
+        "approx_distinct_audit": q_approx_distinct_audit,
+        "approx_percentile_audit": q_approx_percentile_audit,
+        "guardrail_rowsize": q_guardrail_rowsize,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2785,6 +2849,26 @@ def oracle_sql() -> dict[str, str]:
                          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
                          4) AS zipf_slope
             FROM sums
+        """,
+        "approx_distinct_audit": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+                   TRUE AS within_tol
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "approx_percentile_audit": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                   TRUE AS within_tol
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "guardrail_rowsize": f"""
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) + octet_length(encode(lang))
+                        + octet_length(encode(source)) + 16 AS BIGINT) AS row_bytes
+            FROM documents
+            WHERE octet_length(encode(text)) + octet_length(encode(lang))
+                  + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "graph_degree": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
