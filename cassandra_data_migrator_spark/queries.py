@@ -2340,6 +2340,54 @@ def q_guardrail_rowsize(spark, sf_dir):
     )
 
 
+EDIT_DISTANCE_PREFIX = 60
+EDIT_DISTANCE_MAX = 20
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count over the near-duplicate pair graph (the standard
+    multi-way distributed self-join; triangles = tightly-coupled template
+    families that pairwise thresholds understate). Edges are oriented
+    (a < b) so each triangle counts exactly once; the joins run over the
+    EDGE list only — sparse by construction — never the corpus."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e1.id_a") == F.col("e3.id_a")) & (F.col("e2.id_b") == F.col("e3.id_b")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance verification of near-dup CANDIDATES: Levenshtein on
+    fixed-length prefixes, computed only for the shingle-index pair list —
+    the candidate-then-verify pattern that keeps the O(len²) string kernel
+    off the full corpus. Native JVM levenshtein (and DuckDB's), no Python."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_DISTANCE_PREFIX).alias("prefix")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b")
+    joined = (
+        pairs.join(d.withColumnRenamed("doc_id", "id_a").withColumnRenamed("prefix", "pa"), "id_a")
+        .join(d.withColumnRenamed("doc_id", "id_b").withColumnRenamed("prefix", "pb"), "id_b")
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        joined.select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= EDIT_DISTANCE_MAX)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2448,6 +2496,8 @@ def queries() -> dict[str, QueryFn]:
         "approx_distinct_audit": q_approx_distinct_audit,
         "approx_percentile_audit": q_approx_percentile_audit,
         "guardrail_rowsize": q_guardrail_rowsize,
+        "graph_triangles": q_graph_triangles,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2869,6 +2919,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "graph_triangles": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+                          JOIN pairs e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
+        """,
+        "edit_distance_pairs": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
+            pref AS (SELECT doc_id, substr(text, 1, {EDIT_DISTANCE_PREFIX}) AS prefix
+                     FROM documents)
+            SELECT p.id_a, p.id_b,
+                   CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+            FROM pairs p JOIN pref a ON a.doc_id = p.id_a JOIN pref b ON b.doc_id = p.id_b
+            WHERE levenshtein(a.prefix, b.prefix) <= {EDIT_DISTANCE_MAX}
         """,
         "graph_degree": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),

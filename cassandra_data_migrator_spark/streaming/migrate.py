@@ -36,3 +36,35 @@ def streaming_migrate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_migrate_merge(
+    source: DataFrame,
+    cfg: MigrationConfig,
+    target_path: str,
+    checkpoint_dir: str,
+    pk_cols: list[str],
+    available_now: bool = True,
+):
+    """Continuous UPSERT migrate: each micro-batch merges into the target by
+    PK via foreachBatch (append mode cannot overwrite existing keys — the
+    true CDC sink needs the merge). Exactly-once across restarts comes from
+    the checkpoint: a re-run with the same checkpoint skips batches already
+    merged. At scale each batch's merge is one PK shuffle; with a lakehouse
+    target the foreachBatch body becomes a MERGE INTO — the plan shape is
+    identical (plans/upsert.py docstring)."""
+    from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
+
+    piped = build_feature_pipeline(source, cfg)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, batch_df, target_path, pk_cols)
+
+    writer = piped.writeStream.foreachBatch(_merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

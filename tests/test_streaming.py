@@ -76,3 +76,39 @@ def test_streaming_migrate_matches_batch(spark, sf_dir, tmp_path):
     g = {r.event_id: r.k_val for r in got.select("event_id", "k_val").collect()}
     b = {r.event_id: r.k_val for r in batch.select("event_id", "k_val").collect()}
     assert g == b
+
+
+def test_streaming_migrate_merge_upserts_across_restarts(spark, tmp_path):
+    """The CDC merge sink: batch 1 loads keys 1-10, a restart with the same
+    checkpoint picks up ONLY the new file (keys 5-15 at v2) and upserts it —
+    old keys survive, colliding keys take the new value, processed files
+    are never re-merged (exactly-once via checkpoint)."""
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.streaming.migrate import streaming_migrate_merge
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = MigrationConfig({"spark.cdm.schema.pk": "id"})
+    schema = "id BIGINT, val BIGINT"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_migrate_merge(stream, cfg, target, ckpt, ["id"])
+        q.awaitTermination()
+
+    spark.createDataFrame([(i, 1) for i in range(1, 11)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    assert spark.read.parquet(target).count() == 10
+
+    spark.createDataFrame([(i, 2) for i in range(5, 16)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = {r.id: r.val for r in spark.read.parquet(target).collect()}
+    assert len(got) == 15
+    assert all(got[i] == 1 for i in range(1, 5))
+    assert all(got[i] == 2 for i in range(5, 16))
