@@ -2350,9 +2350,16 @@ def q_graph_triangles(spark, sf_dir):
     families that pairwise thresholds understate). Edges are oriented
     (a < b) so each triangle counts exactly once; the joins run over the
     EDGE list only — sparse by construction — never the corpus."""
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
-    ).select("id_a", "id_b")
+    # Materialize the (small, threshold-pruned) edge list before the 3-way
+    # self-join: without this every join branch re-derives the full shingle
+    # pipeline (3× the index shuffle). Same pattern dedup_clusters uses.
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
     e3 = pairs.alias("e3")
@@ -2374,9 +2381,15 @@ def q_edit_distance_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, EDIT_DISTANCE_PREFIX).alias("prefix")
     )
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
-    ).select("id_a", "id_b")
+    # materialized for the same reason as graph_triangles: two join branches
+    # must not re-derive the shingle-index pipeline
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     joined = (
         pairs.join(d.withColumnRenamed("doc_id", "id_a").withColumnRenamed("prefix", "pa"), "id_a")
         .join(d.withColumnRenamed("doc_id", "id_b").withColumnRenamed("prefix", "pb"), "id_b")
