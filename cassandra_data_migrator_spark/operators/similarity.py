@@ -272,6 +272,61 @@ def ivf_topk(
     )
 
 
+def lsh_topk_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Banded ANN top-k: candidates = same bucket in ANY of num_bands
+    independent hyperplane sets (the standard recall lever — a true
+    neighbor is missed only if it splits from the query in EVERY band).
+    Candidate pairs are dedup'd before the exact-cosine refine so a pair
+    matching in several bands scores once. Joins stay (band, bucket)
+    equi-joins; candidate volume ≈ num_bands × corpus/2^num_planes per
+    query."""
+
+    def banded(df, out_id):
+        base = df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _bucket_sig(F.col("v"), dim, num_planes, seed + 1000 * b).alias("bucket"),
+                )
+                for b in range(num_bands)
+            ]
+        )
+        return base.select(out_id, "v", F.explode(bands).alias("bb")).select(
+            out_id, "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cb = banded(corpus, "cand_id")
+    qb = banded(queries, "query_id").withColumnRenamed("v", "qvec")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "qvec", "v")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("cand_id").alias(id_col),
+        F.round(cosine(F.col("qvec"), F.col("v")), 4).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_r").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score_r", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

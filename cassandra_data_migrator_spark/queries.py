@@ -2401,6 +2401,46 @@ def q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+ANN_RECALL_MIN = 0.15  # measured floor 0.2 at sf0.001/0.01/0.1; see BASELINE.md
+
+
+def q_topk_similarity_lsh_banded(spark, sf_dir):
+    """Banded ANN top-k (the recall lever over the single-band LSH path):
+    candidates from ANY of 8 independent hyperplane bands, dedup'd before
+    the exact-cosine refine. Engine-specific hash family → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_banded(
+        emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K, num_bands=8
+    )
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """ANN quality contract under the DRIVER check (same pattern as the
+    sketch audits): recall@k of the banded-LSH path against the exact
+    brute-force top-k, emitted as a within-floor boolean per query (oracle =
+    TRUE). Deterministic: fixed hyperplanes, fixed data. The floor (0.15) is
+    the measured worst case minus margin on these near-uniform synthetic
+    embeddings — real clustered embeddings recall far higher; the audit pins
+    that the bucketing never silently collapses (e.g. an all-one-bucket
+    regression would score recall 1.0, an empty-join regression 0.0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(TOPK_QUERY_PRED)
+    brute = similarity.brute_force_topk(emb, qs, k=TOPK_K).select("query_id", "vec_id")
+    lsh = similarity.lsh_topk_banded(emb, qs, k=TOPK_K, num_bands=8).select(
+        "query_id", "vec_id"
+    )
+    hits = brute.join(lsh, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = brute.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
+    joined = per_q.join(hits, "query_id", "left").fillna(0, ["n_hits"])
+    return joined.select(
+        "query_id",
+        "n_brute",
+        (F.col("n_hits") / F.col("n_brute") >= ANN_RECALL_MIN).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2414,6 +2454,7 @@ ROWS_ONLY_KEYS = frozenset(
         "dedup_fuzzy",
         "simhash_near_dup",
         "topk_similarity_lsh",
+        "topk_similarity_lsh_banded",
         "topk_similarity_ivf",
         "dedup_embedding_lsh",
         "kmeans_clusters",
@@ -2511,6 +2552,8 @@ def queries() -> dict[str, QueryFn]:
         "guardrail_rowsize": q_guardrail_rowsize,
         "graph_triangles": q_graph_triangles,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
+        "ann_recall_audit": q_ann_recall_audit,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2932,6 +2975,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "ann_recall_audit": f"""
+            SELECT vec_id AS query_id, CAST({TOPK_K} AS BIGINT) AS n_brute,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE {TOPK_QUERY_PRED}
         """,
         "graph_triangles": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
