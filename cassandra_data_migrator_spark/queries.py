@@ -2441,6 +2441,30 @@ def q_ann_recall_audit(spark, sf_dir):
     )
 
 
+QUARANTINE_VALUE_MAX = 400.0
+
+
+def q_quarantine_split(spark, sf_dir):
+    """Bad-record quarantine (CDM's error-row accounting as a first-class
+    operator): rows failing any validation rule are routed out with the
+    FIRST failing rule as the reason (fixed precedence, so the reason
+    column is deterministic). One scan, pure CASE projection — the good
+    path is the complement filter on the same expression, costing nothing
+    extra. At 100 TB quarantine writes go to a side sink partitioned by
+    reason."""
+    e = _t(spark, sf_dir, "events")
+    reason = (
+        F.when(F.col("event_type") == "error", F.lit("error_event"))
+        .when(F.col("value") > QUARANTINE_VALUE_MAX, F.lit("outlier_value"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        e.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("event_id", "user_id", "reason")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2554,6 +2578,7 @@ def queries() -> dict[str, QueryFn]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
         "ann_recall_audit": q_ann_recall_audit,
+        "quarantine_split": q_quarantine_split,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -2975,6 +3000,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "quarantine_split": f"""
+            SELECT event_id, user_id,
+                   CASE WHEN event_type = 'error' THEN 'error_event'
+                        WHEN value > {QUARANTINE_VALUE_MAX} THEN 'outlier_value'
+                   END AS reason
+            FROM events
+            WHERE event_type = 'error' OR value > {QUARANTINE_VALUE_MAX}
         """,
         "ann_recall_audit": f"""
             SELECT vec_id AS query_id, CAST({TOPK_K} AS BIGINT) AS n_brute,
