@@ -2465,6 +2465,52 @@ def q_quarantine_split(spark, sf_dir):
     )
 
 
+def q_running_distinct(spark, sf_dir):
+    """Cumulative DISTINCT count per user over event time — not directly
+    expressible as a window aggregate (COUNT(DISTINCT) OVER unbounded isn't
+    supported by either engine), so it composes two windows: first-occurrence
+    flag (row_number over (user, type) = 1) then a running sum of flags.
+    Both windows partition by user → one shuffle total, state bounded by
+    the distinct-type cardinality."""
+    e = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "first_seen", (F.row_number().over(w_first) == 1).cast("int")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_cum).cast("bigint").alias("n_distinct_types"),
+    )
+
+
+def q_event_paths(spark, sf_dir):
+    """Ordered behavioral paths: the '>'-joined event-type sequence per
+    (user, hour) — funnel/path mining's input representation. Ordered
+    aggregation is done deterministically: collect structs, array_sort by
+    (ts, event_id), project the type — canonical text on both engines."""
+    e = _t(spark, sf_dir, "events")
+    hour = (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(3_600_000_000))).alias("hour_us")
+    grouped = e.select("user_id", hour, "ts_us", "event_id", "event_type").groupBy(
+        "user_id", "hour_us"
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+            lambda x: x.event_type,
+        ),
+        ">",
+    )
+    return grouped.agg(
+        path.alias("path"), F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2579,6 +2625,8 @@ def queries() -> dict[str, QueryFn]:
         "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
         "ann_recall_audit": q_ann_recall_audit,
         "quarantine_split": q_quarantine_split,
+        "running_distinct": q_running_distinct,
+        "event_paths": q_event_paths,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3000,6 +3048,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "running_distinct": """
+            SELECT event_id, user_id,
+                   CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS n_distinct_types
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) = 1 THEN 1 ELSE 0 END
+                           AS first_seen
+                FROM events)
+        """,
+        "event_paths": """
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                   string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "quarantine_split": f"""
             SELECT event_id, user_id,
