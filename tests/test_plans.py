@@ -204,11 +204,27 @@ def test_validate_diff_composite_single_join(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+# Keys deliberately using Arrow-VECTORIZED Python (pandas_udf GEMM for dense
+# band signatures — interpreted Catalyst lambdas measured 7× slower — and the
+# mapInPandas multimodal digest). Row-at-a-time BatchEvalPython is banned
+# everywhere; ArrowEvalPython/MapInPandas may appear ONLY here.
+ARROW_PYTHON_KEYS = {
+    "topk_similarity_lsh_banded",
+    "ann_recall_audit",
+    "multimodal_extract",
+}
+
+
 def test_no_python_udfs_in_declared_surface(spark, sf_dir):
     """Every declared query stays JVM-side (BatchEvalPython in a plan would
-    mean a row-at-a-time Python UDF snuck into the hot path)."""
+    mean a row-at-a-time Python UDF snuck into the hot path); Arrow-batched
+    Python appears only in the declared ARROW_PYTHON_KEYS."""
     for key in q.queries():
         if key == "migrate_rowcount":
             continue  # writes as a side effect; plan inspected post-write
         p = _plan(spark, sf_dir, key, mode="simple")
         assert "BatchEvalPython" not in p, f"{key} uses a row-at-a-time Python UDF"
+        if key not in ARROW_PYTHON_KEYS:
+            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+                f"{key} unexpectedly runs Python (not in ARROW_PYTHON_KEYS)"
+            )
