@@ -2511,6 +2511,51 @@ def q_event_paths(spark, sf_dir):
     )
 
 
+def q_migrate_null_policy(spark, sf_dir):
+    """CQL null-vs-unset write semantics under the DRIVER check (SURVEY §7
+    'What's hard' #2 — previously pytest-only): a delta batch nulls
+    o_orderpriority and sets o_orderstatus='U' for mod-7 keys; the
+    cell-wise merge is applied under BOTH policies side by side. 'unset'
+    must keep the base priority (a NULL update cell is an unset bind);
+    'null' must tombstone it. One full-outer PK join per policy, CASE
+    projections — the oracle states the expected cell outcomes directly."""
+    from cassandra_data_migrator_spark.sources.sink import upsert_cellwise
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    delta = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_orderpriority", F.lit(None).cast("string"))
+    )
+    unset = upsert_cellwise(
+        o, delta, ["o_orderkey"], ["o_orderstatus", "o_orderpriority"], policy="unset"
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_merged"),
+        F.col("o_orderpriority").alias("prio_unset"),
+    )
+    nulled = upsert_cellwise(
+        o, delta, ["o_orderkey"], ["o_orderpriority"], policy="null"
+    ).select("o_orderkey", F.col("o_orderpriority").alias("prio_null"))
+    return unset.join(nulled, "o_orderkey")
+
+
+def q_codec_set_normalize(spark, sf_dir):
+    """CQL set<T> dedup-on-write as an oracled operator (the sink rule from
+    sources/sink.normalize_set_columns): the token array written to a
+    set-typed column comes back sorted + dedup'd, emitted as canonical
+    joined text. Scan-bound."""
+    from cassandra_data_migrator_spark.sources.sink import normalize_set_columns
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
+    normed = normalize_set_columns(d, ["toks"])
+    return normed.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("set_size"),
+        F.array_join("toks", ",").alias("set_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2627,6 +2672,8 @@ def queries() -> dict[str, QueryFn]:
         "quarantine_split": q_quarantine_split,
         "running_distinct": q_running_distinct,
         "event_paths": q_event_paths,
+        "migrate_null_policy": q_migrate_null_policy,
+        "codec_set_normalize": q_codec_set_normalize,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3048,6 +3095,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "migrate_null_policy": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+                       AS status_merged,
+                   o_orderpriority AS prio_unset,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END
+                       AS prio_null
+            FROM orders
+        """,
+        "codec_set_normalize": f"""
+            WITH t AS (SELECT doc_id, list_sort(list_distinct({TOKS_SQL})) AS toks
+                       FROM documents)
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS set_size,
+                   array_to_string(toks, ',') AS set_canonical
+            FROM t
         """,
         "running_distinct": """
             SELECT event_id, user_id,

@@ -45,6 +45,39 @@ def apply_null_policy(df: DataFrame, policy: str, writable_cols: list[str]) -> D
     return df
 
 
+def upsert_cellwise(
+    base: DataFrame,
+    updates: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str],
+    policy: str = "unset",
+) -> DataFrame:
+    """CELL-level upsert with CQL null-vs-unset semantics (SURVEY §7 'What's
+    hard' #2): for PK matches each update cell overwrites the base cell —
+    except under 'unset', where a NULL update cell leaves the base cell
+    untouched (an unset bound value in CQL); under 'null' it tombstones
+    (overwrites with null). Update-only rows insert, base-only rows
+    survive. One full-outer PK join, per-cell CASE projection — the
+    row-level merge (plans/upsert.py) is the special case where every cell
+    is present."""
+    if policy not in ("null", "unset"):
+        raise ValueError(f"null policy must be 'null' or 'unset', got {policy!r}")
+    b, u = base.alias("b"), updates.alias("u")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in pk_cols]
+    joined = b.join(u, cond, "full_outer")
+    upd_present = F.col(f"u.{pk_cols[0]}").isNotNull()
+    out = [F.coalesce(F.col(f"b.{k}"), F.col(f"u.{k}")).alias(k) for k in pk_cols]
+    for c in value_cols:
+        if policy == "unset":
+            v = F.when(upd_present & F.col(f"u.{c}").isNotNull(), F.col(f"u.{c}")).otherwise(
+                F.col(f"b.{c}")
+            )
+        else:
+            v = F.when(upd_present, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}"))
+        out.append(v.alias(c))
+    return joined.select(*out)
+
+
 def guard_counter_write(
     counter_cols: list[str], writetime_col: str | None, ttl_col: str | None
 ) -> None:
