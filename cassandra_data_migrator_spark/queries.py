@@ -2556,6 +2556,67 @@ def q_codec_set_normalize(spark, sf_dir):
     )
 
 
+SPAN_MASK_TOKEN = "<extra_id_0>"
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (single span per doc, deterministic): the
+    span start/length derive from the token-hash of the doc id, the masked
+    text is prefix + sentinel + suffix. Pure substring stitch — scan-bound,
+    the shape every span-corruption data loader needs at scale. Emits md5
+    of the corrupted text plus span bounds so the full string is
+    value-checked compactly."""
+    d = _t(spark, sf_dir, "documents")
+    half = (F.col("n_chars") / 2).cast("bigint")
+    start = (pmod_100(tok(F.col("doc_id"))) % F.greatest(half, F.lit(1))) + 1
+    length = (pmod_100(tok(F.col("doc_id") + 1)) % F.lit(40)) + 10
+    corrupted = F.concat(
+        F.expr("substr(text, 1, CAST(span_start - 1 AS INT))"),
+        F.lit(SPAN_MASK_TOKEN),
+        F.expr("substr(text, CAST(span_start + span_len AS INT))"),
+    )
+    return (
+        d.withColumn("span_start", start)
+        .withColumn("span_len", length)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_len",
+            F.md5(corrupted).alias("corrupted_md5"),
+            F.length(corrupted).cast("bigint").alias("corrupted_len"),
+        )
+    )
+
+
+def q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle split: deterministic (p1, p2) cut points from the
+    doc-id hash divide each text into prefix/middle/suffix; emitted as the
+    three part md5s + lengths (the FIM transform for code/text training).
+    Scan-bound substring arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    third = F.greatest((F.col("n_chars") / 3).cast("bigint"), F.lit(1))
+    p1 = (pmod_100(tok(F.col("doc_id"))) % third) + 1
+    p2 = p1 + (pmod_100(tok(F.col("doc_id") + 2)) % third) + 1
+    prefix = F.expr("substr(text, 1, CAST(p1 - 1 AS INT))")
+    middle = F.expr("substr(text, CAST(p1 AS INT), CAST(p2 - p1 AS INT))")
+    suffix = F.expr("substr(text, CAST(p2 AS INT))")
+    return (
+        d.withColumn("p1", p1)
+        .withColumn("p2", p2)
+        .select(
+            "doc_id",
+            "p1",
+            "p2",
+            F.md5(prefix).alias("prefix_md5"),
+            F.md5(middle).alias("middle_md5"),
+            F.md5(suffix).alias("suffix_md5"),
+            (F.length(prefix) + F.length(middle) + F.length(suffix))
+            .cast("bigint")
+            .alias("total_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2674,6 +2735,8 @@ def queries() -> dict[str, QueryFn]:
         "event_paths": q_event_paths,
         "migrate_null_policy": q_migrate_null_policy,
         "codec_set_normalize": q_codec_set_normalize,
+        "span_corruption": q_span_corruption,
+        "fim_split": q_fim_split,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3095,6 +3158,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "span_corruption": f"""
+            WITH b AS (
+                SELECT doc_id, text,
+                       ({pmod_100_sql(tok_sql("doc_id"))} % GREATEST(n_chars // 2, 1)) + 1
+                           AS span_start,
+                       ({pmod_100_sql(tok_sql("(doc_id + 1)"))} % 40) + 10 AS span_len
+                FROM documents),
+            c AS (
+                SELECT doc_id, span_start, span_len,
+                       substr(text, 1, CAST(span_start - 1 AS INT))
+                       || '{SPAN_MASK_TOKEN}'
+                       || substr(text, CAST(span_start + span_len AS INT)) AS corrupted
+                FROM b)
+            SELECT doc_id, span_start, span_len, md5(corrupted) AS corrupted_md5,
+                   CAST(length(corrupted) AS BIGINT) AS corrupted_len
+            FROM c
+        """,
+        "fim_split": f"""
+            WITH b AS (
+                SELECT doc_id, text,
+                       ({pmod_100_sql(tok_sql("doc_id"))}
+                        % GREATEST(n_chars // 3, 1)) + 1 AS p1,
+                       ({pmod_100_sql(tok_sql("(doc_id + 2)"))}
+                        % GREATEST(n_chars // 3, 1)) AS d2
+                FROM documents),
+            c AS (
+                SELECT doc_id, p1, p1 + d2 + 1 AS p2, text FROM b),
+            p AS (
+                SELECT doc_id, p1, p2,
+                       substr(text, 1, CAST(p1 - 1 AS INT)) AS prefix,
+                       substr(text, CAST(p1 AS INT), CAST(p2 - p1 AS INT)) AS middle,
+                       substr(text, CAST(p2 AS INT)) AS suffix
+                FROM c)
+            SELECT doc_id, p1, p2, md5(prefix) AS prefix_md5, md5(middle) AS middle_md5,
+                   md5(suffix) AS suffix_md5,
+                   CAST(length(prefix) + length(middle) + length(suffix) AS BIGINT)
+                       AS total_len
+            FROM p
         """,
         "migrate_null_policy": """
             SELECT o_orderkey,
