@@ -131,6 +131,50 @@ def timestamp_add_duration(ts: Column, dur: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# inet / timeuuid codecs (SURVEY.md §1.2: inet → dotted-quad string,
+# timeuuid → canonical v1 text; all arithmetic is portable integer div/mod so
+# the DuckDB oracle reproduces it bit-for-bit — no engine bit operators)
+
+GREGORIAN_OFFSET_100NS = 122_192_928_000_000_000  # 1582-10-15 → 1970-01-01
+
+
+def _hex_field(c: Column, width: int) -> Column:
+    return F.lpad(F.lower(F.hex(c)), width, "0")
+
+
+def inet_from_int(c: Column) -> Column:
+    """IPv4 dotted-quad text from a BIGINT in [0, 2^32)."""
+    return F.concat_ws(
+        ".",
+        (c / 16777216).cast("bigint").cast("string"),
+        ((c / 65536).cast("bigint") % 256).cast("string"),
+        ((c / 256).cast("bigint") % 256).cast("string"),
+        (c % 256).cast("string"),
+    )
+
+
+def timeuuid_from_parts(ts_us: Column, clock_seq: Column, node: Column) -> Column:
+    """Canonical RFC-4122 v1 (timeuuid) text from an epoch-µs timestamp, a
+    14-bit clock sequence, and a 48-bit node id: 60-bit timestamp in 100 ns
+    units since the Gregorian epoch, split little-endian-by-field into
+    time_low / time_mid / time_hi+version, variant bits on clock_seq_hi."""
+    t = ts_us * 10 + F.lit(GREGORIAN_OFFSET_100NS)
+    time_low = t % F.lit(4294967296)
+    time_mid = (t / F.lit(4294967296)).cast("bigint") % F.lit(65536)
+    time_hi = (t / F.lit(281474976710656)).cast("bigint") % F.lit(4096) + F.lit(0x1000)
+    cs = clock_seq % F.lit(16384) + F.lit(0x8000)  # variant 10xx
+    nd = node % F.lit(281474976710656)
+    return F.concat_ws(
+        "-",
+        _hex_field(time_low, 8),
+        _hex_field(time_mid, 4),
+        _hex_field(time_hi, 4),
+        _hex_field(cs, 4),
+        _hex_field(nd, 12),
+    )
+
+
+# ---------------------------------------------------------------------------
 # blob codecs
 
 

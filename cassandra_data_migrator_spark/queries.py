@@ -2617,6 +2617,24 @@ def q_fim_split(spark, sf_dir):
     )
 
 
+def q_codec_inet_timeuuid(spark, sf_dir):
+    """inet + timeuuid codecs (the last unoracled §1.2 type mappings):
+    IPv4 dotted-quad from a hash-derived int, and the canonical RFC-4122 v1
+    timeuuid built from (ts_us, clock_seq, node) — all portable integer
+    div/mod + hex formatting, reproduced exactly by the oracle. Scan-bound."""
+    e = _t(spark, sf_dir, "events")
+    ip_int = pmod_100(tok(F.col("event_id"))) * F.lit(42949672) + (
+        F.col("event_id") % F.lit(4294967)
+    )
+    return e.select(
+        "event_id",
+        codecs.inet_from_int(ip_int).alias("inet_str"),
+        codecs.timeuuid_from_parts(
+            F.col("ts_us"), F.col("event_id"), F.col("user_id")
+        ).alias("timeuuid_str"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2737,6 +2755,7 @@ def queries() -> dict[str, QueryFn]:
         "codec_set_normalize": q_codec_set_normalize,
         "span_corruption": q_span_corruption,
         "fim_split": q_fim_split,
+        "codec_inet_timeuuid": q_codec_inet_timeuuid,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3158,6 +3177,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
+        """,
+        "codec_inet_timeuuid": f"""
+            WITH b AS (
+                SELECT event_id,
+                       ({pmod_100_sql(tok_sql("event_id"))} * 42949672
+                        + (event_id % 4294967)) AS ip,
+                       epoch_us(ts) * 10 + {codecs.GREGORIAN_OFFSET_100NS} AS t,
+                       (event_id % 16384) + 32768 AS cs,
+                       user_id % 281474976710656 AS nd
+                FROM events)
+            SELECT event_id,
+                   CAST(ip // 16777216 AS VARCHAR) || '.'
+                   || CAST((ip // 65536) % 256 AS VARCHAR) || '.'
+                   || CAST((ip // 256) % 256 AS VARCHAR) || '.'
+                   || CAST(ip % 256 AS VARCHAR) AS inet_str,
+                   lpad(lower(hex(t % 4294967296)), 8, '0') || '-'
+                   || lpad(lower(hex((t // 4294967296) % 65536)), 4, '0') || '-'
+                   || lpad(lower(hex((t // 281474976710656) % 4096 + 4096)), 4, '0') || '-'
+                   || lpad(lower(hex(cs)), 4, '0') || '-'
+                   || lpad(lower(hex(nd)), 12, '0') AS timeuuid_str
+            FROM b
         """,
         "span_corruption": f"""
             WITH b AS (
