@@ -2635,6 +2635,34 @@ def q_codec_inet_timeuuid(spark, sf_dir):
     )
 
 
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_frontend_q1(spark, sf_dir):
+    """The SQL frontend, exercised end-to-end: fixture tables registered as
+    views, TPC-H Q1 (pricing summary) submitted as SQL TEXT through
+    spark.sql — the query surface the reference entirely lacks (its API is
+    a properties file, SURVEY §2 'explicitly ABSENT') and Spark provides
+    for free. The oracle runs the IDENTICAL SQL string on DuckDB — one
+    text, two engines, hash-equal results."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(TPCH_Q1_SQL)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2756,6 +2784,7 @@ def queries() -> dict[str, QueryFn]:
         "span_corruption": q_span_corruption,
         "fim_split": q_fim_split,
         "codec_inet_timeuuid": q_codec_inet_timeuuid,
+        "sql_frontend_q1": q_sql_frontend_q1,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3178,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE octet_length(encode(text)) + octet_length(encode(lang))
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
+        "sql_frontend_q1": TPCH_Q1_SQL,
         "codec_inet_timeuuid": f"""
             WITH b AS (
                 SELECT event_id,
