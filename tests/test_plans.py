@@ -204,6 +204,15 @@ def test_validate_diff_composite_single_join(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_cdc_delta_full_outer_is_hash_join(spark, sf_dir):
+    """The CDC snapshot diff must run as a co-partitioned hash join (full
+    outer forces SMJ/SHJ — broadcast can't do full outer), never a
+    cartesian/nested-loop."""
+    p = _plan(spark, sf_dir, "cdc_delta_detect")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 # Keys deliberately using Arrow-VECTORIZED Python (pandas_udf GEMM for dense
 # band signatures — interpreted Catalyst lambdas measured 7× slower — and the
 # mapInPandas multimodal digest). Row-at-a-time BatchEvalPython is banned
