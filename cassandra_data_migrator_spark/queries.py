@@ -2663,6 +2663,28 @@ def q_sql_frontend_q1(spark, sf_dir):
     return spark.sql(TPCH_Q1_SQL)
 
 
+def q_ref_integrity_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit (the FK checks a migration
+    must run before cutover): orphaned lineitems (no parent order),
+    childless orders, and distinct-key counts, in one summary row. Two
+    anti-joins on the key — co-partitioned shuffles, no data movement
+    beyond the keys."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    counts = [
+        li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems")),
+        o.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")),
+        orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_lineitems")),
+        childless.agg(F.count(F.lit(1)).cast("bigint").alias("n_childless_orders")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2785,6 +2807,7 @@ def queries() -> dict[str, QueryFn]:
         "fim_split": q_fim_split,
         "codec_inet_timeuuid": q_codec_inet_timeuuid,
         "sql_frontend_q1": q_sql_frontend_q1,
+        "ref_integrity_audit": q_ref_integrity_audit,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3208,6 +3231,16 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "ref_integrity_audit": """
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                       AS n_orphan_lineitems,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+                       AS n_childless_orders
+        """,
         "codec_inet_timeuuid": f"""
             WITH b AS (
                 SELECT event_id,
