@@ -78,6 +78,56 @@ def test_streaming_migrate_matches_batch(spark, sf_dir, tmp_path):
     assert g == b
 
 
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark's late-data contract: a row arriving in a later batch
+    whose event time sits beyond the watermark is DROPPED — the finalized
+    window's count never changes and no duplicate window row is appended.
+    Two availableNow runs over one checkpoint (watermark persists in the
+    checkpoint across restarts)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.streaming.windows import (
+        run_available_now,
+        streaming_tumbling,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    hour_us = 3_600_000_000
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, "event_id BIGINT, ts_us BIGINT, value DOUBLE")
+        return df.withColumn("ts", F.timestamp_micros("ts_us"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id BIGINT, ts_us BIGINT, value DOUBLE, ts TIMESTAMP")
+            .parquet(str(src))
+        )
+        run_available_now(streaming_tumbling(stream, watermark="1 hour"), out, ckpt)
+
+    # batch 1: 3 events in hour 0, spread through hour 5 → watermark = 5h-1h
+    batch1 = [(i, i * hour_us + 1, 1.0) for i in range(6)] + [
+        (10, 100, 1.0),
+        (11, 200, 1.0),
+    ]
+    mk(batch1).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    first = {r.window_start_us: r.n_events for r in spark.read.parquet(out).collect()}
+    assert first.get(0) == 3  # hour-0 window finalized with 3 events
+
+    # batch 2: a LATE hour-0 event (beyond watermark) + a fresh hour-7 event
+    mk([(20, 300, 1.0), (21, 7 * hour_us + 1, 1.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    rows = spark.read.parquet(out).filter(F.col("window_start_us") == 0).collect()
+    assert len(rows) == 1 and rows[0].n_events == 3, (
+        "late row beyond the watermark must be dropped, not appended"
+    )
+
+
 def test_streaming_migrate_merge_upserts_across_restarts(spark, tmp_path):
     """The CDC merge sink: batch 1 loads keys 1-10, a restart with the same
     checkpoint picks up ONLY the new file (keys 5-15 at v2) and upserts it —
