@@ -2663,6 +2663,25 @@ def q_sql_frontend_q1(spark, sf_dir):
     return spark.sql(TPCH_Q1_SQL)
 
 
+def q_codec_date_time(spark, sf_dir):
+    """date / time codecs (§1.2's remaining temporal mappings beyond
+    timestamp): DATE ↔ ISO text, epoch-day number, and CQL time
+    (nanos-of-day) derived from the event timestamp — integer arithmetic +
+    explicit formats, reproduced exactly by the oracle. Scan-bound."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("date_str"),
+        F.datediff(F.to_date(F.col("o_orderdate")), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("epoch_day"),
+        (
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) % F.lit(86_400_000_000))
+            * F.lit(1000)
+        ).alias("nanos_of_day"),  # NTZ parquet read + UTC session → exact µs
+    )
+
+
 def q_ref_integrity_audit(spark, sf_dir):
     """Cross-table referential-integrity audit (the FK checks a migration
     must run before cutover): orphaned lineitems (no parent order),
@@ -2808,6 +2827,7 @@ def queries() -> dict[str, QueryFn]:
         "codec_inet_timeuuid": q_codec_inet_timeuuid,
         "sql_frontend_q1": q_sql_frontend_q1,
         "ref_integrity_audit": q_ref_integrity_audit,
+        "codec_date_time": q_codec_date_time,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3231,6 +3251,14 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "codec_date_time": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                        AS BIGINT) AS epoch_day,
+                   (epoch_us(o_orderdate) % 86400000000) * 1000 AS nanos_of_day
+            FROM orders
+        """,
         "ref_integrity_audit": """
             SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
