@@ -2663,6 +2663,34 @@ def q_sql_frontend_q1(spark, sf_dir):
     return spark.sql(TPCH_Q1_SQL)
 
 
+def q_codec_struct(spark, sf_dir):
+    """tuple / frozen-UDT codec (§1.2 → StructType): pack columns into a
+    struct, then the two directions CDM's UDT codecs need — field extraction
+    back out, and canonical text serialization ('(a, b, c)', the CQL tuple
+    literal shape). Pure projection."""
+    o = _t(spark, sf_dir, "orders")
+    udt = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    packed = o.select("o_orderkey", udt.alias("udt"))
+    return packed.select(
+        "o_orderkey",
+        F.col("udt.s").alias("field_status"),
+        F.col("udt.p").cast("string").alias("field_price_str"),
+        F.concat(
+            F.lit("("),
+            F.col("udt.k").cast("string"),
+            F.lit(", "),
+            F.col("udt.s"),
+            F.lit(", "),
+            F.col("udt.p").cast("string"),
+            F.lit(")"),
+        ).alias("tuple_literal"),
+    )
+
+
 def q_codec_date_time(spark, sf_dir):
     """date / time codecs (§1.2's remaining temporal mappings beyond
     timestamp): DATE ↔ ISO text, epoch-day number, and CQL time
@@ -2828,6 +2856,7 @@ def queries() -> dict[str, QueryFn]:
         "sql_frontend_q1": q_sql_frontend_q1,
         "ref_integrity_audit": q_ref_integrity_audit,
         "codec_date_time": q_codec_date_time,
+        "codec_struct": q_codec_struct,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3251,6 +3280,16 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "codec_struct": """
+            SELECT o_orderkey,
+                   o_orderstatus AS field_status,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                       AS field_price_str,
+                   '(' || CAST(o_orderkey AS VARCHAR) || ', ' || o_orderstatus || ', '
+                   || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || ')'
+                       AS tuple_literal
+            FROM orders
+        """,
         "codec_date_time": """
             SELECT o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS date_str,
