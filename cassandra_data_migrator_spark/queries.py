@@ -2663,6 +2663,25 @@ def q_sql_frontend_q1(spark, sf_dir):
     return spark.sql(TPCH_Q1_SQL)
 
 
+RETRY_SLICES = (0, 5, 10, 15, 20, 25, 30)
+
+
+def q_partition_retry(spark, sf_dir):
+    """Partition-file retry path (#5) under the DRIVER check (was
+    pytest-only): the scan restricted to a failed-slice list
+    (restrict_to_slices — the same codepath the resume/retry jobs use),
+    reported as per-slice row counts. The slice filter is a pure token
+    expression — against a token-aware source it pushes down as range
+    predicates."""
+    from cassandra_data_migrator_spark.operators.partition import restrict_to_slices
+
+    o = _t(spark, sf_dir, "orders")
+    scoped = restrict_to_slices(o, "o_orderkey", NUM_SLICES, list(RETRY_SLICES))
+    return scoped.groupBy("slice_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_cnt")
+    )
+
+
 def q_codec_struct(spark, sf_dir):
     """tuple / frozen-UDT codec (§1.2 → StructType): pack columns into a
     struct, then the two directions CDM's UDT codecs need — field extraction
@@ -2857,6 +2876,7 @@ def queries() -> dict[str, QueryFn]:
         "ref_integrity_audit": q_ref_integrity_audit,
         "codec_date_time": q_codec_date_time,
         "codec_struct": q_codec_struct,
+        "partition_retry": q_partition_retry,
         "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
@@ -3280,6 +3300,14 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "partition_retry": f"""
+            SELECT {slice_id_sql(tok_sql("o_orderkey"), NUM_SLICES)} AS slice_id,
+                   CAST(COUNT(*) AS BIGINT) AS row_cnt
+            FROM orders
+            WHERE {slice_id_sql(tok_sql("o_orderkey"), NUM_SLICES)}
+                  IN ({", ".join(str(s) for s in RETRY_SLICES)})
+            GROUP BY 1
+        """,
         "codec_struct": """
             SELECT o_orderkey,
                    o_orderstatus AS field_status,
