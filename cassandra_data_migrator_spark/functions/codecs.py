@@ -159,9 +159,16 @@ def timeuuid_from_parts(ts_us: Column, clock_seq: Column, node: Column) -> Colum
     units since the Gregorian epoch, split little-endian-by-field into
     time_low / time_mid / time_hi+version, variant bits on clock_seq_hi."""
     t = ts_us * 10 + F.lit(GREGORIAN_OFFSET_100NS)
+    # Exact bigint field splits: Spark `/` is double division, and t ≈ 1.4e17
+    # exceeds 2^53, so (t / 2^32) can round to the wrong quotient when t is
+    # within a few ULPs of a multiple of 2^32. Subtract the remainder first so
+    # every numerator is an exact multiple (< 2^48 resp. a small multiple of
+    # 2^48), which doubles represent exactly — bit-identical to integer `//`.
     time_low = t % F.lit(4294967296)
-    time_mid = (t / F.lit(4294967296)).cast("bigint") % F.lit(65536)
-    time_hi = (t / F.lit(281474976710656)).cast("bigint") % F.lit(4096) + F.lit(0x1000)
+    time_mid = ((t % F.lit(281474976710656) - time_low) / F.lit(4294967296)).cast("bigint")
+    time_hi = ((t - t % F.lit(281474976710656)) / F.lit(281474976710656)).cast("bigint") % F.lit(
+        4096
+    ) + F.lit(0x1000)
     cs = clock_seq % F.lit(16384) + F.lit(0x8000)  # variant 10xx
     nd = node % F.lit(281474976710656)
     return F.concat_ws(

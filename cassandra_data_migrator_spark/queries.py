@@ -2642,7 +2642,7 @@ TPCH_Q1_SQL = """
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                     * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc
+           ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_disc
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
     GROUP BY l_returnflag, l_linestatus

@@ -69,6 +69,45 @@ def test_codec_numeric_string(spark):
     assert (row.ds, row.is_, row.bi) == ("17.50", "42", 123)
 
 
+def test_timeuuid_exact_at_field_boundaries(spark):
+    """The 60-bit timestamp field split must be exact integer division: the
+    gregorian-offset timestamp t ≈ 1.4e17 exceeds 2^53, so a naive double
+    `/` rounds the quotient wrong when t sits within a few ULPs of a
+    multiple of 2^32 / 2^48 (round-3 advice). Pin t values straddling those
+    boundaries against Python's exact `//`."""
+    from cassandra_data_migrator_spark.functions.codecs import (
+        GREGORIAN_OFFSET_100NS,
+        timeuuid_from_parts,
+    )
+
+    cases = []
+    for mult, ks in ((2**32, (32000000, 32500000)), (2**48, (494, 495))):
+        for k in ks:
+            for d in range(-10, 11):
+                ts_us, rem = divmod(k * mult + d - GREGORIAN_OFFSET_100NS, 10)
+                if rem == 0 and ts_us > 0:
+                    cases.append(ts_us)
+    assert cases, "boundary case generator produced nothing"
+    df = spark.createDataFrame(
+        [(c, i % 16384, (i * 2654435761) % 2**48) for i, c in enumerate(cases)],
+        "ts_us long, cs long, nd long",
+    )
+    out = df.select(
+        "ts_us", "cs", "nd",
+        timeuuid_from_parts(F.col("ts_us"), F.col("cs"), F.col("nd")).alias("u"),
+    ).collect()
+    for r in out:
+        t = r.ts_us * 10 + GREGORIAN_OFFSET_100NS
+        exp = "-".join([
+            f"{t % 2**32:08x}",
+            f"{(t // 2**32) % 2**16:04x}",
+            f"{(t // 2**48) % 2**12 + 0x1000:04x}",
+            f"{r.cs % 16384 + 0x8000:04x}",
+            f"{r.nd % 2**48:012x}",
+        ])
+        assert r.u == exp, f"ts_us={r.ts_us}: {r.u} != {exp}"
+
+
 def test_timestamp_to_millis_truncates(spark):
     df = spark.createDataFrame([(1704067798778549,)], "us LONG")
     assert df.select(codecs.timestamp_to_millis(F.col("us")).alias("ms")).first().ms == 1704067798778

@@ -36,6 +36,10 @@ def _norm(rows, cols):
         vals = []
         for c in cols:
             v = r[c]
+            if hasattr(v, "item") and not isinstance(v, (bytes, bytearray)):
+                # duckdb fetchdf() yields numpy scalars; under numpy>=2 their
+                # repr() is 'np.int64(5)' which would mismatch the Spark side.
+                v = v.item()
             if isinstance(v, float):
                 if math.isnan(v):
                     v = None
