@@ -62,6 +62,46 @@ def assign_clusters(
     return df.withColumn("cluster", best["c"]).withColumn("sq_dist", best["d"])
 
 
+def _sq_dist_exact(v, centroid: list[float]):
+    """Squared Euclidean distance as an EXACT decimal sum: each per-dimension
+    squared diff is computed in double (IEEE-identical on any engine), cast
+    to DECIMAL(28,12), then summed — order-independent, so an argmin over
+    these distances is engine-portable (the plain double fold in `_sq_dist`
+    is summation-order-dependent and only safe within one engine)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(v, c, lambda a, b: ((a - b) * (a - b)).cast("decimal(28,12)"))
+    return F.aggregate(
+        diff,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    )
+
+
+def assign_clusters_exact(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment under FIXED centroids with a portable tie-break: append
+    'cluster_id' (the centroid's id) and 'sq_dist' (decimal). Distances are
+    exact decimal sums (see _sq_dist_exact) and ties break toward the lower
+    centroid id via struct ordering, so an ANSI-SQL oracle doing the same
+    argmin agrees bit-for-bit. Same plan shape as `assign_clusters`: the
+    argmin is a codegen'd projection over the scan — the corpus is never
+    shuffled."""
+    v = as_double_array(vec_col)
+    scored = F.array(
+        *[
+            F.struct(_sq_dist_exact(v, vec).alias("d"), F.lit(int(cid)).alias("c"))
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_min(scored)
+    return df.withColumn("cluster_id", best["c"].cast("bigint")).withColumn(
+        "sq_dist", best["d"]
+    )
+
+
 def lloyd_kmeans(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -40,6 +40,49 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex_prefix: str = "0",
+) -> DataFrame:
+    """Content-defined chunking (Rabin/CDC-style, over word tokens): a token
+    whose md5 starts with ``boundary_hex_prefix`` ENDS a chunk, so chunk
+    boundaries move with content — insertions shift only the chunk they land
+    in, leaving every other chunk's hash stable (the property fixed-stride
+    chunking lacks, and what makes sub-document dedup across crawl snapshots
+    work). Expected chunk length = 16^len(prefix) tokens.
+
+    Output: (id, chunk_seq, n_tokens, chunk_hash) — one md5 per chunk, ready
+    for a hash-groupBy exact dedup at chunk granularity.
+
+    Plan shape: posexplode (map-side fan-out) → one per-doc window for the
+    running boundary count (partitioned by doc — distributed, no global
+    window) → one groupBy(doc, chunk) shuffle keyed by the doc id, so skew
+    is bounded by the longest single document, not the corpus. The boundary
+    hash is md5 (portable), not murmur3 (engine-specific)."""
+    toked = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
+    is_boundary = F.startswith(F.md5(F.col("word")), F.lit(boundary_hex_prefix)).cast("int")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toked.select(
+        id_col,
+        "pos",
+        "word",
+        F.coalesce(F.sum(is_boundary).over(w), F.lit(0)).cast("bigint").alias("chunk_seq"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda s: s["word"]
+    )
+    return chunked.groupBy(id_col, "chunk_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ")).alias("chunk_hash"),
+    )
+
+
 def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Inverted index: one row per (shingle, doc) — the candidate generator.
     Tokens are projected to a concrete column before shingling so the regex

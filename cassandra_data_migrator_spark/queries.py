@@ -2752,6 +2752,203 @@ def q_ref_integrity_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions
+
+KMEANS_ASSIGN_K = 8
+MINHASH_AUDIT_THRESHOLD = 0.5
+MINHASH_RECALL_MIN = 0.6  # measured 1.0 at sf0.001/0.01/0.1; see BASELINE.md
+GUARDRAIL_PART_MAX_ROWS = 70
+GUARDRAIL_PART_MAX_BYTES = 3900
+SKEW_STATS_TOP_N = 20
+TTL_EXPIRY_REF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+_EVENT_PAYLOAD_BYTES_SQL = (
+    "octet_length(encode(event_type)) + octet_length(encode(props)) + 32"
+)
+
+
+def _event_payload_bytes():
+    """Payload-bytes proxy shared by the partition guardrail/skew keys:
+    string payload + 8 bytes per fixed-width column (event_id, ts, user_id,
+    value). A function, not a module constant — Column construction needs an
+    active session."""
+    return (F.octet_length("event_type") + F.octet_length("props") + F.lit(32)).cast(
+        "bigint"
+    )
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """k-means assignment under FIXED centroids (the SQL-expressible core of
+    the iterative trainer, upgrading the kmeans family from rows-only to
+    oracled): centroids = the k smallest-id corpus vectors (lloyd_kmeans's
+    deterministic init), distance = exact DECIMAL sum of per-dim squared
+    diffs so the argmin is engine-portable (double folds are summation-order
+    -dependent; decimals aren't). The k·dim centroid collect is the same
+    bounded driver sync the trainer does; assignment itself is a codegen'd
+    projection over the scan — the corpus never shuffles."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
+    from cassandra_data_migrator_spark.operators.cluster import assign_clusters_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_ASSIGN_K)
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .collect()
+    )  # bounded: exactly k rows of dim doubles (same sync lloyd_kmeans does)
+    centroids = [(int(r["vec_id"]), list(r["v"])) for r in init]
+    assigned = assign_clusters_exact(emb, centroids, "embedding")
+    return assigned.select(
+        "vec_id",
+        "cluster_id",
+        F.round(F.col("sq_dist").cast("double"), 4).alias("dist_r"),
+    )
+
+
+def q_minhash_recall_audit(spark, sf_dir):
+    """MinHash-LSH quality contract under the driver check (the twin of
+    ann_recall_audit, turning the last meaningful rows-only family into a
+    contract): recall of the banded candidate generator against the EXACT
+    n-gram Jaccard pair set at a matched threshold, emitted as a
+    within-floor boolean (oracle = TRUE, n_exact computed exactly by the
+    oracle's shingle pipeline). Pins that the banding never silently
+    collapses: an all-one-bucket regression would blow the bucket guard,
+    an empty-join regression scores 0.0 < floor."""
+    d = _t(spark, sf_dir, "documents")
+    exact = (
+        dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=MINHASH_AUDIT_THRESHOLD)
+        .select("id_a", "id_b")
+        .localCheckpoint()  # feeds both the count and the hit join
+    )
+    sigs = dedup.minhash_signatures(d, num_hashes=32)
+    cands = dedup.lsh_candidate_pairs(sigs, num_bands=8)
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = exact.join(cands, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return n_exact.crossJoin(F.broadcast(n_hit)).select(
+        "n_exact",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") / F.col("n_exact") >= MINHASH_RECALL_MIN)
+        ).alias("recall_ok"),
+    )
+
+
+def q_guardrail_partition_rows(spark, sf_dir):
+    """Wide-partition guardrail (#23's missing half — CDM's guardrail is
+    col-size only, but the classic Cassandra failure is the partition that
+    grew without bound): partition keys whose row count OR summed payload
+    bytes exceed the thresholds. One partial-agg shuffle on the partition
+    key; scan-dominated at 100 TB."""
+    from cassandra_data_migrator_spark.operators.guardrail import partition_rows_guardrail
+
+    e = _t(spark, sf_dir, "events")
+    return partition_rows_guardrail(
+        e,
+        ["user_id"],
+        _event_payload_bytes(),
+        max_rows=GUARDRAIL_PART_MAX_ROWS,
+        max_bytes=GUARDRAIL_PART_MAX_BYTES,
+    )
+
+
+def q_partition_skew_stats(spark, sf_dir):
+    """Pre-migration skew diagnostics: the top-N heaviest partition keys
+    with rows, payload bytes and skew ratio vs the mean partition — what
+    decides whether the migrate needs salting/AQE skew handling BEFORE it
+    burns cluster-days. Per-key partial agg + broadcast 1-row mean +
+    TakeOrdered; deterministic (rows desc, key) order on exact bigints."""
+    from cassandra_data_migrator_spark.operators.guardrail import partition_key_stats
+
+    e = _t(spark, sf_dir, "events")
+    return partition_key_stats(e, ["user_id"], _event_payload_bytes(), top_n=SKEW_STATS_TOP_N)
+
+
+def q_ttl_expiry(spark, sf_dir):
+    """TTL expiry sweep (the WritetimeTTL feature's operational question:
+    which rows will Cassandra have expired by time T, so the migrate can
+    skip them): expiry = max(writetimes) + max(ttls)·1e6 ≤ REF. Pure bigint
+    projection + filter over the scan — pushdown-friendly, no shuffle."""
+    e = attach_event_writetimes(attach_event_ttls(_t(spark, sf_dir, "events")))
+    expiry = (
+        max_writetime(["__writetime_value", "__writetime_props"])
+        + max_ttl(["__ttl_value", "__ttl_props"]) * F.lit(1_000_000)
+    ).cast("bigint")
+    return (
+        e.select("event_id", "user_id", expiry.alias("expiry_us"))
+        .filter(F.col("expiry_us") <= F.lit(TTL_EXPIRY_REF_US))
+    )
+
+
+def q_rolling_hash_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin/CDC-style) at token granularity:
+    boundaries where md5(token) starts with '0' (expected chunk ≈ 16
+    tokens), so chunk hashes are stable under insertions — the sub-document
+    dedup primitive fixed-stride chunking (doc_chunking) can't provide.
+    See operators/dedup.py content_defined_chunks for the plan shape."""
+    return dedup.content_defined_chunks(_t(spark, sf_dir, "documents"))
+
+
+TPCH_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+TPCH_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+def q_sql_frontend_q3(spark, sf_dir):
+    """SQL frontend breadth beyond Q1 (round-3 verdict #6): TPC-H Q3
+    (shipping priority — the join plan join_agg_pipeline pins) submitted as
+    SQL TEXT; the top-10 is deterministic because revenue is an exact
+    decimal sum (ties broken by l_orderkey). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(TPCH_Q3_SQL)
+
+
+def q_sql_frontend_q5(spark, sf_dir):
+    """TPC-H Q5 as SQL text (the six-table join regional_revenue pins, with
+    the customer-nation == supplier-nation constraint). One text, two
+    engines, hash-equal results."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    return spark.sql(TPCH_Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 # Keys deliberately declared WITHOUT a DuckDB oracle (engine-specific hash
@@ -2784,7 +2981,59 @@ def queries() -> dict[str, QueryFn]:
     per-key verified-in-round ledger.
     """
     return {
-        # --- never driver-verified (r03 verification window head, 50 keys) ---
+        # --- never driver-verified: r03 additions (r04 window, 42 keys) ---
+        "codec_duration": q_codec_duration,
+        "codec_blob": q_codec_blob,
+        "validate_diff_composite": q_validate_diff_composite,
+        "bm25_topk": q_bm25_topk,
+        "oov_rate": q_oov_rate,
+        "sentence_split": q_sentence_split,
+        "user_event_types": q_user_event_types,
+        "salted_join": q_salted_join,
+        "schema_evolution": q_schema_evolution,
+        "text_normalize": q_text_normalize,
+        "migrate_incremental": q_migrate_incremental,
+        "weighted_sample": q_weighted_sample,
+        "group_topk_pct": q_group_topk_pct,
+        "window_time_range": q_window_time_range,
+        "bigram_pmi": q_bigram_pmi,
+        "graph_degree": q_graph_degree,
+        "multimodal_extract": q_multimodal_extract,
+        "cdc_delta_detect": q_cdc_delta_detect,
+        "json_key_profile": q_json_key_profile,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "vocab_zipf_slope": q_vocab_zipf_slope,
+        "approx_distinct_audit": q_approx_distinct_audit,
+        "approx_percentile_audit": q_approx_percentile_audit,
+        "guardrail_rowsize": q_guardrail_rowsize,
+        "graph_triangles": q_graph_triangles,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
+        "ann_recall_audit": q_ann_recall_audit,
+        "quarantine_split": q_quarantine_split,
+        "running_distinct": q_running_distinct,
+        "event_paths": q_event_paths,
+        "migrate_null_policy": q_migrate_null_policy,
+        "codec_set_normalize": q_codec_set_normalize,
+        "span_corruption": q_span_corruption,
+        "fim_split": q_fim_split,
+        "codec_inet_timeuuid": q_codec_inet_timeuuid,
+        "sql_frontend_q1": q_sql_frontend_q1,
+        "ref_integrity_audit": q_ref_integrity_audit,
+        "codec_date_time": q_codec_date_time,
+        "codec_struct": q_codec_struct,
+        "partition_retry": q_partition_retry,
+        "kmeans_clusters": q_kmeans_clusters,
+        # --- new in r04 (inside the window alongside the 42) ---
+        "kmeans_assign": q_kmeans_assign,
+        "minhash_recall_audit": q_minhash_recall_audit,
+        "guardrail_partition_rows": q_guardrail_partition_rows,
+        "partition_skew_stats": q_partition_skew_stats,
+        "ttl_expiry": q_ttl_expiry,
+        "rolling_hash_chunks": q_rolling_hash_chunks,
+        "sql_frontend_q3": q_sql_frontend_q3,
+        "sql_frontend_q5": q_sql_frontend_q5,
+        # --- driver-verified r03 (local parity keeps covering these) ---
         "window_lag_lead": q_window_lag_lead,
         "date_rollup": q_date_rollup,
         "semi_anti_join": q_semi_anti_join,
@@ -2835,49 +3084,6 @@ def queries() -> dict[str, QueryFn]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "chunk_dedup": q_chunk_dedup,
         "winsorize_clamp": q_winsorize_clamp,
-        # --- new in r03 + rows-only rotation (lead r04's window) ---
-        "codec_duration": q_codec_duration,
-        "codec_blob": q_codec_blob,
-        "validate_diff_composite": q_validate_diff_composite,
-        "bm25_topk": q_bm25_topk,
-        "oov_rate": q_oov_rate,
-        "sentence_split": q_sentence_split,
-        "user_event_types": q_user_event_types,
-        "salted_join": q_salted_join,
-        "schema_evolution": q_schema_evolution,
-        "text_normalize": q_text_normalize,
-        "migrate_incremental": q_migrate_incremental,
-        "weighted_sample": q_weighted_sample,
-        "group_topk_pct": q_group_topk_pct,
-        "window_time_range": q_window_time_range,
-        "bigram_pmi": q_bigram_pmi,
-        "graph_degree": q_graph_degree,
-        "multimodal_extract": q_multimodal_extract,
-        "cdc_delta_detect": q_cdc_delta_detect,
-        "json_key_profile": q_json_key_profile,
-        "dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "vocab_zipf_slope": q_vocab_zipf_slope,
-        "approx_distinct_audit": q_approx_distinct_audit,
-        "approx_percentile_audit": q_approx_percentile_audit,
-        "guardrail_rowsize": q_guardrail_rowsize,
-        "graph_triangles": q_graph_triangles,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
-        "ann_recall_audit": q_ann_recall_audit,
-        "quarantine_split": q_quarantine_split,
-        "running_distinct": q_running_distinct,
-        "event_paths": q_event_paths,
-        "migrate_null_policy": q_migrate_null_policy,
-        "codec_set_normalize": q_codec_set_normalize,
-        "span_corruption": q_span_corruption,
-        "fim_split": q_fim_split,
-        "codec_inet_timeuuid": q_codec_inet_timeuuid,
-        "sql_frontend_q1": q_sql_frontend_q1,
-        "ref_integrity_audit": q_ref_integrity_audit,
-        "codec_date_time": q_codec_date_time,
-        "codec_struct": q_codec_struct,
-        "partition_retry": q_partition_retry,
-        "kmeans_clusters": q_kmeans_clusters,
         # --- driver-verified r01/r02 (local parity keeps covering these) ---
         "scan_project": q_scan_project,
         "const_columns": q_const_columns,
@@ -3300,6 +3506,96 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "sql_frontend_q3": TPCH_Q3_SQL,
+        "sql_frontend_q5": TPCH_Q5_SQL,
+        "kmeans_assign": f"""
+            WITH cents AS (
+                SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                ORDER BY vec_id LIMIT {KMEANS_ASSIGN_K}
+            ),
+            dims AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            dists AS (
+                SELECT d.vec_id, c.c_id,
+                       SUM(CAST((CAST(d.x AS DOUBLE) - CAST(c.cv[d.i] AS DOUBLE))
+                                * (CAST(d.x AS DOUBLE) - CAST(c.cv[d.i] AS DOUBLE))
+                                AS DECIMAL(28,12))) AS dist
+                FROM dims d CROSS JOIN cents c
+                GROUP BY d.vec_id, c.c_id
+            ),
+            best AS (
+                SELECT vec_id, c_id, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+                FROM dists
+            )
+            SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id,
+                   ROUND(CAST(dist AS DOUBLE), 4) AS dist_r
+            FROM best WHERE rn = 1
+        """,
+        "minhash_recall_audit": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {MINHASH_AUDIT_THRESHOLD})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM pairs
+        """,
+        "guardrail_partition_rows": f"""
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS part_rows,
+                   CAST(SUM({_EVENT_PAYLOAD_BYTES_SQL}) AS BIGINT) AS part_bytes
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) > {GUARDRAIL_PART_MAX_ROWS}
+                OR SUM({_EVENT_PAYLOAD_BYTES_SQL}) > {GUARDRAIL_PART_MAX_BYTES}
+        """,
+        "partition_skew_stats": f"""
+            WITH per_key AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS part_rows,
+                       CAST(SUM({_EVENT_PAYLOAD_BYTES_SQL}) AS BIGINT) AS part_bytes
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, part_rows, part_bytes,
+                   ROUND(part_rows / (AVG(part_rows) OVER ()), 4) AS skew_ratio
+            FROM per_key
+            ORDER BY part_rows DESC, user_id
+            LIMIT {SKEW_STATS_TOP_N}
+        """,
+        "ttl_expiry": f"""
+            SELECT event_id, user_id,
+                   CAST(greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})
+                        + greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL}) * 1000000
+                        AS BIGINT) AS expiry_us
+            FROM events
+            WHERE greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})
+                  + greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL}) * 1000000
+                  <= {TTL_EXPIRY_REF_US}
+        """,
+        "rolling_hash_chunks": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, unnest(ts) AS word,
+                           generate_subscripts(ts, 1) AS pos FROM toks),
+            b AS (SELECT doc_id, pos, word,
+                         CASE WHEN md5(word) LIKE '0%' THEN 1 ELSE 0 END AS is_b
+                  FROM pos),
+            seq AS (SELECT doc_id, pos, word,
+                           COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                    0) AS chunk_seq
+                    FROM b)
+            SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+            FROM seq GROUP BY doc_id, chunk_seq
+        """,
         "partition_retry": f"""
             SELECT {slice_id_sql(tok_sql("o_orderkey"), NUM_SLICES)} AS slice_id,
                    CAST(COUNT(*) AS BIGINT) AS row_cnt
