@@ -75,11 +75,13 @@ def main() -> None:
         "spark_version": spark.version,
     }
     spark.stop()
-    # BENCH_r02.json's stdout capture truncated the head of the (long) JSON
-    # line, losing 27 per-query numbers (r2 verdict, Next round #4). Persist
-    # the full result to a file the driver/judge can always read, THEN print
-    # the one-line contract JSON (separators= keeps the line as short as
-    # possible for tail-capture robustness).
+    # The driver captures only the TAIL (last ~2000 chars) of stdout, so a
+    # JSON line carrying all 150 per-query numbers never parses (r01-r03:
+    # `parsed: null`). Persist the FULL sweep to BENCH_FULL.json, then print
+    # a stdout line guaranteed to fit the capture window: the aggregate
+    # numbers plus as many per-query timings as fit under the budget,
+    # slowest keys first (they carry the signal; BENCH_FULL.json has the
+    # rest).
     out_file = os.environ.get(
         "BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     )
@@ -89,8 +91,20 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still the contract
+    STDOUT_BUDGET = 1800  # chars; driver tail-capture window is 2000
+    compact = dict(result)
+    compact["queries_total_n"] = len(timings)
+    compact["full_sweep_file"] = os.path.basename(out_file)
+    by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+    keep = len(by_cost)
+    while keep > 0:
+        compact["queries"] = {k: timings[k] for k in by_cost[:keep]}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= STDOUT_BUDGET:
+            break
+        keep -= max(1, (len(line) - STDOUT_BUDGET) // 30)
     sys.stdout.flush()
-    print(json.dumps(result, separators=(",", ":")))
+    print(line)
 
 
 if __name__ == "__main__":
