@@ -101,6 +101,19 @@ class UnknownJobError(ValueError):
     """Mirror of entrypoint.sh:240-242 — unknown job name aborts."""
 
 
+class ConfigValueError(ValueError):
+    """A known key with an out-of-range value."""
+
+
+# Run tracking materializes one manifest row per slice on the driver
+# (plans/tracking.py record_slices) — bounded state ONLY because numParts is
+# bounded. 10^4 slices ≈ a few hundred KB of driver memory; beyond that the
+# cap below rejects the config rather than letting the bookkeeping collect
+# grow unbounded. (CDM itself defaults numParts to ~2×-of-cores scale; 10^4
+# covers any real token-ring split while keeping the tracking tables tiny.)
+MAX_NUM_PARTS = 10_000
+
+
 def _coerce(key: str, value: Any) -> Any:
     typ, _ = KNOWN_KEYS[key]
     if isinstance(value, typ):
@@ -147,6 +160,12 @@ class MigrationConfig:
                     f"Error: {key} is not a known spark.cdm property"
                 )
             normalized[canonical] = _coerce(canonical, _resolve_env_indirection(value))
+        n_parts = normalized.get("spark.cdm.perfops.numParts")
+        if n_parts is not None and not (1 <= n_parts <= MAX_NUM_PARTS):
+            raise ConfigValueError(
+                f"spark.cdm.perfops.numParts={n_parts} out of range [1, {MAX_NUM_PARTS}]"
+                " — the run-tracking manifest is numParts driver-side rows"
+            )
         self.values = normalized
 
     @classmethod

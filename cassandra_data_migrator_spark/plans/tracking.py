@@ -54,7 +54,9 @@ class RunTracker:
 
     def record_slices(self, run_id: str, slice_ids: list[int], status: str) -> None:
         details = self.spark.read.parquet(self._details_path(run_id))
-        # The manifest is numParts rows — bounded driver-side state by design.
+        # The manifest is numParts rows — bounded driver-side state by design,
+        # and ENFORCED: config validation caps numParts at config.MAX_NUM_PARTS
+        # (10^4), so this collect is ≤10^4 tiny rows, never corpus-sized.
         # Materialize it before overwriting the path it was read from (parquet
         # is not updatable in place), so no staging directory is needed.
         updated = details.withColumn(

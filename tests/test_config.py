@@ -111,3 +111,17 @@ def test_job_dispatch_aliases():
 def test_job_dispatch_unknown_aborts():
     with pytest.raises(UnknownJobError):
         dispatch_job("compact")
+
+
+def test_num_parts_cap_enforced():
+    """The run-tracking manifest collects numParts driver-side rows
+    (plans/tracking.py record_slices) — bounded only because config
+    validation enforces the cap, not assumes it."""
+    from cassandra_data_migrator_spark.config import ConfigValueError, MigrationConfig
+
+    ok = MigrationConfig({"spark.cdm.perfops.numParts": 10_000})
+    assert ok.get("spark.cdm.perfops.numParts") == 10_000
+    with pytest.raises(ConfigValueError):
+        MigrationConfig({"spark.cdm.perfops.numParts": 10_001})
+    with pytest.raises(ConfigValueError):
+        MigrationConfig({"spark.cdm.perfops.numParts": 0})
