@@ -2889,6 +2889,72 @@ def q_rolling_hash_chunks(spark, sf_dir):
     return dedup.content_defined_chunks(_t(spark, sf_dir, "documents"))
 
 
+IVF_RECALL_MIN = 0.3  # measured 0.48-0.66 at sf0.001/0.01/0.1; see BASELINE.md
+SIMHASH_RECALL_MIN = 0.8  # measured 0.949-1.0 at sf0.001/0.01/0.1
+SIMHASH_AUDIT_MAX_HAMMING = 8
+
+
+def q_ivf_recall_audit(spark, sf_dir):
+    """IVF quality contract (completing the recall-audit family: banded-LSH
+    → ann_recall_audit, MinHash → minhash_recall_audit, IVF → this):
+    aggregate recall@k of the nprobe=2 cell-probed path against exact brute
+    force, within-floor boolean (oracle = TRUE, counts computed exactly).
+    Aggregate rather than per-query: with 8 cells and nprobe=2 a single
+    query CAN legitimately land 0 neighbors (all in unprobed cells); the
+    corpus-level recall is the stable contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(TOPK_QUERY_PRED)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter("vec_id % 97 = 3").orderBy("vec_id").limit(8).collect()
+    ]  # bounded: ≤ 8·dim doubles, the same centroid sync q_topk_similarity_ivf does
+    brute = similarity.brute_force_topk(emb, qs, k=TOPK_K).select(
+        "query_id", "vec_id"
+    ).localCheckpoint()  # feeds both the count and the hit join
+    ivf = similarity.ivf_topk(emb, qs, cents, k=TOPK_K, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
+    n_hit = brute.join(ivf, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return n_brute.crossJoin(F.broadcast(n_hit)).select(
+        "n_brute",
+        (
+            (F.col("n_brute") == 0)
+            | (F.col("n_hit") / F.col("n_brute") >= IVF_RECALL_MIN)
+        ).alias("recall_ok"),
+    )
+
+
+def q_simhash_recall_audit(spark, sf_dir):
+    """SimHash quality contract: recall of the hamming≤8 pigeonhole-banded
+    pair generator against the EXACT n-gram Jaccard pair set at threshold
+    0.5, within-floor boolean — turns the last unaudited near-dup family
+    (simhash_near_dup) into a contract."""
+    d = _t(spark, sf_dir, "documents")
+    exact = (
+        dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=MINHASH_AUDIT_THRESHOLD)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sigs = dedup.simhash(d)
+    pairs = dedup.simhash_near_dup_pairs(sigs, max_hamming=SIMHASH_AUDIT_MAX_HAMMING).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = exact.join(pairs, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return n_exact.crossJoin(F.broadcast(n_hit)).select(
+        "n_exact",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") / F.col("n_exact") >= SIMHASH_RECALL_MIN)
+        ).alias("recall_ok"),
+    )
+
+
 TPCH_Q3_SQL = """
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -3033,6 +3099,9 @@ def queries() -> dict[str, QueryFn]:
         "rolling_hash_chunks": q_rolling_hash_chunks,
         "sql_frontend_q3": q_sql_frontend_q3,
         "sql_frontend_q5": q_sql_frontend_q5,
+        # --- new in r04, past the 50-slot window (lead r05's window) ---
+        "ivf_recall_audit": q_ivf_recall_audit,
+        "simhash_recall_audit": q_simhash_recall_audit,
         # --- driver-verified r03 (local parity keeps covering these) ---
         "window_lag_lead": q_window_lag_lead,
         "date_rollup": q_date_rollup,
@@ -3534,6 +3603,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id,
                    ROUND(CAST(dist AS DOUBLE), 4) AS dist_r
             FROM best WHERE rn = 1
+        """,
+        "ivf_recall_audit": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED}) AS n_brute,
+                   TRUE AS recall_ok
+        """,
+        "simhash_recall_audit": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {MINHASH_AUDIT_THRESHOLD})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM pairs
         """,
         "minhash_recall_audit": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
