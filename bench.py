@@ -45,6 +45,24 @@ def main() -> None:
             rdd.unpersist()
 
     registry = q.queries()
+    # Untimed warm-up: the first timed key otherwise absorbs session JIT /
+    # codegen / parquet-footer warm-up (measured ~2x inflation on whatever
+    # key sits first in the registry). One scan+agg+join pass touches the
+    # machinery every later key reuses.
+    from cassandra_data_migrator_spark.sources.parquet import load_table as _lt
+
+    warm_o = _lt(spark, sf, "orders")
+    warm_li = _lt(spark, sf, "lineitem")
+    (
+        warm_li.join(warm_o, warm_li.l_orderkey == warm_o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    _drop_cached_blocks()
+
     timings: dict[str, float] = {}
     for key, fn in registry.items():
         samples = []
