@@ -213,6 +213,39 @@ def test_cdc_delta_full_outer_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_kmeans_assign_no_shuffle(spark, sf_dir):
+    """Assignment under fixed centroids is a literal-argmin projection over
+    the scan — the corpus must never shuffle (0 exchanges)."""
+    p = _plan(spark, sf_dir, "kmeans_assign", mode="simple")
+    assert "Exchange" not in p, "kmeans_assign shuffles the corpus"
+
+
+def test_ttl_expiry_no_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "ttl_expiry", mode="simple")
+    assert "Exchange" not in p, "ttl_expiry should be a pure scan projection+filter"
+
+
+def test_rolling_hash_chunks_single_exchange(spark, sf_dir):
+    """The per-doc boundary window and the chunk groupBy must REUSE one hash
+    partitioning by doc — two exchanges would mean the window and the
+    aggregation each shuffle the exploded token stream separately."""
+    p = _plan(spark, sf_dir, "rolling_hash_chunks", mode="simple")
+    assert p.count("Exchange") == 1, f"expected exactly 1 exchange:\n{p}"
+
+
+def test_partition_skew_stats_takeordered_no_global_sort(spark, sf_dir):
+    """Top-N must be a TakeOrdered (driver-side heap over partition heads),
+    never a global Sort shuffle; the mean must ride a broadcast."""
+    p = _plan(spark, sf_dir, "partition_skew_stats", mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+
+
+def test_sql_frontend_q5_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sql_frontend_q5", mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 # Keys deliberately using Arrow-VECTORIZED Python (pandas_udf GEMM for dense
 # band signatures — interpreted Catalyst lambdas measured 7× slower — and the
 # mapInPandas multimodal digest). Row-at-a-time BatchEvalPython is banned
