@@ -2955,6 +2955,82 @@ def q_simhash_recall_audit(spark, sf_dir):
     )
 
 
+CHUNK_MIN_TOKENS = 5  # ignore sub-5-token chunks in cross-source overlap
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Packing-quality audit over seq_packing's bins: per shard, total
+    tokens, bin count (contiguous cumsum ⇒ n_bins = floor((total−1)/B)+1)
+    and fill ratio — the number a training-data pipeline watches to decide
+    whether its packing wastes sequence budget. One partial-agg shuffle on
+    the shard key (uniform by construction: shard = doc_id % N)."""
+    d = _t(spark, sf_dir, "documents")
+    per_shard = (
+        d.select(
+            (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
+            token_count_ws("text").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("n_tok").cast("bigint").alias("total_tok"))
+    )
+    n_bins = (F.floor((F.col("total_tok") - 1) / PACK_BIN_TOKENS) + 1).cast("bigint")
+    return per_shard.select(
+        "shard",
+        "total_tok",
+        n_bins.alias("n_bins"),
+        F.round(F.col("total_tok") / (n_bins * PACK_BIN_TOKENS), 4).alias("fill_ratio"),
+    )
+
+
+def q_cross_source_chunk_overlap(spark, sf_dir):
+    """Cross-source boilerplate detection at content-defined-chunk
+    granularity: for each source pair, how many distinct CDC chunk hashes
+    (≥ CHUNK_MIN_TOKENS tokens) they share — the copy/template signal that
+    document-level dedup misses when only a paragraph is reused. Candidate
+    pairs are generated the bucketed way (groupBy(chunk_hash) → sorted
+    source list → in-JVM pair expansion via _pairs_from_sorted_ids), never
+    an index self-join — one shuffle keyed by chunk hash, uniform unless a
+    chunk floods every source (star-guard semantics not needed here because
+    the per-hash list is bounded by the source count, not the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = dedup.content_defined_chunks(d)
+    src_chunks = (
+        chunks.filter(F.col("n_tokens") >= CHUNK_MIN_TOKENS)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "chunk_hash")
+        .distinct()
+    )
+    grouped = (
+        src_chunks.groupBy("chunk_hash")
+        .agg(F.sort_array(F.collect_list("source")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = dedup._pairs_from_sorted_ids(grouped, None)
+    return (
+        pairs.groupBy(F.col("id_a").alias("src_a"), F.col("id_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+def q_writetime_histogram(spark, sf_dir):
+    """Writetime distribution by UTC day — the pre-migration planning
+    histogram that sizes writetime-window batches (#17's filter is only
+    useful once you know where the mass is). Row writetime = CDM's
+    max-over-tracked-cells; one partial-agg shuffle on the day key."""
+    e = attach_event_writetimes(_t(spark, sf_dir, "events"))
+    wt = max_writetime(["__writetime_value", "__writetime_props"])
+    day = F.floor(wt / F.lit(86_400_000_000)).cast("bigint")
+    return (
+        e.select(day.alias("epoch_day"), wt.alias("__wt"))
+        .groupBy("epoch_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("__wt").alias("min_wt_us"),
+            F.max("__wt").alias("max_wt_us"),
+        )
+    )
+
+
 TPCH_Q3_SQL = """
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -3102,6 +3178,9 @@ def queries() -> dict[str, QueryFn]:
         # --- new in r04, past the 50-slot window (lead r05's window) ---
         "ivf_recall_audit": q_ivf_recall_audit,
         "simhash_recall_audit": q_simhash_recall_audit,
+        "packing_efficiency": q_packing_efficiency,
+        "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
+        "writetime_histogram": q_writetime_histogram,
         # --- driver-verified r03 (local parity keeps covering these) ---
         "window_lag_lead": q_window_lag_lead,
         "date_rollup": q_date_rollup,
@@ -3603,6 +3682,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id,
                    ROUND(CAST(dist AS DOUBLE), 4) AS dist_r
             FROM best WHERE rn = 1
+        """,
+        "packing_efficiency": f"""
+            WITH per AS (
+                SELECT doc_id % {PACK_SHARDS} AS shard,
+                       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+                FROM documents),
+            agg AS (SELECT CAST(shard AS BIGINT) AS shard,
+                           CAST(SUM(n_tok) AS BIGINT) AS total_tok
+                    FROM per GROUP BY shard)
+            SELECT shard, total_tok,
+                   CAST(FLOOR((total_tok - 1) / {PACK_BIN_TOKENS}) + 1 AS BIGINT) AS n_bins,
+                   ROUND(total_tok / ((FLOOR((total_tok - 1) / {PACK_BIN_TOKENS}) + 1) * {PACK_BIN_TOKENS}), 4) AS fill_ratio
+            FROM agg
+        """,
+        "cross_source_chunk_overlap": f"""
+            WITH toks AS (SELECT doc_id, source, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, source, unnest(ts) AS word,
+                           generate_subscripts(ts, 1) AS pos FROM toks),
+            b AS (SELECT doc_id, source, pos, word,
+                         CASE WHEN md5(word) LIKE '0%' THEN 1 ELSE 0 END AS is_b FROM pos),
+            seq AS (SELECT doc_id, source, pos, word,
+                           COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_seq
+                    FROM b),
+            chunks AS (SELECT doc_id, source, chunk_seq, COUNT(*) AS n_tokens,
+                              md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+                       FROM seq GROUP BY 1, 2, 3),
+            sc AS (SELECT DISTINCT source, chunk_hash FROM chunks
+                   WHERE n_tokens >= {CHUNK_MIN_TOKENS})
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sc a JOIN sc b ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "writetime_histogram": f"""
+            SELECT CAST(FLOOR(greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL}) / 86400000000) AS BIGINT) AS epoch_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})) AS BIGINT) AS min_wt_us,
+                   CAST(MAX(greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})) AS BIGINT) AS max_wt_us
+            FROM events GROUP BY 1
         """,
         "ivf_recall_audit": f"""
             SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
