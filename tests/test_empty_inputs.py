@@ -71,3 +71,28 @@ def test_where_filter_all_rows_filtered(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     out = transforms.where_filter(li, "l_quantity > 1e18")
     assert out.count() == 0
+
+
+def test_content_chunks_empty(empty_docs):
+    from cassandra_data_migrator_spark.operators.dedup import content_defined_chunks
+
+    assert content_defined_chunks(empty_docs).count() == 0
+
+
+def test_partition_guardrails_empty(empty_events):
+    from cassandra_data_migrator_spark.operators.guardrail import (
+        partition_key_stats,
+        partition_rows_guardrail,
+    )
+
+    payload = F.octet_length("event_type").cast("bigint")
+    assert partition_rows_guardrail(empty_events, ["user_id"], payload, 1, 1).count() == 0
+    assert partition_key_stats(empty_events, ["user_id"], payload, top_n=5).count() == 0
+
+
+def test_assign_clusters_exact_empty(spark):
+    from cassandra_data_migrator_spark.operators.cluster import assign_clusters_exact
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = assign_clusters_exact(df, [(0, [0.0, 0.0])], "embedding")
+    assert out.count() == 0
