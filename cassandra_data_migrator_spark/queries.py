@@ -3031,6 +3031,36 @@ def q_writetime_histogram(spark, sf_dir):
     )
 
 
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: collapse each user's consecutive same-type events
+    into contiguous runs (island start/end time, length) — the classic
+    state-interval reconstruction (SCD-style validity windows, device-state
+    timelines) missing from the window family. Two user-partitioned window
+    passes over the same (user, ts, id) sort — Spark plans ONE shuffle and
+    one sort, both windows ride it — then a partial-agg groupBy keyed by
+    (user, island). Skew bound = one user's events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    change = (
+        (F.col("event_type") != F.lag("event_type").over(w))
+        | F.lag("event_type").over(w).isNull()
+    ).cast("int")
+    islands = e.select(
+        "user_id", "event_type", "ts_us",
+        F.sum(change).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("event_type").alias("event_type"),  # constant within an island
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
 TPCH_Q3_SQL = """
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -3179,6 +3209,7 @@ def queries() -> dict[str, QueryFn]:
         "ivf_recall_audit": q_ivf_recall_audit,
         "simhash_recall_audit": q_simhash_recall_audit,
         "packing_efficiency": q_packing_efficiency,
+        "gaps_islands": q_gaps_islands,
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
         # --- driver-verified r03 (local parity keeps covering these) ---
@@ -3682,6 +3713,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id,
                    ROUND(CAST(dist AS DOUBLE), 4) AS dist_r
             FROM best WHERE rn = 1
+        """,
+        "gaps_islands": """
+            WITH o AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR event_type <> lag(event_type) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            isl AS (
+                SELECT user_id, event_type, ts_us,
+                       SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+                FROM o
+            )
+            SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+                   MIN(event_type) AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(ts_us) AS BIGINT) AS start_us,
+                   CAST(MAX(ts_us) AS BIGINT) AS end_us
+            FROM isl GROUP BY user_id, island_id
         """,
         "packing_efficiency": f"""
             WITH per AS (
