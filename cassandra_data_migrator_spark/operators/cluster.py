@@ -9,9 +9,11 @@ IVF index builds).
 Execution shape (the one that survives 100 TB):
 
 - Centroids are a small driver-side list (k·dim doubles — kilobytes). Each
-  assignment pass embeds them as LITERAL arrays, so the distance argmin is a
-  codegen'd projection over the scan: the corpus is never shuffled for
-  assignment.
+  assignment pass ships them inside an Arrow-vectorized kernel
+  (assign_clusters_arrow): one numpy batch op per record batch, no shuffle
+  of the corpus. (The literal-expression variant `assign_clusters` remains
+  for tiny k·dim / no-Python contexts, but its higher-order lambdas are
+  interpreted, not codegen'd — the Arrow kernel is the scale path.)
 - The update step aggregates per-(cluster, dimension) sums via
   ``posexplode`` + ``groupBy`` — one partial-agg shuffle of k·dim rows per
   iteration, then a bounded ``collect()`` of exactly k·dim rows (the same
@@ -60,6 +62,51 @@ def assign_clusters(
     )
     best = F.array_min(scored)
     return df.withColumn("cluster", best["c"]).withColumn("sq_dist", best["d"])
+
+
+def _assign_arrow_udf(centroids: list[list[float]]):
+    """Arrow-vectorized assignment kernel: per record batch, one numpy
+    broadcast computes every (row, centroid) squared distance at once. The
+    pure-expression path (`assign_clusters`) walks the vector through
+    INTERPRETED higher-order lambdas — Catalyst doesn't codegen them — so
+    at k=8·dim=64 it does 512 interpreted traversals per row; the same
+    lesson as similarity._banded_sigs_arrow (measured ~7× there). Uses the
+    identical ((x−c)²).sum formulation as the numpy reference in
+    tests/test_cluster.py — no expanded-form cancellation."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+
+    def _assign(vs: pandas.Series) -> pandas.DataFrame:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        if len(X) == 0:
+            return pandas.DataFrame({"cluster": [], "sq_dist": []})
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        a = d2.argmin(axis=1)  # ties -> lowest index, as struct-order does
+        return pandas.DataFrame(
+            {"cluster": a.astype("int32"), "sq_dist": d2[np.arange(len(a)), a]}
+        )
+
+    _assign.__annotations__ = {"vs": pandas.Series, "return": pandas.DataFrame}
+    return pandas_udf(_assign, "cluster int, sq_dist double")
+
+
+def assign_clusters_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`assign_clusters` semantics via the Arrow kernel — the declared scale
+    path for corpus-sized assignment (one GEMM-shaped batch op instead of
+    k·dim interpreted lambda traversals per row)."""
+    udf = _assign_arrow_udf(centroids)
+    v = as_double_array(vec_col)
+    out = df.withColumn("__a", udf(v))
+    return out.withColumn("cluster", F.col("__a.cluster")).withColumn(
+        "sq_dist", F.col("__a.sq_dist")
+    ).drop("__a")
 
 
 def _sq_dist_exact(v, centroid: list[float]):
@@ -123,7 +170,7 @@ def lloyd_kmeans(
     dim = len(centroids[0])
     base = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
     for _ in range(iters):
-        assigned = assign_clusters(base, centroids, "__v")
+        assigned = assign_clusters_arrow(base, centroids, "__v")
         # per-(cluster, dim) partial sums: one shuffle of ≤ k·dim rows out
         sums = (
             assigned.select("cluster", F.posexplode(F.col("__v")).alias("pos", "x"))
@@ -135,7 +182,7 @@ def lloyd_kmeans(
         for r in rows:
             new[r["cluster"]][r["pos"]] = r["s"] / r["n"]
         centroids = new
-    return assign_clusters(df, centroids, vec_col), centroids
+    return assign_clusters_arrow(df, centroids, vec_col), centroids
 
 
 def cluster_profile(assigned: DataFrame) -> DataFrame:

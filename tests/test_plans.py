@@ -254,6 +254,7 @@ ARROW_PYTHON_KEYS = {
     "topk_similarity_lsh_banded",
     "ann_recall_audit",
     "multimodal_extract",
+    "kmeans_clusters",  # assignment kernel (cluster.assign_clusters_arrow)
 }
 
 
