@@ -22,6 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+STDOUT_BUDGET = 1800  # chars; the driver tail-captures the last 2000 of stdout
+
+
+def compact_stdout_line(result: dict, timings: dict, full_sweep_file: str) -> str:
+    """The stdout contract line: the aggregate numbers plus as many
+    per-query timings as fit under STDOUT_BUDGET, slowest keys first (they
+    carry the signal; the full table is in ``full_sweep_file``). The driver
+    captures only the TAIL of stdout, so a line carrying every per-query
+    number never parses (r01-r03 recorded ``parsed: null``) — fitting the
+    window is part of the contract, pinned by tests/test_bench_contract.py."""
+    compact = dict(result)
+    compact["queries_total_n"] = len(timings)
+    compact["full_sweep_file"] = full_sweep_file
+    by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+    keep = len(by_cost)
+    while True:
+        compact["queries"] = {k: timings[k] for k in by_cost[:keep]}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= STDOUT_BUDGET or keep == 0:
+            return line
+        keep -= max(1, (len(line) - STDOUT_BUDGET) // 30)
+        keep = max(keep, 0)
 
 
 def main() -> None:
@@ -109,20 +131,8 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still the contract
-    STDOUT_BUDGET = 1800  # chars; driver tail-capture window is 2000
-    compact = dict(result)
-    compact["queries_total_n"] = len(timings)
-    compact["full_sweep_file"] = os.path.basename(out_file)
-    by_cost = sorted(timings, key=lambda k: (-timings[k], k))
-    keep = len(by_cost)
-    while keep > 0:
-        compact["queries"] = {k: timings[k] for k in by_cost[:keep]}
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= STDOUT_BUDGET:
-            break
-        keep -= max(1, (len(line) - STDOUT_BUDGET) // 30)
     sys.stdout.flush()
-    print(line)
+    print(compact_stdout_line(result, timings, os.path.basename(out_file)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""bench.py stdout contract: the printed line must parse as JSON and fit the
+driver's 2000-char tail-capture window regardless of how many query keys the
+registry declares (r01-r03 recorded `parsed: null` because the full per-key
+dict overflowed the window)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+import __spark_entry__ as entry_mod
+
+
+def _fake_result(timings):
+    return {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "rows_per_sec": 123456.7,
+        "cpus": 32,
+        "runs": 3,
+        "spark_version": "4.1.2",
+    }
+
+
+def test_line_fits_window_for_current_registry():
+    timings = {k: 1.2345 for k in entry_mod.queries()}
+    line = bench.compact_stdout_line(_fake_result(timings), timings, "BENCH_FULL.json")
+    assert len(line) <= bench.STDOUT_BUDGET < 2000
+    parsed = json.loads(line)
+    assert parsed["queries_total_n"] == len(timings)
+    assert 0 < len(parsed["queries"]) <= len(timings)
+
+
+def test_line_fits_window_even_at_1000_keys():
+    timings = {f"extremely_long_query_key_name_{i:04d}": i * 0.001 for i in range(1000)}
+    line = bench.compact_stdout_line(_fake_result(timings), timings, "BENCH_FULL.json")
+    assert len(line) <= bench.STDOUT_BUDGET
+    json.loads(line)
+
+
+def test_slowest_keys_kept_first():
+    timings = {f"k{i}": float(i) for i in range(200)}
+    line = bench.compact_stdout_line(_fake_result(timings), timings, "BENCH_FULL.json")
+    kept = json.loads(line)["queries"]
+    # the most expensive key always survives the trim
+    assert "k199" in kept
+    assert min(kept.values()) >= max(v for k, v in timings.items() if k not in kept)
