@@ -3031,6 +3031,29 @@ def q_writetime_histogram(spark, sf_dir):
     )
 
 
+def q_slice_checksum(spark, sf_dir):
+    """Cheap cross-cluster drift detection BEFORE the full diff join: per
+    token-range slice, exact order-independent checksums (row count, bigint
+    key sum, decimal money sum, key bounds). At 100 TB you compare these
+    numParts-row digests between origin and target first and run the
+    row-level diff ONLY on slices that disagree — turning the periodic
+    re-validation cost from two corpus shuffles into two scans. One
+    partial-agg shuffle emitting numParts rows; all sums exact
+    (bigint/decimal), so the digest is permutation-invariant and
+    engine-portable."""
+    from cassandra_data_migrator_spark.operators.partition import with_slice
+
+    o = _t(spark, sf_dir, "orders")
+    s = with_slice(o, "o_orderkey", NUM_SLICES)
+    return s.groupBy("slice_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 def q_gaps_islands(spark, sf_dir):
     """Gaps-and-islands: collapse each user's consecutive same-type events
     into contiguous runs (island start/end time, length) — the classic
@@ -3210,6 +3233,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash_recall_audit": q_simhash_recall_audit,
         "packing_efficiency": q_packing_efficiency,
         "gaps_islands": q_gaps_islands,
+        "slice_checksum": q_slice_checksum,
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
         # --- driver-verified r03 (local parity keeps covering these) ---
@@ -3713,6 +3737,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id,
                    ROUND(CAST(dist AS DOUBLE), 4) AS dist_r
             FROM best WHERE rn = 1
+        """,
+        "slice_checksum": f"""
+            SELECT {slice_id_sql(tok_sql("o_orderkey"), NUM_SLICES)} AS slice_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+            FROM orders
+            GROUP BY 1
         """,
         "gaps_islands": """
             WITH o AS (
