@@ -3031,6 +3031,63 @@ def q_writetime_histogram(spark, sf_dir):
     )
 
 
+SEMDEDUP_TAU = 0.3
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    the published cluster-then-prune recipe for training corpora): assign
+    every embedding to its nearest centroid, then within each cluster flag
+    vectors that have a semantically-near predecessor (rounded cosine ≥ τ
+    with a lower-id member). Output (vec_id, cluster_id, is_pruned).
+
+    Scale shape: the assignment is the oracled exact-decimal argmin
+    (kmeans_assign's kernel — no shuffle); the pairwise compare is an
+    equi-self-join ON CLUSTER ID, so the quadratic is bounded by cluster
+    size — SemDeDup's own premise (k grows with the corpus so clusters stay
+    ~constant). A pathological mega-cluster would need the same star-cap
+    degradation the text LSH paths use. Deterministic: exact decimal
+    assignment + rounded-cosine threshold + id tie orientation."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array, dot, norm
+    from cassandra_data_migrator_spark.operators.cluster import assign_clusters_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_ASSIGN_K)
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .collect()
+    )  # bounded: k rows (the same centroid sync kmeans_assign does)
+    centroids = [(int(r["vec_id"]), list(r["v"])) for r in init]
+    assigned = assign_clusters_exact(emb, centroids, "embedding").select(
+        "vec_id", "cluster_id", as_double_array("embedding").alias("__v")
+    )
+    a = assigned.select(
+        F.col("cluster_id").alias("ca"),
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    b = assigned.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
+    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    pruned = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(score >= SEMDEDUP_TAU)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(pruned, assigned.vec_id == pruned.id_b, "left")
+        .select(
+            "vec_id", "cluster_id", F.col("id_b").isNotNull().alias("is_pruned")
+        )
+    )
+
+
 def q_slice_checksum(spark, sf_dir):
     """Cheap cross-cluster drift detection BEFORE the full diff join: per
     token-range slice, exact order-independent checksums (row count, bigint
@@ -3234,6 +3291,7 @@ def queries() -> dict[str, QueryFn]:
         "packing_efficiency": q_packing_efficiency,
         "gaps_islands": q_gaps_islands,
         "slice_checksum": q_slice_checksum,
+        "semantic_dedup": q_semantic_dedup,
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
         # --- driver-verified r03 (local parity keeps covering these) ---
@@ -3737,6 +3795,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(c_id AS BIGINT) AS cluster_id,
                    ROUND(CAST(dist AS DOUBLE), 4) AS dist_r
             FROM best WHERE rn = 1
+        """,
+        "semantic_dedup": f"""
+            WITH cents AS (
+                SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+                ORDER BY vec_id LIMIT {KMEANS_ASSIGN_K}
+            ),
+            dims AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            dists AS (
+                SELECT d.vec_id, c.c_id,
+                       SUM(CAST((CAST(d.x AS DOUBLE) - CAST(c.cv[d.i] AS DOUBLE))
+                                * (CAST(d.x AS DOUBLE) - CAST(c.cv[d.i] AS DOUBLE))
+                                AS DECIMAL(28,12))) AS dist
+                FROM dims d CROSS JOIN cents c
+                GROUP BY d.vec_id, c.c_id
+            ),
+            assign AS (
+                SELECT vec_id, c_id AS cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+                FROM dists
+            ),
+            m AS (SELECT a.vec_id, a.cluster_id, e.embedding
+                  FROM assign a JOIN embeddings e USING (vec_id) WHERE a.rn = 1),
+            pruned AS (
+                SELECT b.vec_id FROM m a JOIN m b
+                  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                      >= {SEMDEDUP_TAU}
+                GROUP BY b.vec_id
+            )
+            SELECT m.vec_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+                   (m.vec_id IN (SELECT vec_id FROM pruned)) AS is_pruned
+            FROM m
         """,
         "slice_checksum": f"""
             SELECT {slice_id_sql(tok_sql("o_orderkey"), NUM_SLICES)} AS slice_id,
