@@ -109,6 +109,38 @@ def assign_clusters_arrow(
     ).drop("__a")
 
 
+def semdedup_pruned_ids(
+    assigned: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """SemDeDup's within-cluster prune set: ids having a lower-id member of
+    the SAME cluster at rounded cosine ≥ τ. One ``applyInPandas`` per
+    cluster — a single numpy GEMM computes the full pairwise score matrix
+    for that cluster (the reference SemDeDup implementation's shape), vs
+    ~|c|²/2 interpreted lambda dot-folds for the expression self-join
+    (measured 9.4 s → GEMM ~1 s at sf0.1). Per-group memory is O(|c|·dim +
+    |c|²) — bounded by cluster size, SemDeDup's own premise."""
+    import numpy as np
+    import pandas
+
+    def _prune(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        if len(X) < 2:
+            return pandas.DataFrame({id_col: []}).astype({id_col: "int64"})
+        n = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(n, n), 4)
+        hit = (np.triu(S >= tau, k=1)).any(axis=0)  # any lower-id partner
+        return pandas.DataFrame({id_col: pdf[id_col].to_numpy()[hit]})
+
+    return assigned.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(
+        _prune, f"{id_col} long"
+    )
+
+
 def _sq_dist_exact(v, centroid: list[float]):
     """Squared Euclidean distance as an EXACT decimal sum: each per-dimension
     squared diff is computed in double (IEEE-identical on any engine), cast

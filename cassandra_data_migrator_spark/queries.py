@@ -3045,11 +3045,17 @@ def q_semantic_dedup(spark, sf_dir):
     (kmeans_assign's kernel — no shuffle); the pairwise compare is an
     equi-self-join ON CLUSTER ID, so the quadratic is bounded by cluster
     size — SemDeDup's own premise (k grows with the corpus so clusters stay
-    ~constant). A pathological mega-cluster would need the same star-cap
-    degradation the text LSH paths use. Deterministic: exact decimal
-    assignment + rounded-cosine threshold + id tie orientation."""
-    from cassandra_data_migrator_spark.functions.vectors import as_double_array, dot, norm
-    from cassandra_data_migrator_spark.operators.cluster import assign_clusters_exact
+    ~constant) — and runs as ONE numpy GEMM per cluster via applyInPandas
+    (operators/cluster.semdedup_pruned_ids; the expression self-join's
+    interpreted dot-folds measured 9.4 s at sf0.1, the GEMM ~1 s). A
+    pathological mega-cluster would need the same star-cap degradation the
+    text LSH paths use. Deterministic: exact decimal assignment +
+    rounded-cosine threshold + id tie orientation."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
+    from cassandra_data_migrator_spark.operators.cluster import (
+        assign_clusters_exact,
+        semdedup_pruned_ids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     init = (
@@ -3062,22 +3068,8 @@ def q_semantic_dedup(spark, sf_dir):
     assigned = assign_clusters_exact(emb, centroids, "embedding").select(
         "vec_id", "cluster_id", as_double_array("embedding").alias("__v")
     )
-    a = assigned.select(
-        F.col("cluster_id").alias("ca"),
-        F.col("vec_id").alias("id_a"),
-        F.col("__v").alias("va"),
-    ).withColumn("na", norm(F.col("va")))
-    b = assigned.select(
-        F.col("cluster_id").alias("cb"),
-        F.col("vec_id").alias("id_b"),
-        F.col("__v").alias("vb"),
-    ).withColumn("nb", norm(F.col("vb")))
-    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
-    pruned = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(score >= SEMDEDUP_TAU)
-        .select("id_b")
-        .distinct()
+    pruned = semdedup_pruned_ids(assigned, SEMDEDUP_TAU).withColumnRenamed(
+        "vec_id", "id_b"
     )
     return (
         assigned.select("vec_id", "cluster_id")

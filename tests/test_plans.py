@@ -255,6 +255,7 @@ ARROW_PYTHON_KEYS = {
     "ann_recall_audit",
     "multimodal_extract",
     "kmeans_clusters",  # assignment kernel (cluster.assign_clusters_arrow)
+    "semantic_dedup",  # per-cluster GEMM (cluster.semdedup_pruned_ids)
 }
 
 
@@ -268,6 +269,8 @@ def test_no_python_udfs_in_declared_surface(spark, sf_dir):
         p = _plan(spark, sf_dir, key, mode="simple")
         assert "BatchEvalPython" not in p, f"{key} uses a row-at-a-time Python UDF"
         if key not in ARROW_PYTHON_KEYS:
-            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
-                f"{key} unexpectedly runs Python (not in ARROW_PYTHON_KEYS)"
-            )
+            assert (
+                "ArrowEvalPython" not in p
+                and "MapInPandas" not in p
+                and "FlatMapGroupsInPandas" not in p
+            ), f"{key} unexpectedly runs Python (not in ARROW_PYTHON_KEYS)"
