@@ -44,10 +44,26 @@ def slice_digest(
     num_slices: int,
     sum_cols: list[str],
 ) -> DataFrame:
-    """Per-slice exact digest: (slice_id, n_rows, min/max pk, one exact sum
-    per checked column). Numeric columns sum via DECIMAL(28,6) (exact,
-    order-independent); everything else contributes the bigint sum of a
-    per-row crc32, which is permutation-invariant and engine-cheap."""
+    """Per-slice exact digest: (slice_id, n_rows, min/max pk, one exact,
+    permutation-invariant sum per checked column).
+
+    Precision contract (round-4 advice): a slice digest matches iff the
+    slice's column multisets match EXACTLY — there is no rounding window.
+    - integer types: exact DECIMAL(38,0) sum (overflow-proof below 1e38).
+    - float/double/decimal: DECIMAL(38,0) sum of per-row ``xxhash64``,
+      which hashes the raw value bytes — the IEEE-754 bit pattern for
+      float/double (so -0.0 vs 0.0, NaN, and sub-1e-6 deltas all change the
+      digest) and the unscaled value for decimal. A 6dp-rounded DECIMAL sum
+      (the previous scheme) missed any change smaller than 5e-7 and dropped
+      values beyond DECIMAL(28,6) range to NULL; the bit-hash sum has no
+      such blind spot. NULL hashes to the xxhash64 seed (a constant), so
+      null-count changes shift the digest too.
+    - everything else: DECIMAL(38,0) sum of ``xxhash64`` of the value,
+      same contract (strings/binary hash their bytes).
+    The only remaining false-match class is a compensating HASH-sum
+    collision across >=2 changed rows within one slice — cryptographically
+    unlikely and closed by the periodic full diff, as the module docstring
+    says."""
     s = with_slice(df, pk_col, num_slices)
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -56,12 +72,13 @@ def slice_digest(
     ]
     for c in sum_cols:
         dtype = dict(df.dtypes)[c]
-        if dtype in ("bigint", "int", "smallint", "tinyint", "double", "float", "decimal"):
-            aggs.append(
-                F.sum(F.col(c).cast("decimal(28,6)")).cast("decimal(38,6)").alias(f"sum_{c}")
-            )
+        if dtype in ("bigint", "int", "smallint", "tinyint"):
+            aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"sum_{c}"))
         else:
-            aggs.append(F.sum(F.crc32(F.col(c).cast("string"))).cast("bigint").alias(f"sum_{c}"))
+            # float/double/decimal/string/binary/...: bit-pattern hash sum
+            aggs.append(
+                F.sum(F.xxhash64(F.col(c)).cast("decimal(38,0)")).alias(f"sum_{c}")
+            )
     return s.groupBy("slice_id").agg(*aggs)
 
 

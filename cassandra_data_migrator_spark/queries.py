@@ -2133,7 +2133,8 @@ def q_bigram_pmi(spark, sf_dir):
         / ((F.col("c1") / F.col("t_tot")) * (F.col("c2") / F.col("t_tot")))
     )
     return scored.select(
-        "w1", "w2", F.col("c_ab").cast("bigint").alias("c_ab"), F.round(pmi, 4).alias("pmi")
+        "w1", "w2", F.col("c_ab").cast("bigint").alias("c_ab"),
+        (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
     )
 
 
@@ -3217,67 +3218,17 @@ def queries() -> dict[str, QueryFn]:
     """Declared surface, in DRIVER VERIFICATION ORDER.
 
     The driver's correctness check covers the first 50 entries of this dict
-    per round (observed r01/r02 behavior). Ordering policy (round-2 verdict,
-    'Next round' #2): keys never driver-verified come FIRST, then new keys
-    added this round (they lead the next round's window), then keys already
-    verified in a prior round (r01/r02), which keep local DuckDB parity
-    coverage via tests/test_oracle_parity.py. See COVERAGE.md for the
-    per-key verified-in-round ledger.
+    per round (observed r01-r04 behavior). r05 ordering (round-4 verdict,
+    'Next round' #1-2): the one red key (bigram_pmi, signed-zero fix applied)
+    plus the 8 keys never driver-verified come FIRST, then keys newly added
+    this round, then the r01/r02-verified block (longest-ago driver rows,
+    re-confirmed in this window), then r03/r04-verified keys, which keep
+    local DuckDB parity coverage via tests/test_oracle_parity.py. See
+    COVERAGE.md for the per-key verified-in-round ledger.
     """
     return {
-        # --- never driver-verified: r03 additions (r04 window, 42 keys) ---
-        "codec_duration": q_codec_duration,
-        "codec_blob": q_codec_blob,
-        "validate_diff_composite": q_validate_diff_composite,
-        "bm25_topk": q_bm25_topk,
-        "oov_rate": q_oov_rate,
-        "sentence_split": q_sentence_split,
-        "user_event_types": q_user_event_types,
-        "salted_join": q_salted_join,
-        "schema_evolution": q_schema_evolution,
-        "text_normalize": q_text_normalize,
-        "migrate_incremental": q_migrate_incremental,
-        "weighted_sample": q_weighted_sample,
-        "group_topk_pct": q_group_topk_pct,
-        "window_time_range": q_window_time_range,
+        # --- r05 window head: the r04 red row (fixed) + 8 never-verified ---
         "bigram_pmi": q_bigram_pmi,
-        "graph_degree": q_graph_degree,
-        "multimodal_extract": q_multimodal_extract,
-        "cdc_delta_detect": q_cdc_delta_detect,
-        "json_key_profile": q_json_key_profile,
-        "dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "vocab_zipf_slope": q_vocab_zipf_slope,
-        "approx_distinct_audit": q_approx_distinct_audit,
-        "approx_percentile_audit": q_approx_percentile_audit,
-        "guardrail_rowsize": q_guardrail_rowsize,
-        "graph_triangles": q_graph_triangles,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
-        "ann_recall_audit": q_ann_recall_audit,
-        "quarantine_split": q_quarantine_split,
-        "running_distinct": q_running_distinct,
-        "event_paths": q_event_paths,
-        "migrate_null_policy": q_migrate_null_policy,
-        "codec_set_normalize": q_codec_set_normalize,
-        "span_corruption": q_span_corruption,
-        "fim_split": q_fim_split,
-        "codec_inet_timeuuid": q_codec_inet_timeuuid,
-        "sql_frontend_q1": q_sql_frontend_q1,
-        "ref_integrity_audit": q_ref_integrity_audit,
-        "codec_date_time": q_codec_date_time,
-        "codec_struct": q_codec_struct,
-        "partition_retry": q_partition_retry,
-        "kmeans_clusters": q_kmeans_clusters,
-        # --- new in r04 (inside the window alongside the 42) ---
-        "kmeans_assign": q_kmeans_assign,
-        "minhash_recall_audit": q_minhash_recall_audit,
-        "guardrail_partition_rows": q_guardrail_partition_rows,
-        "partition_skew_stats": q_partition_skew_stats,
-        "ttl_expiry": q_ttl_expiry,
-        "rolling_hash_chunks": q_rolling_hash_chunks,
-        "sql_frontend_q3": q_sql_frontend_q3,
-        "sql_frontend_q5": q_sql_frontend_q5,
-        # --- new in r04, past the 50-slot window (lead r05's window) ---
         "ivf_recall_audit": q_ivf_recall_audit,
         "simhash_recall_audit": q_simhash_recall_audit,
         "packing_efficiency": q_packing_efficiency,
@@ -3286,58 +3237,9 @@ def queries() -> dict[str, QueryFn]:
         "semantic_dedup": q_semantic_dedup,
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
-        # --- driver-verified r03 (local parity keeps covering these) ---
-        "window_lag_lead": q_window_lag_lead,
-        "date_rollup": q_date_rollup,
-        "semi_anti_join": q_semi_anti_join,
-        "embedding_stats": q_embedding_stats,
-        "salted_group_agg": q_salted_group_agg,
-        "cube_agg": q_cube_agg,
-        "bigram_doc_freq": q_bigram_doc_freq,
-        "running_total": q_running_total,
-        "hash_split": q_hash_split,
-        "doc_chunking": q_doc_chunking,
-        "repetition_ratio": q_repetition_ratio,
-        "stratified_sample": q_stratified_sample,
-        "contamination_check": q_contamination_check,
-        "seq_packing": q_seq_packing,
-        "embedding_quantize": q_embedding_quantize,
-        "json_roundtrip": q_json_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "unigram_logprob": q_unigram_logprob,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "window_rolling_avg": q_window_rolling_avg,
-        "interval_join": q_interval_join,
-        "event_sequences": q_event_sequences,
-        "regional_revenue": q_regional_revenue,
-        "corr_stats": q_corr_stats,
-        "grouping_sets_agg": q_grouping_sets_agg,
-        "time_gap_fill": q_time_gap_fill,
-        "ewma_smooth": q_ewma_smooth,
-        "unpivot_metrics": q_unpivot_metrics,
-        "quota_cap": q_quota_cap,
-        "vocab_topk": q_vocab_topk,
-        "user_entropy": q_user_entropy,
-        "latest_event": q_latest_event,
-        "anomaly_zscore": q_anomaly_zscore,
-        "decile_assign": q_decile_assign,
-        "partitioned_sink_prune": q_partitioned_sink_prune,
-        "dedup_canonical": q_dedup_canonical,
-        "part_brand_share": q_part_brand_share,
-        "label_balance": q_label_balance,
-        "cohort_retention": q_cohort_retention,
-        "mad_robust": q_mad_robust,
-        "window_rank_funcs": q_window_rank_funcs,
-        "regex_extract_all": q_regex_extract_all,
-        "corpus_curate": q_corpus_curate,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "window_session": q_window_session,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "chunk_dedup": q_chunk_dedup,
-        "winsorize_clamp": q_winsorize_clamp,
-        # --- driver-verified r01/r02 (local parity keeps covering these) ---
+        # --- new in r05 ---
+        # (inserted above the backfill as they are added)
+        # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
         "const_columns": q_const_columns,
         "codec_cast": q_codec_cast,
@@ -3388,6 +3290,106 @@ def queries() -> dict[str, QueryFn]:
         "quantiles": q_quantiles,
         "ranking_topk": q_ranking_topk,
         "join_agg_pipeline": q_join_agg_pipeline,
+        # --- driver-verified r03/r04 (local parity keeps covering these) ---
+        "codec_duration": q_codec_duration,
+        "codec_blob": q_codec_blob,
+        "validate_diff_composite": q_validate_diff_composite,
+        "bm25_topk": q_bm25_topk,
+        "oov_rate": q_oov_rate,
+        "sentence_split": q_sentence_split,
+        "user_event_types": q_user_event_types,
+        "salted_join": q_salted_join,
+        "schema_evolution": q_schema_evolution,
+        "text_normalize": q_text_normalize,
+        "migrate_incremental": q_migrate_incremental,
+        "weighted_sample": q_weighted_sample,
+        "group_topk_pct": q_group_topk_pct,
+        "window_time_range": q_window_time_range,
+        "graph_degree": q_graph_degree,
+        "multimodal_extract": q_multimodal_extract,
+        "cdc_delta_detect": q_cdc_delta_detect,
+        "json_key_profile": q_json_key_profile,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "vocab_zipf_slope": q_vocab_zipf_slope,
+        "approx_distinct_audit": q_approx_distinct_audit,
+        "approx_percentile_audit": q_approx_percentile_audit,
+        "guardrail_rowsize": q_guardrail_rowsize,
+        "graph_triangles": q_graph_triangles,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
+        "ann_recall_audit": q_ann_recall_audit,
+        "quarantine_split": q_quarantine_split,
+        "running_distinct": q_running_distinct,
+        "event_paths": q_event_paths,
+        "migrate_null_policy": q_migrate_null_policy,
+        "codec_set_normalize": q_codec_set_normalize,
+        "span_corruption": q_span_corruption,
+        "fim_split": q_fim_split,
+        "codec_inet_timeuuid": q_codec_inet_timeuuid,
+        "sql_frontend_q1": q_sql_frontend_q1,
+        "ref_integrity_audit": q_ref_integrity_audit,
+        "codec_date_time": q_codec_date_time,
+        "codec_struct": q_codec_struct,
+        "partition_retry": q_partition_retry,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_assign": q_kmeans_assign,
+        "minhash_recall_audit": q_minhash_recall_audit,
+        "guardrail_partition_rows": q_guardrail_partition_rows,
+        "partition_skew_stats": q_partition_skew_stats,
+        "ttl_expiry": q_ttl_expiry,
+        "rolling_hash_chunks": q_rolling_hash_chunks,
+        "sql_frontend_q3": q_sql_frontend_q3,
+        "sql_frontend_q5": q_sql_frontend_q5,
+        "window_lag_lead": q_window_lag_lead,
+        "date_rollup": q_date_rollup,
+        "semi_anti_join": q_semi_anti_join,
+        "embedding_stats": q_embedding_stats,
+        "salted_group_agg": q_salted_group_agg,
+        "cube_agg": q_cube_agg,
+        "bigram_doc_freq": q_bigram_doc_freq,
+        "running_total": q_running_total,
+        "hash_split": q_hash_split,
+        "doc_chunking": q_doc_chunking,
+        "repetition_ratio": q_repetition_ratio,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
+        "seq_packing": q_seq_packing,
+        "embedding_quantize": q_embedding_quantize,
+        "json_roundtrip": q_json_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "unigram_logprob": q_unigram_logprob,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "window_rolling_avg": q_window_rolling_avg,
+        "interval_join": q_interval_join,
+        "event_sequences": q_event_sequences,
+        "regional_revenue": q_regional_revenue,
+        "corr_stats": q_corr_stats,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "time_gap_fill": q_time_gap_fill,
+        "ewma_smooth": q_ewma_smooth,
+        "unpivot_metrics": q_unpivot_metrics,
+        "quota_cap": q_quota_cap,
+        "vocab_topk": q_vocab_topk,
+        "user_entropy": q_user_entropy,
+        "latest_event": q_latest_event,
+        "anomaly_zscore": q_anomaly_zscore,
+        "decile_assign": q_decile_assign,
+        "partitioned_sink_prune": q_partitioned_sink_prune,
+        "dedup_canonical": q_dedup_canonical,
+        "part_brand_share": q_part_brand_share,
+        "label_balance": q_label_balance,
+        "cohort_retention": q_cohort_retention,
+        "mad_robust": q_mad_robust,
+        "window_rank_funcs": q_window_rank_funcs,
+        "regex_extract_all": q_regex_extract_all,
+        "corpus_curate": q_corpus_curate,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "chunk_dedup": q_chunk_dedup,
+        "winsorize_clamp": q_winsorize_clamp,
     }
 
 
@@ -3664,7 +3666,7 @@ def oracle_sql() -> dict[str, str]:
                      HAVING COUNT(*) >= {PMI_MIN_COUNT})
             SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
                    ROUND(ln((b.c_ab / bt.b_tot)
-                         / ((u1.c / t.t_tot) * (u2.c / t.t_tot))), 4) AS pmi
+                         / ((u1.c / t.t_tot) * (u2.c / t.t_tot))), 4) + 0.0 AS pmi
             FROM bcnt b JOIN ucnt u1 ON u1.w = b.w1 JOIN ucnt u2 ON u2.w = b.w2
             CROSS JOIN tot t CROSS JOIN btot bt
         """,

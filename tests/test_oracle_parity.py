@@ -41,6 +41,10 @@ def _normalize(rows, cols):
                 v = round(v, 4)
                 if math.isnan(v):
                     v = "nan"
+                elif v == 0.0 and math.copysign(1.0, v) < 0.0:
+                    # keep the driver's signed-zero sensitivity: -0.0 must
+                    # NOT compare equal to 0.0 (Python float == would)
+                    v = "-0.0"
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))

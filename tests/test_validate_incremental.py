@@ -43,6 +43,43 @@ def test_identical_sides_yield_no_changed_slices(spark, sf_dir):
     assert inc.count() == 0
 
 
+def test_tiny_float_delta_flags_slice(spark, sf_dir):
+    """Round-4 advice regression: a change smaller than 1e-6 in a double
+    column (invisible to the old DECIMAL(28,6) digest) must still flip the
+    bit-pattern digest and be found by the incremental diff."""
+    origin = load_table(spark, sf_dir, "orders")
+    some_pk = origin.select(F.min("o_orderkey")).first()[0]
+    target = origin.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == some_pk, F.col("o_totalprice") + F.lit(1e-9)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inc, changed = validate_incremental(origin, target, PK, COMPARE, NUM_SLICES)
+    assert len(changed) == 1
+    assert _report_rows(inc) == [(some_pk, "mismatch", "o_totalprice")]
+
+
+def test_huge_float_value_participates_in_digest(spark, sf_dir):
+    """Values beyond DECIMAL(28,6) range used to cast to NULL and drop out of
+    the digest sum; the hash digest must see them."""
+    origin = load_table(spark, sf_dir, "orders")
+    some_pk = origin.select(F.min("o_orderkey")).first()[0]
+    big = F.lit(1e30)
+    with_big = origin.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == some_pk, big).otherwise(F.col("o_totalprice")),
+    )
+    target = with_big.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == some_pk, big * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    changed = changed_slices(with_big, target, "o_orderkey", NUM_SLICES, COMPARE)
+    assert len(changed) == 1
+
+
 def test_single_row_mutation_flags_one_slice(spark, sf_dir):
     origin = load_table(spark, sf_dir, "orders")
     some_pk = origin.select(F.min("o_orderkey")).first()[0]

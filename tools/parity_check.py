@@ -45,9 +45,12 @@ def _norm(rows, cols):
                     v = None
                 else:
                     v = round(v, 4)
-                    if v == -0.0:
-                        v = 0.0
-                    if v == int(v):
+                    # NOTE: signed zero is deliberately NOT normalized — the
+                    # driver's value hash distinguishes -0.0 from 0.0, so the
+                    # local sweep must too (round-4 bigram_pmi lesson).
+                    if v == int(v) and not (
+                        v == 0.0 and math.copysign(1.0, v) < 0.0
+                    ):
                         v = int(v)
             vals.append(repr(v))
         out.append(tuple(vals))
