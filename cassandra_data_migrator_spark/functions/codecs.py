@@ -82,9 +82,13 @@ def cql_duration_parse(c: Column) -> Column:
     'mo|ms|us|ns' before the single-letter units so the m/mo/ms ambiguity
     resolves exactly as Cassandra's parser does. Month/day/sub-day
     components deliberately do NOT normalize into each other (calendar
-    semantics). Precondition (same as Cassandra): each unit appears at most
-    once — a repeated unit is malformed and raises (DUPLICATED_MAP_KEY)
-    rather than silently picking one occurrence."""
+    semantics). Malformed input raises regardless of session conf
+    (round-4 advice): a repeated unit is rejected by an explicit
+    map-size-vs-match-count assert (so the contract no longer depends on
+    spark.sql.mapKeyDedupPolicy being EXCEPTION — LAST_WIN would otherwise
+    silently keep the last occurrence), and any residue the tokenizer did
+    not consume ('5hx', '1h 2m', 'h5') fails a whole-string check instead
+    of being silently dropped."""
     m = F.str_to_map(
         F.regexp_replace(
             F.regexp_replace(c, r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)", r"$2:$1,"),
@@ -107,10 +111,22 @@ def cql_duration_parse(c: Column) -> Column:
         + u("us") * F.lit(_DUR_UNITS_NANOS["us"])
         + u("ns") * F.lit(_DUR_UNITS_NANOS["ns"])
     )
-    return F.struct(
-        (u("y") * 12 + u("mo")).cast("int").alias("months"),
-        (u("w") * 7 + u("d")).cast("int").alias("days"),
-        nanos.cast("bigint").alias("nanos"),
+    tok = r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)"
+    residue_ok = F.regexp_replace(c, tok, "") == ""
+    no_dup = F.size(m) == F.size(F.regexp_extract_all(c, F.lit(tok), 2))
+    guard = F.assert_true(
+        # '' is the zero duration (str_to_map('') yields a 1-entry map with
+        # an empty key, so the size comparison needs the explicit carve-out)
+        c.isNull() | (c == "") | (residue_ok & no_dup),
+        F.concat(F.lit("malformed CQL duration: "), F.coalesce(c, F.lit("null"))),
+    )
+    return F.when(
+        guard.isNull(),
+        F.struct(
+            (u("y") * 12 + u("mo")).cast("int").alias("months"),
+            (u("w") * 7 + u("d")).cast("int").alias("days"),
+            nanos.cast("bigint").alias("nanos"),
+        ),
     )
 
 

@@ -2869,12 +2869,34 @@ def q_ttl_expiry(spark, sf_dir):
     """TTL expiry sweep (the WritetimeTTL feature's operational question:
     which rows will Cassandra have expired by time T, so the migrate can
     skip them): expiry = max(writetimes) + max(ttls)·1e6 ≤ REF. Pure bigint
-    projection + filter over the scan — pushdown-friendly, no shuffle."""
+    projection + filter over the scan — pushdown-friendly, no shuffle.
+
+    Cassandra semantics (round-4 advice): a cell with TTL 0/absent NEVER
+    expires, so a row with any tracked TTL null or ≤0 must not be classified
+    as expired (a migrate skipping "expired" rows would otherwise drop live
+    data). The fixture's TTLs are always ≥100 s, so this query perturbs them
+    in-plan (event_id % 37 → NULL, % 41 → 0 — mirrored exactly in the
+    oracle) to keep the never-expiring branch under parity coverage."""
     e = attach_event_writetimes(attach_event_ttls(_t(spark, sf_dir, "events")))
-    expiry = (
-        max_writetime(["__writetime_value", "__writetime_props"])
-        + max_ttl(["__ttl_value", "__ttl_props"]) * F.lit(1_000_000)
-    ).cast("bigint")
+    e = e.withColumn(
+        "__ttl_value",
+        F.when(F.col("event_id") % 37 == 0, F.lit(None).cast("bigint"))
+        .when(F.col("event_id") % 41 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("__ttl_value")),
+    )
+    never = (
+        F.col("__ttl_value").isNull()
+        | (F.col("__ttl_value") <= 0)
+        | F.col("__ttl_props").isNull()
+        | (F.col("__ttl_props") <= 0)
+    )
+    expiry = F.when(
+        ~never,
+        (
+            max_writetime(["__writetime_value", "__writetime_props"])
+            + max_ttl(["__ttl_value", "__ttl_props"]) * F.lit(1_000_000)
+        ).cast("bigint"),
+    )
     return (
         e.select("event_id", "user_id", expiry.alias("expiry_us"))
         .filter(F.col("expiry_us") <= F.lit(TTL_EXPIRY_REF_US))
@@ -3953,14 +3975,20 @@ def oracle_sql() -> dict[str, str]:
             LIMIT {SKEW_STATS_TOP_N}
         """,
         "ttl_expiry": f"""
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 37 = 0 THEN NULL
+                            WHEN event_id % 41 = 0 THEN 0
+                            ELSE {TTL_VALUE_SQL} END AS ttl_v,
+                       {TTL_PROPS_SQL} AS ttl_p,
+                       greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL}) AS wt
+                FROM events
+            )
             SELECT event_id, user_id,
-                   CAST(greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})
-                        + greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL}) * 1000000
-                        AS BIGINT) AS expiry_us
-            FROM events
-            WHERE greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})
-                  + greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL}) * 1000000
-                  <= {TTL_EXPIRY_REF_US}
+                   CAST(wt + greatest(ttl_v, ttl_p) * 1000000 AS BIGINT) AS expiry_us
+            FROM t
+            WHERE NOT (ttl_v IS NULL OR ttl_v <= 0 OR ttl_p IS NULL OR ttl_p <= 0)
+              AND wt + greatest(ttl_v, ttl_p) * 1000000 <= {TTL_EXPIRY_REF_US}
         """,
         "rolling_hash_chunks": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),

@@ -166,6 +166,43 @@ def test_simhash_banding_guard():
         simhash_near_dup_pairs(None, max_hamming=9, num_chunks=9)
 
 
+def test_cql_duration_parse_rejects_malformed(spark):
+    """Round-4 advice: malformed input must raise regardless of the
+    session's spark.sql.mapKeyDedupPolicy — a repeated unit ('5h3h') and
+    unconsumed residue ('5hx', '1h 2m', 'h5') are all rejected explicitly,
+    never silently first/last-win or dropped."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.codecs import cql_duration_parse
+
+    for bad in ["5h3h", "5hx", "1h 2m", "h5", "x"]:
+        df = spark.createDataFrame([(bad,)], "d STRING")
+        with _pytest.raises(Exception):
+            df.select(cql_duration_parse(F.col("d")).alias("p")).collect()
+
+
+def test_cql_duration_parse_rejects_duplicates_under_last_win(spark):
+    """The duplicate-unit reject must hold even when str_to_map is
+    configured to silently keep the last occurrence."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.codecs import cql_duration_parse
+
+    old = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        df = spark.createDataFrame([("5h3h",)], "d STRING")
+        with _pytest.raises(Exception, match="malformed CQL duration"):
+            df.select(cql_duration_parse(F.col("d")).alias("p")).collect()
+        ok = spark.createDataFrame([("12h30m",)], "d STRING")
+        row = ok.select(cql_duration_parse(F.col("d")).alias("p")).first()
+        assert (row.p.months, row.p.days, row.p.nanos) == (0, 0, 45_000_000_000_000)
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+
+
 def test_cql_duration_parse_and_format(spark):
     """CQL duration type (SURVEY.md §1.2): string → (months, days, nanos)
     triple and back. No DuckDB oracle exists for duration, so this is the
