@@ -316,6 +316,7 @@ def lsh_topk_banded(
     num_planes: int = 8,
     num_bands: int = 8,
     seed: int = 7,
+    probe_bits: int = 2,
 ) -> DataFrame:
     """Banded ANN top-k: candidates = same bucket in ANY of num_bands
     independent hyperplane sets (the standard recall lever — a true
@@ -324,17 +325,41 @@ def lsh_topk_banded(
     matching in several bands scores once. Joins stay (band, bucket)
     equi-joins; candidate volume ≈ num_bands × corpus/2^num_planes per
     query. Signatures come from the Arrow GEMM kernel (_banded_sigs_arrow)
-    — the one place dense-matrix math beats Catalyst expressions."""
-    sigs = _banded_sigs_arrow(dim, num_planes, num_bands, seed)
+    — the one place dense-matrix math beats Catalyst expressions.
 
-    def banded(df, out_id):
+    Multi-probe (round-4 verdict #4): the QUERY side additionally probes
+    each band bucket's Hamming-≤probe_bits neighbors (the classic
+    multi-probe LSH move — a near neighbor that lands one or two sign-bits
+    away is the dominant miss mode). probe_bits=2 fans each query band out
+    to 1 + 8 + 28 = 37 probe buckets, on the broadcast (query) side ONLY;
+    the corpus side still emits ONE row per band, so the big side's shuffle
+    volume is unchanged and the join stays a (band, bucket) equi-join.
+    Measured on the LSH-hostile near-uniform synthetic embeddings:
+    aggregate recall 0.2-0.7 → 0.60-0.76, per-query min 0.0 → 0.4-0.6
+    (see ann_recall_audit's floors). probe_bits=0 restores single-probe."""
+    import itertools
+
+    sigs = _banded_sigs_arrow(dim, num_planes, num_bands, seed)
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << p for p in range(num_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << a) | (1 << b) for a, b in itertools.combinations(range(num_planes), 2)
+        ]
+
+    def banded(df, out_id, probe=False):
         base = df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("v"))
-        return base.withColumn("sigs", sigs(F.col("v"))).select(
+        b = base.withColumn("sigs", sigs(F.col("v"))).select(
             out_id, "v", F.posexplode(F.col("sigs")).alias("band", "bucket")
         )
+        if probe and len(masks) > 1:
+            probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            b = b.select(out_id, "v", "band", F.explode(probes).alias("bucket"))
+        return b
 
     cb = banded(corpus, "cand_id")
-    qb = banded(queries, "query_id").withColumnRenamed("v", "qvec")
+    qb = banded(queries, "query_id", probe=True).withColumnRenamed("v", "qvec")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))

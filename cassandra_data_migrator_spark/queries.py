@@ -2402,7 +2402,8 @@ def q_edit_distance_pairs(spark, sf_dir):
     )
 
 
-ANN_RECALL_MIN = 0.15  # measured floor 0.2 at sf0.001/0.01/0.1; see BASELINE.md
+ANN_RECALL_MIN = 0.25  # per-query; measured min 0.4-0.6 with 2-bit multi-probe
+ANN_RECALL_AGG_MIN = 0.5  # aggregate; measured 0.60-0.76; see BASELINE.md
 
 
 def q_topk_similarity_lsh_banded(spark, sf_dir):
@@ -2418,15 +2419,19 @@ def q_topk_similarity_lsh_banded(spark, sf_dir):
 def q_ann_recall_audit(spark, sf_dir):
     """ANN quality contract under the DRIVER check (same pattern as the
     sketch audits): recall@k of the banded-LSH path against the exact
-    brute-force top-k, emitted as a within-floor boolean per query (oracle =
-    TRUE). Deterministic: fixed hyperplanes, fixed data. The floor (0.15) is
-    the measured worst case minus margin on these near-uniform synthetic
-    embeddings — real clustered embeddings recall far higher; the audit pins
-    that the bucketing never silently collapses (e.g. an all-one-bucket
-    regression would score recall 1.0, an empty-join regression 0.0)."""
+    brute-force top-k. Two floors (round-4 verdict #4, after the 2-bit
+    multi-probe upgrade): per-query recall ≥ 0.25 (measured min 0.4-0.6 at
+    sf0.001/0.01/0.1) and corpus-aggregate recall ≥ 0.5 (measured
+    0.60-0.76) — the old 0.15 single floor tolerated near-collapse.
+    Deterministic: fixed hyperplanes, fixed data. Oracle = TRUE per row;
+    the audit pins that the bucketing never silently collapses (an
+    all-one-bucket regression would score recall 1.0 but fail the bench
+    gate; an empty-join regression scores 0.0 and fails both floors)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(TOPK_QUERY_PRED)
-    brute = similarity.brute_force_topk(emb, qs, k=TOPK_K).select("query_id", "vec_id")
+    brute = similarity.brute_force_topk(emb, qs, k=TOPK_K).select(
+        "query_id", "vec_id"
+    ).localCheckpoint()  # feeds per-query counts, hits, and the aggregate
     lsh = similarity.lsh_topk_banded(emb, qs, k=TOPK_K, num_bands=8).select(
         "query_id", "vec_id"
     )
@@ -2435,10 +2440,14 @@ def q_ann_recall_audit(spark, sf_dir):
     )
     per_q = brute.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
     joined = per_q.join(hits, "query_id", "left").fillna(0, ["n_hits"])
-    return joined.select(
+    agg = joined.agg(
+        (F.sum("n_hits") / F.sum("n_brute") >= ANN_RECALL_AGG_MIN).alias("agg_recall_ok")
+    )
+    return joined.crossJoin(F.broadcast(agg)).select(
         "query_id",
         "n_brute",
         (F.col("n_hits") / F.col("n_brute") >= ANN_RECALL_MIN).alias("recall_ok"),
+        "agg_recall_ok",
     )
 
 
@@ -3259,8 +3268,11 @@ def queries() -> dict[str, QueryFn]:
         "semantic_dedup": q_semantic_dedup,
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
-        # --- new in r05 ---
-        # (inserted above the backfill as they are added)
+        # --- new or behavior-changed in r05 (need fresh driver rows) ---
+        "ttl_expiry": q_ttl_expiry,
+        "codec_duration": q_codec_duration,
+        "ann_recall_audit": q_ann_recall_audit,
+        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
         "const_columns": q_const_columns,
@@ -3313,7 +3325,6 @@ def queries() -> dict[str, QueryFn]:
         "ranking_topk": q_ranking_topk,
         "join_agg_pipeline": q_join_agg_pipeline,
         # --- driver-verified r03/r04 (local parity keeps covering these) ---
-        "codec_duration": q_codec_duration,
         "codec_blob": q_codec_blob,
         "validate_diff_composite": q_validate_diff_composite,
         "bm25_topk": q_bm25_topk,
@@ -3338,8 +3349,6 @@ def queries() -> dict[str, QueryFn]:
         "guardrail_rowsize": q_guardrail_rowsize,
         "graph_triangles": q_graph_triangles,
         "edit_distance_pairs": q_edit_distance_pairs,
-        "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
-        "ann_recall_audit": q_ann_recall_audit,
         "quarantine_split": q_quarantine_split,
         "running_distinct": q_running_distinct,
         "event_paths": q_event_paths,
@@ -3358,7 +3367,6 @@ def queries() -> dict[str, QueryFn]:
         "minhash_recall_audit": q_minhash_recall_audit,
         "guardrail_partition_rows": q_guardrail_partition_rows,
         "partition_skew_stats": q_partition_skew_stats,
-        "ttl_expiry": q_ttl_expiry,
         "rolling_hash_chunks": q_rolling_hash_chunks,
         "sql_frontend_q3": q_sql_frontend_q3,
         "sql_frontend_q5": q_sql_frontend_q5,
@@ -4149,7 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_recall_audit": f"""
             SELECT vec_id AS query_id, CAST({TOPK_K} AS BIGINT) AS n_brute,
-                   TRUE AS recall_ok
+                   TRUE AS recall_ok, TRUE AS agg_recall_ok
             FROM embeddings WHERE {TOPK_QUERY_PRED}
         """,
         "graph_triangles": f"""
