@@ -2038,6 +2038,76 @@ def q_migrate_incremental(spark, sf_dir):
     )
 
 
+WTRT_SHIFT_US = 5_000_000  # the migrate's writetime incrementBy, in µs
+
+
+def q_migrate_writetime_roundtrip(spark, sf_dir):
+    """Per-row writetime/TTL SINK semantics end-to-end (round-4 verdict #5 —
+    the one §4.3.1 capability that was documented but never oracled):
+    events with per-cell writetime/TTL proxies are written to a parquet
+    target, then two delta batches merge through the last-write-wins sink
+    (plans/upsert.py merge_upsert with writetime_col): a WINNING batch
+    (writetime shifted +incrementBy, value/TTL mutated) that must replace
+    its base rows, and a STALE batch (writetime shifted -incrementBy,
+    value poisoned +9999) that must LOSE to the base rows — Cassandra's
+    reconcile-by-timestamp, the exact behavior CDM's per-row
+    TimestampOption/TTLOption write gives (WritetimeTTL [upstream@6.0.1],
+    SURVEY §4.3.1), as far as parquet can express it. The returned checksum
+    (count + exact writetime/ttl/value sums over the RE-READ target) is
+    recomputed independently by the oracle from reconcile first principles:
+    any dropped base row, surviving stale row, or lost shift changes a sum.
+    Scale: the merge is ONE PK shuffle (row_number over pk ordered by
+    writetime); the rewrite is the standard compact-and-swap."""
+    import os
+    import tempfile
+
+    from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
+
+    e = attach_event_writetimes(attach_event_ttls(_t(spark, sf_dir, "events")))
+    base = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        max_writetime(["__writetime_value", "__writetime_props"]).alias("__writetime"),
+        max_ttl(["__ttl_value", "__ttl_props"]).alias("__ttl"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_wtrt",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    base.write.mode("overwrite").parquet(path)
+    winning = (
+        base.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("__writetime", F.col("__writetime") + WTRT_SHIFT_US)
+        .withColumn("__ttl", F.col("__ttl") + F.lit(50).cast("bigint"))
+    )
+    stale = (
+        base.filter(F.col("event_id") % 10 == 5)
+        .withColumn("value", F.col("value") + 9999.0)
+        .withColumn("__writetime", F.col("__writetime") - WTRT_SHIFT_US)
+    )
+    merged = upsert_parquet(
+        spark,
+        winning.unionByName(stale),
+        path,
+        ["event_id"],
+        writetime_col="__writetime",
+    )
+    # the writetime checksum splits into exact second/µs-remainder bigint
+    # sums (a single µs sum overflows BIGINT at this row count, and DECIMAL
+    # outputs round-trip lossily through the oracle's dataframe fetch)
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.expr("__writetime div 1000000")).cast("bigint").alias("sum_wt_sec"),
+        F.sum(F.pmod(F.col("__writetime"), F.lit(1_000_000))).cast("bigint").alias("sum_wt_rem"),
+        F.sum("__ttl").cast("bigint").alias("sum_ttl"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.sum((F.col("event_id") % 10 == 0).cast("int")).cast("bigint").alias("n_winners"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Probability-proportional-to-size sampling (curation mixes weighted by
     doc length): keep-rate = min(95, floor(n_chars/10)) percent, decided by
@@ -3269,6 +3339,7 @@ def queries() -> dict[str, QueryFn]:
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
         # --- new or behavior-changed in r05 (need fresh driver rows) ---
+        "migrate_writetime_roundtrip": q_migrate_writetime_roundtrip,
         "ttl_expiry": q_ttl_expiry,
         "codec_duration": q_codec_duration,
         "ann_recall_audit": q_ann_recall_audit,
@@ -3658,6 +3729,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_mutated
             FROM orders
+        """,
+        "migrate_writetime_roundtrip": f"""
+            WITH f AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 10 = 0 THEN value + 1000.0
+                            ELSE value END AS value,
+                       CASE WHEN event_id % 10 = 0
+                            THEN greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})
+                                 + {WTRT_SHIFT_US}
+                            ELSE greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})
+                            END AS wt,
+                       CASE WHEN event_id % 10 = 0
+                            THEN greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL}) + 50
+                            ELSE greatest({TTL_VALUE_SQL}, {TTL_PROPS_SQL})
+                            END AS ttl
+                FROM events
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(wt // 1000000) AS BIGINT) AS sum_wt_sec,
+                   CAST(SUM(wt % 1000000) AS BIGINT) AS sum_wt_rem,
+                   CAST(SUM(ttl) AS BIGINT) AS sum_ttl,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                   CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_winners
+            FROM f
         """,
         "weighted_sample": f"""
             SELECT doc_id, lang,
