@@ -30,13 +30,17 @@ def global_rank(
     """Attach ``pos`` (0-based global rank by (value_col, id_col)) and
     ``n_total`` to every row, computed distributed as described above."""
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
-    w_before = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy().rowsBetween(
+    # ONE ordered window pass over the bounded histogram (round-4 verdict
+    # #3): cum_before = inclusive running sum − own count, and the grand
+    # total = running sum over the unbounded frame of the SAME ordering, so
+    # both columns come out of a single WindowExec instead of two.
+    w_cum = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(value_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = hist.select(
         value_col,
-        F.coalesce(F.sum("__cnt").over(w_before), F.lit(0)).alias("__cum_before"),
+        (F.sum("__cnt").over(w_cum) - F.col("__cnt")).alias("__cum_before"),
         F.sum("__cnt").over(w_all).alias(total_col),
     )
     w_in = Window.partitionBy(value_col).orderBy(id_col)
