@@ -274,3 +274,48 @@ def test_no_python_udfs_in_declared_surface(spark, sf_dir):
                 and "MapInPandas" not in p
                 and "FlatMapGroupsInPandas" not in p
             ), f"{key} unexpectedly runs Python (not in ARROW_PYTHON_KEYS)"
+
+
+# Keys whose plans deliberately contain a BroadcastNestedLoopJoin. Two legal
+# classes (round-4 verdict #6), each bounded by construction:
+#   probe: the exact brute-force similarity paths — a bounded probe/query set
+#          broadcast against the corpus (the corpus itself never shuffles);
+#          their scale twins (lsh/banded/ivf/bucketed) are the 100 TB route.
+#   total: a 1-row (or k-row) broadcast aggregate crossJoined back onto the
+#          data (corpus-level counts/means); build side is a scalar, not a
+#          table.
+BNLJ_KEYS = {
+    "topk_similarity": "probe",  # brute_force_topk (similarity.py)
+    "dedup_embedding": "probe",  # cosine_near_dup exact pair path
+    "ann_recall_audit": "probe",  # audits run the exact path by design
+    "ivf_recall_audit": "probe",
+    "simhash_recall_audit": "probe",
+    "minhash_recall_audit": "probe",
+    "bigram_pmi": "total",  # unigram/bigram grand totals
+    "tfidf": "total",  # corpus doc count
+    "bm25_topk": "total",  # corpus doc count + avg doclen
+    "json_key_profile": "total",  # total-docs denominator
+    "ref_integrity_audit": "total",  # per-rule totals
+    "partition_skew_stats": "total",  # mean-slice-size broadcast
+    "unigram_logprob": "total",  # corpus token total
+    "time_gap_fill": "total",  # global time bounds
+}
+
+
+def test_no_unexpected_nested_loop_joins(spark, sf_dir):
+    """Join-strategy guard over the whole declared surface: CartesianProduct
+    never appears anywhere, and BroadcastNestedLoopJoin appears only in the
+    documented BNLJ_KEYS (probe-bounded exact paths and 1-row broadcast
+    totals). A new key that accidentally cross-joins two tables — or an
+    equi-join that degrades to a nested loop because its keys stopped being
+    equality predicates — fails here, not on the 100 TB run."""
+    for key in q.queries():
+        if key == "migrate_rowcount":
+            continue  # writes as a side effect; plan inspected post-write
+        p = _plan(spark, sf_dir, key, mode="simple")
+        assert "CartesianProduct" not in p, f"{key} plans a CartesianProduct"
+        if key not in BNLJ_KEYS:
+            assert "BroadcastNestedLoopJoin" not in p, (
+                f"{key} plans a BroadcastNestedLoopJoin (not in BNLJ_KEYS; "
+                "either fix the join or document the bounded build side)"
+            )
