@@ -26,21 +26,38 @@ STDOUT_BUDGET = 1800  # chars; the driver tail-captures the last 2000 of stdout
 
 
 def compact_stdout_line(result: dict, timings: dict, full_sweep_file: str) -> str:
-    """The stdout contract line: the aggregate numbers plus as many
-    per-query timings as fit under STDOUT_BUDGET, slowest keys first (they
-    carry the signal; the full table is in ``full_sweep_file``). The driver
-    captures only the TAIL of stdout, so a line carrying every per-query
-    number never parses (r01-r03 recorded ``parsed: null``) — fitting the
-    window is part of the contract, pinned by tests/test_bench_contract.py."""
+    """The stdout contract line: the aggregate numbers plus EVERY key's
+    timing, plus as many NAMED per-query timings as fit under STDOUT_BUDGET
+    (slowest first; the full named table is in ``full_sweep_file``). The
+    driver captures only the TAIL of stdout, so a line carrying all ~160
+    full key names never parses (names alone exceed the window; r01-r03
+    recorded ``parsed: null``) — fitting the window is part of the
+    contract, pinned by tests/test_bench_contract.py.
+
+    Complete coverage rides in ``q_cs`` (round-4 verdict #7): centisecond
+    ints for ALL keys in REGISTRY ORDER — the key list is exactly
+    ``list(queries())``, deterministic, so names are recoverable without
+    any of them spending window chars. ~5 chars/key instead of ~22."""
     compact = dict(result)
     compact["queries_total_n"] = len(timings)
     compact["full_sweep_file"] = full_sweep_file
+    compact["q_cs"] = [int(round(timings[k] * 100)) for k in timings]
+    compact["q_cs_unit"] = "centisec"
+    compact["q_cs_order"] = "registry"
     by_cost = sorted(timings, key=lambda k: (-timings[k], k))
     keep = len(by_cost)
     while True:
         compact["queries"] = {k: timings[k] for k in by_cost[:keep]}
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= STDOUT_BUDGET or keep == 0:
+        if len(line) <= STDOUT_BUDGET:
+            return line
+        if keep == 0:
+            if "q_cs" in compact:
+                # registry too large even for the int array (not reachable
+                # at the current ~160 keys): drop it; BENCH_FULL.json still
+                # carries the complete named table.
+                del compact["q_cs"], compact["q_cs_unit"], compact["q_cs_order"]
+                continue
             return line
         keep -= max(1, (len(line) - STDOUT_BUDGET) // 30)
         keep = max(keep, 0)

@@ -48,3 +48,17 @@ def test_slowest_keys_kept_first():
     # the most expensive key always survives the trim
     assert "k199" in kept
     assert min(kept.values()) >= max(v for k, v in timings.items() if k not in kept)
+
+
+def test_q_cs_carries_every_key_in_registry_order():
+    """Round-4 verdict #7: the parsed stdout line must carry a timing for
+    EVERY declared key. Full names can't fit the window, so q_cs is the
+    complete table — centisecond ints in registry order."""
+    keys = list(entry_mod.queries())
+    timings = {k: (i + 1) * 0.01 for i, k in enumerate(keys)}
+    line = bench.compact_stdout_line(_fake_result(timings), timings, "BENCH_FULL.json")
+    assert len(line) <= bench.STDOUT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["q_cs_order"] == "registry"
+    assert len(parsed["q_cs"]) == len(keys)
+    assert parsed["q_cs"] == [i + 1 for i in range(len(keys))]
