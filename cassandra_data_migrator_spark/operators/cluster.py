@@ -115,25 +115,45 @@ def semdedup_pruned_ids(
     id_col: str = "vec_id",
     vec_col: str = "__v",
     cluster_col: str = "cluster_id",
+    max_cluster_compare: int = 4096,
 ) -> DataFrame:
     """SemDeDup's within-cluster prune set: ids having a lower-id member of
     the SAME cluster at rounded cosine ≥ τ. One ``applyInPandas`` per
-    cluster — a single numpy GEMM computes the full pairwise score matrix
-    for that cluster (the reference SemDeDup implementation's shape), vs
+    cluster — a single numpy GEMM computes the pairwise score matrix for
+    that cluster (the reference SemDeDup implementation's shape), vs
     ~|c|²/2 interpreted lambda dot-folds for the expression self-join
-    (measured 9.4 s → GEMM ~1 s at sf0.1). Per-group memory is O(|c|·dim +
-    |c|²) — bounded by cluster size, SemDeDup's own premise."""
+    (measured 9.4 s → GEMM ~1 s at sf0.1).
+
+    Mega-cluster cap (round-4 verdict #8, the same degradation contract as
+    dedup._bucketed_pairs' star linking): clusters up to
+    ``max_cluster_compare`` members get the EXACT all-pairs check; beyond
+    that, each member is compared only against the ``max_cluster_compare``
+    lowest-id anchor members, so one degenerate cluster costs
+    O(|c|·cap·dim) GEMM and O(|c|·cap) memory instead of O(|c|²) — it can
+    stall the sweep but not OOM the executor. The only pairs an over-cap
+    cluster can miss are those whose BOTH members sit beyond the anchor
+    set; deterministic (anchors = lowest ids), and a cluster that big means
+    the k-means k was mis-sized for the corpus — resize k rather than raise
+    the cap."""
     import numpy as np
     import pandas
+
+    if max_cluster_compare < 2:
+        raise ValueError(f"max_cluster_compare must be >= 2, got {max_cluster_compare}")
 
     def _prune(pdf: pandas.DataFrame) -> pandas.DataFrame:
         pdf = pdf.sort_values(id_col)
         X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         if len(X) < 2:
             return pandas.DataFrame({id_col: []}).astype({id_col: "int64"})
-        n = np.sqrt((X * X).sum(axis=1))
-        S = np.round((X @ X.T) / np.outer(n, n), 4)
-        hit = (np.triu(S >= tau, k=1)).any(axis=0)  # any lower-id partner
+        n_anchor = min(len(X), max_cluster_compare)
+        A = X[:n_anchor]
+        nx = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ A.T) / np.outer(nx, nx[:n_anchor]), 4)  # (n, n_anchor)
+        # anchor column j IS global row j (both share the id sort), so
+        # "lower-id partner" = any anchor j < i scoring >= tau
+        lower = np.arange(n_anchor)[None, :] < np.arange(len(X))[:, None]
+        hit = ((S >= tau) & lower).any(axis=1)
         return pandas.DataFrame({id_col: pdf[id_col].to_numpy()[hit]})
 
     return assigned.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(

@@ -97,3 +97,46 @@ def test_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError):
         lloyd_kmeans(df, "embedding", "vec_id", k=3, iters=1)
+
+
+def _semdedup(spark, rows, tau, cap):
+    from cassandra_data_migrator_spark.operators.cluster import semdedup_pruned_ids
+
+    df = spark.createDataFrame(rows, "cluster_id int, vec_id bigint, __v array<double>")
+    out = semdedup_pruned_ids(df, tau, max_cluster_compare=cap)
+    return sorted(r.vec_id for r in out.collect())
+
+
+def test_semdedup_cap_exact_below_cap(spark):
+    """Clusters within the cap keep the exact all-pairs semantics."""
+    rows = [
+        (0, 1, [1.0, 0.0]),
+        (0, 2, [1.0, 0.0]),   # dup of 1 -> pruned
+        (0, 3, [0.0, 1.0]),
+        (0, 4, [0.0, 1.0]),   # dup of 3 -> pruned
+    ]
+    assert _semdedup(spark, rows, 0.99, cap=4096) == [2, 4]
+    # identical result at the exact cap boundary
+    assert _semdedup(spark, rows, 0.99, cap=4) == [2, 4]
+
+
+def test_semdedup_cap_bounds_megacluster_compare(spark):
+    """Over-cap cluster: members are compared against the lowest-id anchors
+    only — a dup pair entirely OUTSIDE the anchor set is the documented
+    miss; dup pairs touching an anchor are still caught."""
+    rows = [
+        (0, 1, [1.0, 0.0]),
+        (0, 2, [0.0, 1.0]),
+        (0, 3, [1.0, 0.0]),    # dup of anchor 1 -> pruned even over cap
+        (0, 4, [0.5, 0.5]),
+        (0, 5, [0.5, 0.5]),    # dup of NON-anchor 4 -> missed at cap=2
+    ]
+    assert _semdedup(spark, rows, 0.99, cap=4096) == [3, 5]
+    assert _semdedup(spark, rows, 0.99, cap=2) == [3]
+
+
+def test_semdedup_cap_validates(spark):
+    from cassandra_data_migrator_spark.operators.cluster import semdedup_pruned_ids
+
+    with pytest.raises(ValueError):
+        semdedup_pruned_ids(None, 0.9, max_cluster_compare=1)
