@@ -69,3 +69,77 @@ def test_streaming_interval_join_rejects_bad_window(spark, sf_dir):
         raise AssertionError("window_us=0 should raise")
     except ValueError:
         pass
+
+
+def test_streaming_interval_join_drops_late_right_rows(spark, tmp_path):
+    """Late-data contract of the stream-stream interval join (documented
+    divergence from batch): a right-side row arriving in a later run whose
+    event time sits beyond the watermark is DROPPED — its matching left
+    anchor's join state was already evicted — while the batch operator,
+    which sees all rows at once, reports the match. Two availableNow runs
+    over one checkpoint (the watermark persists in the checkpoint)."""
+    from cassandra_data_migrator_spark.streaming.windows import run_available_now
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    hour_us = 3_600_000_000
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, value DOUBLE"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        anchors = stream.filter(F.col("event_type") == "signup").select(
+            "event_id", "user_id", "ts_us"
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "value"
+        )
+        joined = streaming_interval_join(
+            anchors, purchases, ["user_id"], "ts_us", "ts_us", hour_us, ["value"]
+        )
+        run_available_now(joined, out, ckpt)
+
+    # Run 1: anchor at t=1s, in-window purchase at t=+10min, plus a pair far
+    # in the future (t=20h) on BOTH sides so each side's watermark advances
+    # to ~20h - delay, far past the anchor's eviction bound (ts + window).
+    batch1 = [
+        (1, 100, "signup", 1_000_000, 0.0),
+        (2, 100, "purchase", 600 * 1_000_000, 5.0),
+        (3, 999, "signup", 20 * hour_us, 0.0),
+        (4, 999, "purchase", 21 * hour_us, 1.0),
+    ]
+    mk(batch1).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    first = _pairs(spark.read.parquet(out).collect())
+    assert (1, 600 * 1_000_000, 5.0) in first, "in-window match must be emitted"
+
+    # Run 2: a LATE purchase for the same anchor — event time t=+20min is
+    # inside the anchor's 1h window, but the watermark already passed it.
+    mk([(5, 100, "purchase", 1200 * 1_000_000, 7.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = _pairs(spark.read.parquet(out).collect())
+    assert (1, 1200 * 1_000_000, 7.0) not in got, (
+        "purchase beyond the watermark must be dropped by the stream"
+    )
+
+    # The batch operator, seeing all rows at once, DOES report that match —
+    # the divergence is the watermark trade-off, asserted explicitly.
+    all_rows = mk(batch1 + [(5, 100, "purchase", 1200 * 1_000_000, 7.0)])
+    b_anchors = all_rows.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts_us"
+    )
+    b_purch = all_rows.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    batch = _pairs(
+        interval_join_bucketed(
+            b_anchors, b_purch, ["user_id"], "ts_us", "ts_us", hour_us, ["value"]
+        ).collect()
+    )
+    assert (1, 1200 * 1_000_000, 7.0) in batch
+    assert sorted(got + [(1, 1200 * 1_000_000, 7.0)]) == batch
