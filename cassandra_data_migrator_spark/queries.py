@@ -936,13 +936,15 @@ def q_embedding_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
     total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    # + 0.0 folds a rounded -0.0 to +0.0 on both engines (the driver's
+    # value hash distinguishes signed zero; caught live on mean_r)
     return emb.select(
         "vec_id",
         F.size(v).cast("bigint").alias("dims"),
         F.round(norm(v), 4).alias("norm_r"),
-        F.round(total / F.size(v), 4).alias("mean_r"),
-        F.round(F.array_min(v), 4).alias("min_r"),
-        F.round(F.array_max(v), 4).alias("max_r"),
+        (F.round(total / F.size(v), 4) + F.lit(0.0)).alias("mean_r"),
+        (F.round(F.array_min(v), 4) + F.lit(0.0)).alias("min_r"),
+        (F.round(F.array_max(v), 4) + F.lit(0.0)).alias("max_r"),
     )
 
 
@@ -3294,6 +3296,97 @@ def q_sql_frontend_q5(spark, sf_dir):
     return spark.sql(TPCH_Q5_SQL)
 
 
+LM_ADD_K = 0.5  # add-k smoothing constant of the bigram LM
+HH_THRESHOLD_FRAC = 0.0008  # heavy hitter = key with >= 0.08% of all events
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (the CCNet-style 'perplexity
+    filter' of LLM data pipelines, self-trained so no external model is
+    needed): P(w2|w1) = (c12+k)/(c1+kV) with add-k smoothing, per-doc score
+    = mean negative log-prob over the doc's bigrams. One token explode
+    feeds doc-level AND corpus-level bigram counts (the corpus table is the
+    aggregated vocab — bounded, never the raw token stream); per-bigram
+    log-probs are rounded to 6dp DECIMAL so the per-doc sum is exact and
+    order-independent; V rides as a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    with_arr = d.select("doc_id", t.alias("ts")).filter(F.size("ts") >= 2)
+    bigrams = with_arr.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    doc_cnt = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    c12 = doc_cnt.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = d.select(F.explode(t).alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    probs = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp6",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(LM_ADD_K))
+                    / (F.col("c1") + F.lit(LM_ADD_K) * F.col("v"))
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    scored = doc_cnt.join(probs.select("w1", "w2", "logp6"), ["w1", "w2"])
+    avg_logp = F.sum(F.col("n_occ") * F.col("logp6")).cast("double") / F.sum(
+        "n_occ"
+    ).cast("double")
+    return scored.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+        (F.round(-avg_logp, 4) + F.lit(0.0)).alias("nll"),
+    )
+
+
+def q_hll_distinct_audit(spark, sf_dir):
+    """Mergeable-sketch cardinality under the DRIVER check: per-slice
+    DataSketches HLL sketches union-merged per event_type, estimate pinned
+    within 5% of the exact distinct count (sketch rel. err. ~0.8% at
+    lgK=14). See operators/sketches.hll_distinct_audit."""
+    from cassandra_data_migrator_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events")
+    return sketches.hll_distinct_audit(e, "event_type", "user_id", "event_id")
+
+
+def q_quantile_sketch_audit(spark, sf_dir):
+    """Single-pass GK quantile sketch (percentile_approx) rank-error
+    contract per event_type: the returned p50/p90/p99 values' rank
+    intervals must touch q*n +/- (n/accuracy + slack). See
+    operators/sketches.quantile_sketch_audit."""
+    from cassandra_data_migrator_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events")
+    return sketches.quantile_sketch_audit(e, "event_type", "value")
+
+
+def q_heavy_hitters_audit(spark, sf_dir):
+    """Frequent-items sketch (approx_top_k accumulate/combine/estimate)
+    heavy-hitter contract: every user with >= 0.08% of all events must be
+    found by the merged sketch with its count inside the 3.5*N/maxMapSize
+    error floor. See operators/sketches.heavy_hitter_audit."""
+    from cassandra_data_migrator_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events")
+    return sketches.heavy_hitter_audit(e, "user_id", "event_id", HH_THRESHOLD_FRAC)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3344,6 +3437,11 @@ def queries() -> dict[str, QueryFn]:
         "codec_duration": q_codec_duration,
         "ann_recall_audit": q_ann_recall_audit,
         "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
+        "lm_perplexity": q_lm_perplexity,
+        "hll_distinct_audit": q_hll_distinct_audit,
+        "quantile_sketch_audit": q_quantile_sketch_audit,
+        "heavy_hitters_audit": q_heavy_hitters_audit,
+        "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
         "const_columns": q_const_columns,
@@ -3444,7 +3542,6 @@ def queries() -> dict[str, QueryFn]:
         "window_lag_lead": q_window_lag_lead,
         "date_rollup": q_date_rollup,
         "semi_anti_join": q_semi_anti_join,
-        "embedding_stats": q_embedding_stats,
         "salted_group_agg": q_salted_group_agg,
         "cube_agg": q_cube_agg,
         "bigram_doc_freq": q_bigram_doc_freq,
@@ -4256,6 +4353,45 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recall_ok, TRUE AS agg_recall_ok
             FROM embeddings WHERE {TOPK_QUERY_PRED}
         """,
+        "lm_perplexity": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM uni),
+            bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                         FROM toks WHERE len(ts) >= 2)),
+            dc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM bg GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, SUM(n_occ) AS c12 FROM dc GROUP BY 1, 2),
+            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+            pr AS (SELECT b.w1, b.w2,
+                          CAST(ROUND(ln((b.c12 + {LM_ADD_K})
+                               / (c.c1 + {LM_ADD_K} * voc.v)), 6)
+                               AS DECIMAL(18,6)) AS logp6
+                   FROM c12 b JOIN c1 c ON c.w1 = b.w1 CROSS JOIN voc)
+            SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+                   ROUND(-(CAST(SUM(d.n_occ * p.logp6) AS DOUBLE)
+                         / CAST(SUM(d.n_occ) AS DOUBLE)), 4) + 0.0 AS nll
+            FROM dc d JOIN pr p ON p.w1 = d.w1 AND p.w2 = d.w2
+            GROUP BY d.doc_id
+        """,
+        "hll_distinct_audit": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type
+        """,
+        "quantile_sketch_audit": """
+            SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+                   TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+            FROM events GROUP BY event_type
+        """,
+        "heavy_hitters_audit": f"""
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   TRUE AS found_ok, TRUE AS est_ok
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) >= CEIL({HH_THRESHOLD_FRAC}
+                                    * (SELECT COUNT(*) FROM events))
+        """,
         "graph_triangles": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
             pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
@@ -4661,9 +4797,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    CAST(len(e) AS BIGINT) AS dims,
                    ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS norm_r,
-                   ROUND(list_sum(e) / len(e), 4) AS mean_r,
-                   ROUND(list_min(e), 4) AS min_r,
-                   ROUND(list_max(e), 4) AS max_r
+                   ROUND(list_sum(e) / len(e), 4) + 0.0 AS mean_r,
+                   ROUND(list_min(e), 4) + 0.0 AS min_r,
+                   ROUND(list_max(e), 4) + 0.0 AS max_r
             FROM v
         """,
         "salted_group_agg": """

@@ -299,6 +299,8 @@ BNLJ_KEYS = {
     "partition_skew_stats": "total",  # mean-slice-size broadcast
     "unigram_logprob": "total",  # corpus token total
     "time_gap_fill": "total",  # global time bounds
+    "lm_perplexity": "total",  # 1-row vocab-size broadcast
+    "heavy_hitters_audit": "total",  # 1-row corpus-count broadcast
 }
 
 
