@@ -3354,6 +3354,45 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+JSONL_CORRUPT_MOD = 97  # docs with doc_id % 97 == 0 get truncated lines
+JSONL_DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def q_jsonl_quarantine(spark, sf_dir):
+    """JSONL ingestion e2e with corrupt-record quarantine (sources/jsonl.py):
+    documents are staged as JSONL text with a deterministic subset of lines
+    truncated mid-object, read back schema-explicit PERMISSIVE, and split
+    into good/quarantined over one scan. The checksum proves (a) every
+    non-corrupted row round-trips exactly (doc_id / text length / n_chars
+    sums), (b) every corrupted line is quarantined, none dropped, none
+    leaked into the good path. The write is executor-side text output —
+    the same side-effect e2e shape as migrate_rowcount."""
+    import os
+    import tempfile
+
+    from cassandra_data_migrator_spark.sources import jsonl
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_jsonl",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    jsonl.write_jsonl(
+        d, path, corrupt_expr=F.col("doc_id") % JSONL_CORRUPT_MOD == 0
+    )
+    parsed = jsonl.read_jsonl(spark, path, JSONL_DOC_SCHEMA)
+    good, bad = jsonl.split_quarantine(parsed)
+    g = good.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_good"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )
+    b = bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_bad"))
+    return g.crossJoin(b)
+
+
 def q_hll_distinct_audit(spark, sf_dir):
     """Mergeable-sketch cardinality under the DRIVER check: per-slice
     DataSketches HLL sketches union-merged per event_type, estimate pinned
@@ -3441,6 +3480,7 @@ def queries() -> dict[str, QueryFn]:
         "hll_distinct_audit": q_hll_distinct_audit,
         "quantile_sketch_audit": q_quantile_sketch_audit,
         "heavy_hitters_audit": q_heavy_hitters_audit,
+        "jsonl_quarantine": q_jsonl_quarantine,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
@@ -4374,6 +4414,19 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(SUM(d.n_occ) AS DOUBLE)), 4) + 0.0 AS nll
             FROM dc d JOIN pr p ON p.w1 = d.w1 AND p.w2 = d.w2
             GROUP BY d.doc_id
+        """,
+        "jsonl_quarantine": f"""
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+               WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS n_good,
+              (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+               WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS sum_doc_id,
+              (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents
+               WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS sum_text_chars,
+              (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+               WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS sum_n_chars,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+               WHERE doc_id % {JSONL_CORRUPT_MOD} = 0) AS n_bad
         """,
         "hll_distinct_audit": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

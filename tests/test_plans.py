@@ -301,6 +301,7 @@ BNLJ_KEYS = {
     "time_gap_fill": "total",  # global time bounds
     "lm_perplexity": "total",  # 1-row vocab-size broadcast
     "heavy_hitters_audit": "total",  # 1-row corpus-count broadcast
+    "jsonl_quarantine": "total",  # two 1-row checksum aggs crossJoined
 }
 
 
