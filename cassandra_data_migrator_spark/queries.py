@@ -3393,6 +3393,78 @@ def q_jsonl_quarantine(spark, sf_dir):
     return g.crossJoin(b)
 
 
+COMPACT_FRAGMENT_FILES = 64  # deliberately fragmented staging layout
+COMPACT_TARGET_ROWS = 4096  # compaction target rows per file
+
+
+def q_file_compaction(spark, sf_dir):
+    """Small-file compaction e2e (sources/layout.py): events are staged as
+    64 deliberately tiny files (the shape an incremental sink accretes),
+    compacted to ceil(n/4096) evenly-sized files, and re-read. The output
+    pins BOTH layouts' exact file counts (counted executor-side via
+    input_file_name) and that compaction preserved every row (count +
+    event_id sum survive the rewrite)."""
+    import os
+    import tempfile
+
+    from cassandra_data_migrator_spark.sources import layout
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_compact",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    frag_path, comp_path = os.path.join(base, "frag"), os.path.join(base, "comp")
+    e.repartition(COMPACT_FRAGMENT_FILES).write.mode("overwrite").parquet(frag_path)
+    layout.compact(spark, frag_path, comp_path, COMPACT_TARGET_ROWS)
+    frag, comp = spark.read.parquet(frag_path), spark.read.parquet(comp_path)
+    stats = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
+    before = frag.select(F.input_file_name().alias("f")).agg(
+        F.countDistinct("f").cast("bigint").alias("n_files_before")
+    )
+    after = comp.select(F.input_file_name().alias("f")).agg(
+        F.countDistinct("f").cast("bigint").alias("n_files_after")
+    )
+    return stats.crossJoin(before).crossJoin(after)
+
+
+def q_partitioned_write_prune(spark, sf_dir):
+    """Hive-partitioned write + pruned read e2e: events written
+    partitionBy(event_date), then the earliest date's partition is read
+    back through the partition filter and aggregated. Correctness pins the
+    per-type counts/sums of exactly that date; the PLAN contract (scan
+    touches only the one date directory) is pinned by
+    tests/test_layout.py. The min-date lookup is a bounded driver scalar
+    (one value), same class as the slice manifests."""
+    import os
+    import tempfile
+
+    from cassandra_data_migrator_spark.sources import layout
+
+    e = _t(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_partwrite",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    dated = e.withColumn("event_date", F.to_date(F.timestamp_micros("ts_us")))
+    layout.write_partitioned(
+        dated.select("event_id", "event_type", "value", "event_date"),
+        out,
+        "event_date",
+    )
+    min_date = dated.agg(F.min("event_date")).collect()[0][0]
+    pr = spark.read.parquet(out).filter(F.col("event_date") == F.lit(min_date))
+    return pr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+
+
 def q_hll_distinct_audit(spark, sf_dir):
     """Mergeable-sketch cardinality under the DRIVER check: per-slice
     DataSketches HLL sketches union-merged per event_type, estimate pinned
@@ -3481,6 +3553,8 @@ def queries() -> dict[str, QueryFn]:
         "quantile_sketch_audit": q_quantile_sketch_audit,
         "heavy_hitters_audit": q_heavy_hitters_audit,
         "jsonl_quarantine": q_jsonl_quarantine,
+        "file_compaction": q_file_compaction,
+        "partitioned_write_prune": q_partitioned_write_prune,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
@@ -4427,6 +4501,21 @@ def oracle_sql() -> dict[str, str]:
                WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS sum_n_chars,
               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
                WHERE doc_id % {JSONL_CORRUPT_MOD} = 0) AS n_bad
+        """,
+        "file_compaction": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+                   CAST({COMPACT_FRAGMENT_FILES} AS BIGINT) AS n_files_before,
+                   CAST(CEIL(COUNT(*) * 1.0 / {COMPACT_TARGET_ROWS}) AS BIGINT)
+                       AS n_files_after
+            FROM events
+        """,
+        "partitioned_write_prune": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM events
+            WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+            GROUP BY event_type
         """,
         "hll_distinct_audit": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

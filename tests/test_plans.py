@@ -302,6 +302,7 @@ BNLJ_KEYS = {
     "lm_perplexity": "total",  # 1-row vocab-size broadcast
     "heavy_hitters_audit": "total",  # 1-row corpus-count broadcast
     "jsonl_quarantine": "total",  # two 1-row checksum aggs crossJoined
+    "file_compaction": "total",  # three 1-row layout-stat aggs crossJoined
 }
 
 
