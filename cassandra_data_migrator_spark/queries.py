@@ -3393,6 +3393,45 @@ def q_jsonl_quarantine(spark, sf_dir):
     return g.crossJoin(b)
 
 
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def q_length_bucketing(spark, sf_dir):
+    """Sequence-length bucketing for batched training/inference: each doc
+    goes to the smallest power-of-2 bucket holding its whitespace token
+    count, and per bucket we account docs, real tokens, padded capacity
+    (bucket * n_docs) and the padding-waste ratio — the number that decides
+    the bucket ladder. The bucket assignment is an integer CASE ladder
+    (identical on both engines; no float log2 whose ulp could flip a
+    boundary). One scan + one bounded groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count_ws("text")
+    bucket = None
+    for b in LENGTH_BUCKETS:
+        cond = n_tok <= b
+        bucket = (
+            F.when(cond, F.lit(b)) if bucket is None else bucket.when(cond, F.lit(b))
+        )
+    bucket = bucket.otherwise(F.lit(2 * LENGTH_BUCKETS[-1])).cast("bigint")
+    per = (
+        d.select(bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        )
+    )
+    return per.select(
+        "bucket",
+        "n_docs",
+        "sum_tok",
+        (F.col("bucket") * F.col("n_docs")).cast("bigint").alias("capacity"),
+        F.round(
+            F.lit(1.0) - F.col("sum_tok") / (F.col("bucket") * F.col("n_docs")), 4
+        ).alias("waste_r"),
+    )
+
+
 COMPACT_FRAGMENT_FILES = 64  # deliberately fragmented staging layout
 COMPACT_TARGET_ROWS = 4096  # compaction target rows per file
 
@@ -3555,6 +3594,7 @@ def queries() -> dict[str, QueryFn]:
         "jsonl_quarantine": q_jsonl_quarantine,
         "file_compaction": q_file_compaction,
         "partitioned_write_prune": q_partitioned_write_prune,
+        "length_bucketing": q_length_bucketing,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
@@ -4501,6 +4541,27 @@ def oracle_sql() -> dict[str, str]:
                WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS sum_n_chars,
               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
                WHERE doc_id % {JSONL_CORRUPT_MOD} = 0) AS n_bad
+        """,
+        "length_bucketing": f"""
+            WITH nt AS (SELECT len({TOKS_SQL}) AS n_tok FROM documents),
+            b AS (SELECT n_tok,
+                         CASE WHEN n_tok <= 16 THEN 16
+                              WHEN n_tok <= 32 THEN 32
+                              WHEN n_tok <= 64 THEN 64
+                              WHEN n_tok <= 128 THEN 128
+                              WHEN n_tok <= 256 THEN 256
+                              WHEN n_tok <= 512 THEN 512
+                              WHEN n_tok <= 1024 THEN 1024
+                              WHEN n_tok <= 2048 THEN 2048
+                              WHEN n_tok <= 4096 THEN 4096
+                              ELSE 8192 END AS bucket
+                  FROM nt)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(bucket * COUNT(*) AS BIGINT) AS capacity,
+                   ROUND(1.0 - SUM(n_tok) / (bucket * COUNT(*)), 4) AS waste_r
+            FROM b GROUP BY bucket
         """,
         "file_compaction": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

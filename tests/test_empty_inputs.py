@@ -96,3 +96,43 @@ def test_assign_clusters_exact_empty(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = assign_clusters_exact(df, [(0, [0.0, 0.0])], "embedding")
     assert out.count() == 0
+
+
+def test_sketch_audits_empty(empty_events):
+    from cassandra_data_migrator_spark.operators import sketches
+
+    assert (
+        sketches.hll_distinct_audit(
+            empty_events, "event_type", "user_id", "event_id"
+        ).count()
+        == 0
+    )
+    assert (
+        sketches.quantile_sketch_audit(empty_events, "event_type", "value").count()
+        == 0
+    )
+    assert (
+        sketches.heavy_hitter_audit(empty_events, "user_id", "event_id", 0.1).count()
+        == 0
+    )
+
+
+def test_jsonl_empty_write_read(spark, empty_docs, tmp_path):
+    from cassandra_data_migrator_spark.sources import jsonl
+
+    path = str(tmp_path / "empty_jsonl")
+    jsonl.write_jsonl(empty_docs.select("doc_id", "text"), path)
+    good, bad = jsonl.split_quarantine(
+        jsonl.read_jsonl(spark, path, "doc_id BIGINT, text STRING")
+    )
+    assert good.count() == 0 and bad.count() == 0
+
+
+def test_compact_empty_source(spark, empty_events, tmp_path):
+    from cassandra_data_migrator_spark.sources import layout
+
+    src, dst = str(tmp_path / "esrc"), str(tmp_path / "edst")
+    empty_events.select("event_id").write.parquet(src)
+    k = layout.compact(spark, src, dst, target_rows=100)
+    assert k == 1  # floor: one (empty) target layout, never zero
+    assert spark.read.parquet(dst).count() == 0
