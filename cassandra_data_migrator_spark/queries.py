@@ -3471,44 +3471,16 @@ def q_file_compaction(spark, sf_dir):
     return stats.crossJoin(before).crossJoin(after)
 
 
-def q_partitioned_write_prune(spark, sf_dir):
-    """Hive-partitioned write + pruned read e2e: events written
-    partitionBy(event_date), then the earliest date's partition is read
-    back through the partition filter and aggregated. Correctness pins the
-    per-type counts/sums of exactly that date; the PLAN contract (scan
-    touches only the one date directory) is pinned by
-    tests/test_layout.py. The min-date lookup is a bounded driver scalar
-    (one value), same class as the slice manifests."""
-    import os
-    import tempfile
-
-    from cassandra_data_migrator_spark.sources import layout
-
-    e = _t(spark, sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_partwrite",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
-    )
-    dated = e.withColumn("event_date", F.to_date(F.timestamp_micros("ts_us")))
-    layout.write_partitioned(
-        dated.select("event_id", "event_type", "value", "event_date"),
-        out,
-        "event_date",
-    )
-    min_date = dated.agg(F.min("event_date")).collect()[0][0]
-    pr = spark.read.parquet(out).filter(F.col("event_date") == F.lit(min_date))
-    return pr.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
-    )
-
-
 def q_hll_distinct_audit(spark, sf_dir):
     """Mergeable-sketch cardinality under the DRIVER check: per-slice
     DataSketches HLL sketches union-merged per event_type, estimate pinned
     within 5% of the exact distinct count (sketch rel. err. ~0.8% at
-    lgK=14). See operators/sketches.hll_distinct_audit."""
+    lgK=14). Distinct from approx_distinct_audit, which audits the
+    single-shot approx_count_distinct AGGREGATE: this key materializes
+    sketches as DATA (per-slice rows) and re-aggregates them — the
+    store-and-merge pipeline (per-partition sketch tables, incremental
+    cardinality rollups) that single-shot form cannot express. See
+    operators/sketches.hll_distinct_audit."""
     from cassandra_data_migrator_spark.operators import sketches
 
     e = _t(spark, sf_dir, "events")
@@ -3518,7 +3490,11 @@ def q_hll_distinct_audit(spark, sf_dir):
 def q_quantile_sketch_audit(spark, sf_dir):
     """Single-pass GK quantile sketch (percentile_approx) rank-error
     contract per event_type: the returned p50/p90/p99 values' rank
-    intervals must touch q*n +/- (n/accuracy + slack). See
+    intervals must touch q*n +/- (n/accuracy + slack). Distinct from
+    approx_percentile_audit, which checks VALUE closeness to the exact
+    percentile (a data-dependent property): this pins the sketch's actual
+    published guarantee — bounded RANK error — which holds on any
+    distribution, including ones where close-in-rank is far-in-value. See
     operators/sketches.quantile_sketch_audit."""
     from cassandra_data_migrator_spark.operators import sketches
 
@@ -3593,7 +3569,6 @@ def queries() -> dict[str, QueryFn]:
         "heavy_hitters_audit": q_heavy_hitters_audit,
         "jsonl_quarantine": q_jsonl_quarantine,
         "file_compaction": q_file_compaction,
-        "partitioned_write_prune": q_partitioned_write_prune,
         "length_bucketing": q_length_bucketing,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
@@ -4570,13 +4545,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CEIL(COUNT(*) * 1.0 / {COMPACT_TARGET_ROWS}) AS BIGINT)
                        AS n_files_after
             FROM events
-        """,
-        "partitioned_write_prune": """
-            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
-            FROM events
-            WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
-            GROUP BY event_type
         """,
         "hll_distinct_audit": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
