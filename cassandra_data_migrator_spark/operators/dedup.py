@@ -148,6 +148,60 @@ def ngram_jaccard_pairs(
 # MinHash + banded LSH (the at-scale fuzzy-dedup path)
 
 
+def incremental_jaccard_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """New-batch-vs-corpus exact n-gram Jaccard — the PRODUCTION dedup mode:
+    a daily ingest batch is deduped against the standing corpus WITHOUT ever
+    re-pairing the corpus with itself (the all-pairs ngram_jaccard_pairs
+    shape is the bootstrap; this is every day after).
+
+    Plan shape: candidates come from ONE shingle equi-join of the (small)
+    batch index against the corpus index — never a self-join. At fixture
+    scale the corpus index shuffles by shingle once per run; at 100 TB the
+    corpus index is materialized bucketed-by-shingle (sources/layout.py +
+    tests/test_bucketing.py's zero-Exchange join), so the per-batch join
+    co-locates with NO corpus shuffle at all, and batch-side state is
+    batch-sized. Intersections are exact counts over the joined shingles;
+    unions come from the two per-doc size tables (batch side broadcast).
+    The one skew risk is hot boilerplate shingles — run boilerplate
+    removal (queries.q_boilerplate_ngrams) upstream, the same composition
+    a C4-style pipeline applies anyway.
+
+    Output (batch_id, corpus_id, jaccard >= threshold), jaccard rounded to
+    4dp before the threshold compare (oracle-identical, like
+    ngram_jaccard_pairs)."""
+    bi = shingle_index(batch, text_col, id_col, n)
+    ci = shingle_index(corpus, text_col, id_col, n)
+    b_sizes = bi.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    ).withColumnRenamed(id_col, "batch_id")
+    c_sizes = ci.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    ).withColumnRenamed(id_col, "corpus_id")
+    inter = (
+        bi.withColumnRenamed(id_col, "batch_id")
+        .join(ci.withColumnRenamed(id_col, "corpus_id"), "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    scored = (
+        inter.join(F.broadcast(b_sizes), "batch_id")
+        .join(c_sizes, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("ni") / (F.col("nb") + F.col("nc") - F.col("ni")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select("batch_id", "corpus_id", "jaccard")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -3393,6 +3393,23 @@ def q_jsonl_quarantine(spark, sf_dir):
     return g.crossJoin(b)
 
 
+BATCH_SPLIT_MOD, BATCH_SPLIT_REM = 10, 7  # docs with id%10==7 are the "new batch"
+
+
+def q_dedup_incremental_batch(spark, sf_dir):
+    """Incremental (batch-vs-corpus) near-dup detection — the dedup mode a
+    standing 100 TB corpus actually runs daily: the deterministic 10% 'new
+    batch' (doc_id % 10 == 7) is compared against the other 90% via ONE
+    cross-side shingle join (operators/dedup.incremental_jaccard_pairs) —
+    the corpus is never self-paired. Exact Jaccard, so the oracle twin is
+    a full ANSI recomputation."""
+    d = _t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % BATCH_SPLIT_MOD == BATCH_SPLIT_REM
+    return dedup.incremental_jaccard_pairs(
+        d.filter(is_batch), d.filter(~is_batch), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
 LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 
 
@@ -3570,6 +3587,7 @@ def queries() -> dict[str, QueryFn]:
         "jsonl_quarantine": q_jsonl_quarantine,
         "file_compaction": q_file_compaction,
         "length_bucketing": q_length_bucketing,
+        "dedup_incremental_batch": q_dedup_incremental_batch,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
@@ -4516,6 +4534,29 @@ def oracle_sql() -> dict[str, str]:
                WHERE doc_id % {JSONL_CORRUPT_MOD} <> 0) AS sum_n_chars,
               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
                WHERE doc_id % {JSONL_CORRUPT_MOD} = 0) AS n_bad
+        """,
+        "dedup_incremental_batch": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id,
+                          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                   FROM pos),
+            b AS (SELECT * FROM sh
+                  WHERE doc_id % {BATCH_SPLIT_MOD} = {BATCH_SPLIT_REM}),
+            c AS (SELECT * FROM sh
+                  WHERE doc_id % {BATCH_SPLIT_MOD} <> {BATCH_SPLIT_REM}),
+            bs AS (SELECT doc_id, COUNT(*) AS nb FROM b GROUP BY 1),
+            cs AS (SELECT doc_id, COUNT(*) AS nc FROM c GROUP BY 1),
+            inter AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                             COUNT(*) AS ni
+                      FROM b JOIN c ON b.shingle = c.shingle GROUP BY 1, 2)
+            SELECT i.batch_id, i.corpus_id,
+                   ROUND(i.ni * 1.0 / (bs.nb + cs.nc - i.ni), 4) AS jaccard
+            FROM inter i JOIN bs ON bs.doc_id = i.batch_id
+                         JOIN cs ON cs.doc_id = i.corpus_id
+            WHERE ROUND(i.ni * 1.0 / (bs.nb + cs.nc - i.ni), 4)
+                  >= {NGRAM_THRESHOLD}
         """,
         "length_bucketing": f"""
             WITH nt AS (SELECT len({TOKS_SQL}) AS n_tok FROM documents),

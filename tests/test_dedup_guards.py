@@ -108,3 +108,58 @@ def test_uncapped_and_capped_agree_on_small_buckets(spark, sf_dir):
         (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
     }
     assert capped == uncapped
+
+
+def test_incremental_pairs_never_self_pair(spark, sf_dir):
+    """Batch-vs-corpus dedup must emit only cross-side pairs — no
+    batch×batch or corpus×corpus pair can appear, and the join must stay a
+    hash equi-join (no nested loop)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators.dedup import incremental_jaccard_pairs
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    pairs = incremental_jaccard_pairs(
+        d.filter(is_batch), d.filter(~is_batch), n=3, threshold=0.2
+    )
+    rows = pairs.collect()
+    for r in rows:
+        assert r.batch_id % 10 == 7, "left side must come from the batch"
+        assert r.corpus_id % 10 != 7, "right side must come from the corpus"
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_pairs_match_all_pairs_restriction(spark, sf_dir):
+    """Cross-side pairs == the all-pairs generator's output restricted to
+    one-end-in-batch (same shingles, same exact Jaccard)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    inc = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in incremental_jaccard_pairs(
+            d.filter(is_batch), d.filter(~is_batch), n=3, threshold=0.2
+        ).collect()
+    }
+    full = ngram_jaccard_pairs(d, n=3, threshold=0.2).collect()
+    expected = set()
+    for r in full:
+        a_b, b_b = r.id_a % 10 == 7, r.id_b % 10 == 7
+        if a_b and not b_b:
+            expected.add((r.id_a, r.id_b, r.jaccard))
+        elif b_b and not a_b:
+            expected.add((r.id_b, r.id_a, r.jaccard))
+    assert inc == expected
