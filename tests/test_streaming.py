@@ -162,3 +162,41 @@ def test_streaming_migrate_merge_upserts_across_restarts(spark, tmp_path):
     assert len(got) == 15
     assert all(got[i] == 1 for i in range(1, 5))
     assert all(got[i] == 2 for i in range(5, 16))
+
+
+def test_streaming_window_distinct_within_sketch_bound(spark, sf_dir, tmp_path):
+    """The streaming per-window HLL++ distinct estimate must land within
+    the sketch's rsd bound (2% requested; 6-sigma slack) of the batch
+    exact COUNT(DISTINCT) for every emitted window — bounded-state
+    cardinality on an unbounded stream."""
+    from cassandra_data_migrator_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        streaming_window_distinct,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "out_d")
+    run_available_now(
+        streaming_window_distinct(stream), out, str(tmp_path / "ckpt_d")
+    )
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    e = load_table(spark, sf_dir, "events")
+    exact = (
+        e.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_users"
+        )
+    )
+    joined = got.join(exact, "window_start_us", "inner").collect()
+    assert len(joined) == got.count(), "every emitted window must exist in batch"
+    for r in joined:
+        tol = max(2, 0.12 * r.n_users)  # 6 x 2% rsd
+        assert abs(r.n_users_est - r.n_users) <= tol, (
+            r.window_start_us,
+            r.n_users_est,
+            r.n_users,
+        )
