@@ -89,14 +89,16 @@ def cql_duration_parse(c: Column) -> Column:
     silently keep the last occurrence), and any residue the tokenizer did
     not consume ('5hx', '1h 2m', 'h5') fails a whole-string check instead
     of being silently dropped."""
+    # `mapped` is the ONE tokenizing regex pass; every consumer below —
+    # the map, the entry count, and the shape check — derives from it, so
+    # whole-stage codegen's subexpression elimination materializes it once
+    # per row. Keeping every struct child UNCONDITIONAL matters just as
+    # much: wrapping the struct in when(guard, ...) marks all children
+    # conditionally-evaluated, which disables CSE and re-ran the regex
+    # pipeline per field (measured 12× in the r05 sweep).
+    mapped = F.regexp_replace(c, r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)", r"$2:$1,")
     m = F.str_to_map(
-        F.regexp_replace(
-            F.regexp_replace(c, r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)", r"$2:$1,"),
-            r",$",
-            "",
-        ),
-        F.lit(","),
-        F.lit(":"),
+        F.regexp_replace(mapped, r",$", ""), F.lit(","), F.lit(":")
     )
 
     def u(k: str) -> Column:
@@ -111,22 +113,29 @@ def cql_duration_parse(c: Column) -> Column:
         + u("us") * F.lit(_DUR_UNITS_NANOS["us"])
         + u("ns") * F.lit(_DUR_UNITS_NANOS["ns"])
     )
-    tok = r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)"
-    residue_ok = F.regexp_replace(c, tok, "") == ""
-    no_dup = F.size(m) == F.size(F.regexp_extract_all(c, F.lit(tok), 2))
-    guard = F.assert_true(
-        # '' is the zero duration (str_to_map('') yields a 1-entry map with
-        # an empty key, so the size comparison needs the explicit carve-out)
-        c.isNull() | (c == "") | (residue_ok & no_dup),
-        F.concat(F.lit("malformed CQL duration: "), F.coalesce(c, F.lit("null"))),
+    # Unconsumed residue survives tokenization in place ('5hx3m' →
+    # 'h:5,xm:3,'), so a single anchored shape check on `mapped` catches it
+    # without re-scanning the original; the matched-token count is the
+    # comma count (plain string ops, no regex), and a repeated unit makes
+    # map size < token count regardless of spark.sql.mapKeyDedupPolicy.
+    shape_ok = mapped.rlike(r"^((?:mo|ms|us|ns|y|w|d|h|m|s):\d+,)*$")
+    entries = F.length(mapped) - F.length(F.replace(mapped, F.lit(","), F.lit("")))
+    no_dup = F.size(m) == entries
+    guard0 = F.coalesce(
+        F.assert_true(
+            # '' is the zero duration (str_to_map('') yields a 1-entry map
+            # with an empty key, so the size compare needs the carve-out)
+            c.isNull() | (c == "") | (shape_ok & no_dup),
+            F.concat(
+                F.lit("malformed CQL duration: "), F.coalesce(c, F.lit("null"))
+            ),
+        ).cast("int"),
+        F.lit(0),
     )
-    return F.when(
-        guard.isNull(),
-        F.struct(
-            (u("y") * 12 + u("mo")).cast("int").alias("months"),
-            (u("w") * 7 + u("d")).cast("int").alias("days"),
-            nanos.cast("bigint").alias("nanos"),
-        ),
+    return F.struct(
+        (u("y") * 12 + u("mo") + guard0).cast("int").alias("months"),
+        (u("w") * 7 + u("d")).cast("int").alias("days"),
+        nanos.cast("bigint").alias("nanos"),
     )
 
 
