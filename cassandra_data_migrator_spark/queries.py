@@ -3410,6 +3410,28 @@ def q_dedup_incremental_batch(spark, sf_dir):
     )
 
 
+BPE_NUM_MERGES = 120  # merge-table size for the declared key
+BPE_MAX_WORD_TYPES = 20_000  # driver-state cap on the training word table
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE tokenizer training + application (functions/bpe.py): train the
+    merge table over the corpus word-frequency aggregate (the bounded
+    driver-state shape every production BPE trainer uses), segment each
+    DISTINCT word once through the Arrow kernel, broadcast-join the
+    per-type lengths back onto the token stream, and emit per-doc BPE
+    token counts. Rows-only under the driver (no ANSI SQL reproduces the
+    merge loop); exact per-doc agreement with a pure-Python reference BPE
+    is pinned by tests/test_bpe.py."""
+    from cassandra_data_migrator_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        d, num_merges=BPE_NUM_MERGES, max_word_types=BPE_MAX_WORD_TYPES
+    )
+    return bpe.bpe_token_counts(d, merges)
+
+
 LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 
 
@@ -3547,6 +3569,7 @@ ROWS_ONLY_KEYS = frozenset(
         "topk_similarity_ivf",
         "dedup_embedding_lsh",
         "kmeans_clusters",
+        "bpe_token_count",  # iterative merge training; no ANSI twin
     }
 )
 
@@ -3588,6 +3611,7 @@ def queries() -> dict[str, QueryFn]:
         "file_compaction": q_file_compaction,
         "length_bucketing": q_length_bucketing,
         "dedup_incremental_batch": q_dedup_incremental_batch,
+        "bpe_token_count": q_bpe_token_count,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,

