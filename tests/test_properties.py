@@ -73,3 +73,61 @@ def test_cql_duration_format_parse_roundtrip(spark, durs):
     df2 = spark.createDataFrame([(r["r"],) for r in out], "s STRING")
     reparsed = df2.select(codecs.cql_duration_parse(F.col("s")).alias("p")).collect()
     assert [r["p"] for r in parsed] == [r["p"] for r in reparsed]
+
+
+WORDS = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("Ll", "Lu", "Nd"), include_characters="é✓"
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(WORDS, min_size=1, max_size=12), min_size=1, max_size=8
+    )
+)
+def test_bpe_pipeline_matches_reference_on_random_corpora(spark, docs):
+    """The distributed BPE count (explode → distinct-word Arrow kernel →
+    broadcast join → per-doc sum) must equal a pure-Python per-doc
+    recomputation on arbitrary unicode corpora — including repeated chars,
+    single-char words, and non-ASCII."""
+    from cassandra_data_migrator_spark.functions import bpe
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    merges = bpe.train_bpe(df, num_merges=12, max_word_types=1_000)
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_token_counts(df, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for i, ws in enumerate(docs):
+        # mirror tokens(): lowercase + whitespace split, empties dropped
+        toks = [w for w in " ".join(ws).lower().split() if w]
+        want = sum(len(bpe.apply_bpe_word(w, ranks)) for w in toks)
+        assert got.get(i, 0) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(WORDS, min_size=1, max_size=10), min_size=1, max_size=6))
+def test_bpe_merges_shrink_token_counts_monotonically(spark, docs):
+    """Invariant: more merges can never INCREASE any doc's token count, and
+    0 merges counts chars+1 per word exactly."""
+    from cassandra_data_migrator_spark.functions import bpe
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    merges = bpe.train_bpe(df, num_merges=10, max_word_types=1_000)
+    ranks_all = {p: i for i, p in enumerate(merges)}
+    for i, ws in enumerate(docs):
+        toks = [w for w in " ".join(ws).lower().split() if w]
+        prev = None
+        for k in (0, len(merges) // 2, len(merges)):
+            ranks = {p: r for p, r in ranks_all.items() if r < k}
+            n = sum(len(bpe.apply_bpe_word(w, ranks)) for w in toks)
+            if k == 0:
+                assert n == sum(len(w) + 1 for w in toks)
+            if prev is not None:
+                assert n <= prev
+            prev = n
