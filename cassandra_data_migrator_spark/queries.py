@@ -3410,6 +3410,105 @@ def q_dedup_incremental_batch(spark, sf_dir):
     )
 
 
+PAGERANK_ITERS = 5
+PAGERANK_D = 0.85  # damping; base term uses the literal 0.15 on BOTH sides
+
+
+def q_pagerank_dup_graph(spark, sf_dir):
+    """PageRank over the near-duplicate pair graph (dedup observability:
+    high-rank docs sit at the center of template/boilerplate families —
+    the docs whose removal collapses the most duplication). Fixed 5 power
+    iterations as a driver loop of join+agg rounds over the SPARSE edge
+    list (the corpus never enters); per-round localCheckpoint cuts
+    lineage, and the only driver state is the node count.
+
+    Exact under the driver hash despite being iterative: each
+    contribution is rounded to 10dp and summed as DECIMAL(28,10) (order-
+    free exact sum), so every iteration's vector is a pure function of
+    the edge list on both engines; the oracle unrolls the same 5
+    iterations as chained CTEs."""
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .withColumnRenamed("src", "doc_id")
+        .localCheckpoint()
+    )
+    n = deg.count()  # node count of the sparse dup graph — one driver scalar
+    if n == 0:
+        return spark.createDataFrame([], "doc_id bigint, pr_r double")
+    base = 0.15 / n
+    pr = deg.select("doc_id", "deg", F.lit(1.0 / n).alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges.join(pr, edges.src == pr.doc_id).select(
+            F.col("dst"),
+            F.round(F.col("pr") * F.lit(PAGERANK_D) / F.col("deg"), 10)
+            .cast("decimal(28,10)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
+        pr = (
+            deg.join(sums, deg.doc_id == sums.dst, "left")
+            .select(
+                deg.doc_id,
+                deg.deg,
+                (
+                    F.lit(base) + F.coalesce(F.col("sc").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("doc_id", (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pr_r"))
+
+
+def _pagerank_oracle_sql() -> str:
+    """The 5 power iterations unrolled as chained CTEs (no recursive-CTE
+    aggregation restrictions), mirroring q_pagerank_dup_graph term for
+    term."""
+    head = f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                    FROM toks WHERE len(ts) >= {NGRAM_N}),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                                 JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+            pr0 AS (SELECT doc_id, deg, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)"""
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f""",
+            pr{i} AS (SELECT d.doc_id, d.deg, (0.15 / nn.n) + COALESCE(s.c, 0.0) AS pr
+                      FROM deg d CROSS JOIN nn
+                      LEFT JOIN (SELECT e.dst AS doc_id,
+                                        CAST(SUM(CAST(ROUND(p.pr * {PAGERANK_D} / p.deg, 10)
+                                                      AS DECIMAL(28,10))) AS DOUBLE) AS c
+                                 FROM edges e JOIN pr{i - 1} p ON p.doc_id = e.src
+                                 GROUP BY 1) s USING (doc_id))""")
+    tail = f"""
+            SELECT doc_id, ROUND(pr, 6) + 0.0 AS pr_r FROM pr{PAGERANK_ITERS}
+        """
+    return head + "".join(its) + tail
+
+
 BPE_NUM_MERGES = 120  # merge-table size for the declared key
 BPE_MAX_WORD_TYPES = 20_000  # driver-state cap on the training word table
 
@@ -3612,6 +3711,7 @@ def queries() -> dict[str, QueryFn]:
         "length_bucketing": q_length_bucketing,
         "dedup_incremental_batch": q_dedup_incremental_batch,
         "bpe_token_count": q_bpe_token_count,
+        "pagerank_dup_graph": q_pagerank_dup_graph,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
@@ -4559,6 +4659,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
                WHERE doc_id % {JSONL_CORRUPT_MOD} = 0) AS n_bad
         """,
+        "pagerank_dup_graph": _pagerank_oracle_sql(),
         "dedup_incremental_batch": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
             pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
