@@ -67,3 +67,27 @@ def test_jsonl_schema_explicit_no_inference_scan(spark, sf_dir, tmp_path):
     assert [f.name for f in parsed.schema.fields] == [
         "doc_id", "text", "lang", "source", "n_chars", jsonl.CORRUPT_COL,
     ]
+
+
+def test_jsonl_hostile_strings_roundtrip(spark, tmp_path):
+    """Embedded newlines, quotes, backslashes, tabs, and non-BMP unicode
+    must survive the line-based serialization byte-for-byte: to_json
+    escapes them, so every row stays one line and reparses exactly."""
+    rows = [
+        (1, 'line1\nline2\r\nline3'),
+        (2, 'quote " and \\ backslash'),
+        (3, 'tab\there and emoji 🦆 and é'),
+        (4, '{"looks":"like json"}'),
+        (5, ''),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "hostile")
+    jsonl.write_jsonl(df, path)
+    # every record is exactly one physical line
+    assert spark.read.text(path).count() == len(rows)
+    good, bad = jsonl.split_quarantine(
+        jsonl.read_jsonl(spark, path, "doc_id BIGINT, text STRING")
+    )
+    assert bad.count() == 0
+    back = {r.doc_id: r.text for r in good.collect()}
+    assert back == dict(rows)
