@@ -3417,16 +3417,13 @@ PAGERANK_D = 0.85  # damping; base term uses the literal 0.15 on BOTH sides
 def q_pagerank_dup_graph(spark, sf_dir):
     """PageRank over the near-duplicate pair graph (dedup observability:
     high-rank docs sit at the center of template/boilerplate families —
-    the docs whose removal collapses the most duplication). Fixed 5 power
-    iterations as a driver loop of join+agg rounds over the SPARSE edge
-    list (the corpus never enters); per-round localCheckpoint cuts
-    lineage, and the only driver state is the node count.
+    the docs whose removal collapses the most duplication). The iteration
+    lives in operators/graph.pagerank_pairs (hand-checked invariants in
+    tests/test_graph.py); the oracle unrolls the same 5 iterations as
+    chained CTEs — exact despite being iterative, via the 10dp-DECIMAL
+    contribution sums."""
+    from cassandra_data_migrator_spark.operators.graph import pagerank_pairs
 
-    Exact under the driver hash despite being iterative: each
-    contribution is rounded to 10dp and summed as DECIMAL(28,10) (order-
-    free exact sum), so every iteration's vector is a pure function of
-    the edge list on both engines; the oracle unrolls the same 5
-    iterations as chained CTEs."""
     pairs = (
         dedup.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
@@ -3434,40 +3431,7 @@ def q_pagerank_dup_graph(spark, sf_dir):
         .select("id_a", "id_b")
         .localCheckpoint()
     )
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("src", "dst")
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .withColumnRenamed("src", "doc_id")
-        .localCheckpoint()
-    )
-    n = deg.count()  # node count of the sparse dup graph — one driver scalar
-    if n == 0:
-        return spark.createDataFrame([], "doc_id bigint, pr_r double")
-    base = 0.15 / n
-    pr = deg.select("doc_id", "deg", F.lit(1.0 / n).alias("pr"))
-    for _ in range(PAGERANK_ITERS):
-        contrib = edges.join(pr, edges.src == pr.doc_id).select(
-            F.col("dst"),
-            F.round(F.col("pr") * F.lit(PAGERANK_D) / F.col("deg"), 10)
-            .cast("decimal(28,10)")
-            .alias("c"),
-        )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
-        pr = (
-            deg.join(sums, deg.doc_id == sums.dst, "left")
-            .select(
-                deg.doc_id,
-                deg.deg,
-                (
-                    F.lit(base) + F.coalesce(F.col("sc").cast("double"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint()
-        )
-    return pr.select("doc_id", (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pr_r"))
+    return pagerank_pairs(pairs, iters=PAGERANK_ITERS, damping=PAGERANK_D)
 
 
 def _pagerank_oracle_sql() -> str:

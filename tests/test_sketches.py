@@ -128,3 +128,30 @@ def test_quantile_audit_holds_across_accuracy(spark, sf_dir, accuracy):
     assert len(rows) > 0
     for r in rows:
         assert r.p50_ok and r.p90_ok and r.p99_ok, (accuracy, r)
+
+
+def test_heavy_hitter_audit_under_eviction(spark, sf_dir):
+    """The fixtures keep distinct-key cardinality below maxItemsTracked, so
+    the sketch is exact and eviction never runs. Force it: track only 16
+    items against 150+ distinct users plus a planted hot key. The
+    guarantee under eviction is exactly what the audit pins — every true
+    heavy hitter is found with its estimate inside the 3.5N/m floor."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n = e.count()
+    hot = (
+        e.limit(n // 4)
+        .select((F.col("event_id") + 20_000_000).alias("event_id"))
+        .withColumn("user_id", F.lit(777_777_777))
+    )
+    df = e.unionByName(hot)
+    rows = sketches.heavy_hitter_audit(
+        df, "user_id", "event_id", 0.15, max_tracked=16, estimate_k=16
+    ).collect()
+    planted = [r for r in rows if r.user_id == 777_777_777]
+    assert len(planted) == 1
+    assert planted[0].found_ok, "a 20%-share key must survive eviction"
+    assert planted[0].est_ok, "estimate must stay inside the 3.5N/m floor"
