@@ -113,12 +113,15 @@ def cql_duration_parse(c: Column) -> Column:
         + u("us") * F.lit(_DUR_UNITS_NANOS["us"])
         + u("ns") * F.lit(_DUR_UNITS_NANOS["ns"])
     )
-    # Unconsumed residue survives tokenization in place ('5hx3m' →
-    # 'h:5,xm:3,'), so a single anchored shape check on `mapped` catches it
-    # without re-scanning the original; the matched-token count is the
-    # comma count (plain string ops, no regex), and a repeated unit makes
-    # map size < token count regardless of spark.sql.mapKeyDedupPolicy.
-    shape_ok = mapped.rlike(r"^((?:mo|ms|us|ns|y|w|d|h|m|s):\d+,)*$")
+    # The whole-string shape check MUST anchor on the ORIGINAL column:
+    # checking the post-tokenization string instead would accept input
+    # that mimics tokenizer output ('y:1,' or 'h:5,' pass a mapped-form
+    # regex yet are not valid CQL durations — caught in round-5 review).
+    # The duplicate-unit check still derives from `mapped`: the
+    # matched-token count is the comma count (plain string ops), and a
+    # repeated unit makes map size < token count regardless of
+    # spark.sql.mapKeyDedupPolicy.
+    shape_ok = c.rlike(r"^(\d+(?:mo|ms|us|ns|y|w|d|h|m|s))*$")
     entries = F.length(mapped) - F.length(F.replace(mapped, F.lit(","), F.lit("")))
     no_dup = F.size(m) == entries
     guard0 = F.coalesce(

@@ -340,12 +340,14 @@ def lsh_topk_banded(
     import itertools
 
     sigs = _banded_sigs_arrow(dim, num_planes, num_bands, seed)
+    # Generalized flip masks: every Hamming-<=probe_bits neighbor of the
+    # band bucket (a literal 1-bit/2-bit ladder previously capped silently
+    # at 2 — round-5 review; probe_bits=3 now really probes 3-bit flips).
     masks = [0]
-    if probe_bits >= 1:
-        masks += [1 << p for p in range(num_planes)]
-    if probe_bits >= 2:
+    for n_flips in range(1, probe_bits + 1):
         masks += [
-            (1 << a) | (1 << b) for a, b in itertools.combinations(range(num_planes), 2)
+            sum(1 << p for p in combo)
+            for combo in itertools.combinations(range(num_planes), n_flips)
         ]
 
     def banded(df, out_id, probe=False):

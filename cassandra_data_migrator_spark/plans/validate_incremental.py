@@ -50,16 +50,18 @@ def slice_digest(
     Precision contract (round-4 advice): a slice digest matches iff the
     slice's column multisets match EXACTLY — there is no rounding window.
     - integer types: exact DECIMAL(38,0) sum (overflow-proof below 1e38).
-    - float/double/decimal: DECIMAL(38,0) sum of per-row ``xxhash64``,
-      which hashes the raw value bytes — the IEEE-754 bit pattern for
-      float/double (so -0.0 vs 0.0, NaN, and sub-1e-6 deltas all change the
-      digest) and the unscaled value for decimal. A 6dp-rounded DECIMAL sum
-      (the previous scheme) missed any change smaller than 5e-7 and dropped
-      values beyond DECIMAL(28,6) range to NULL; the bit-hash sum has no
-      such blind spot. NULL hashes to the xxhash64 seed (a constant), so
-      null-count changes shift the digest too.
-    - everything else: DECIMAL(38,0) sum of ``xxhash64`` of the value,
-      same contract (strings/binary hash their bytes).
+    - float/double: DECIMAL(38,0) sum of ``xxhash64`` over the STRING form
+      — the shortest-round-trip repr is injective over doubles, so -0.0 vs
+      0.0 and sub-1e-6 deltas all change the digest. (Hashing the value
+      directly would NOT: Spark's hash expressions canonicalize -0.0 to
+      +0.0 first.) A 6dp-rounded DECIMAL sum (the original scheme) missed
+      any change smaller than 5e-7 and dropped values beyond DECIMAL(28,6)
+      range to NULL. The one remaining equivalence class is NaN payload
+      bits (every NaN stringifies to 'NaN') — deliberately matching the
+      full diff's eqNullSafe, which also treats all NaNs as equal.
+    - decimal/string/binary/...: DECIMAL(38,0) sum of ``xxhash64`` of the
+      value bytes (unscaled value for decimal). NULL hashes to the seed (a
+      constant), so null-count changes shift the digest too.
     The only remaining false-match class is a compensating HASH-sum
     collision across >=2 changed rows within one slice — cryptographically
     unlikely and closed by the periodic full diff, as the module docstring
@@ -74,8 +76,21 @@ def slice_digest(
         dtype = dict(df.dtypes)[c]
         if dtype in ("bigint", "int", "smallint", "tinyint"):
             aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"sum_{c}"))
+        elif dtype in ("float", "double"):
+            # Hash the STRING form, not the value: Spark's hash expressions
+            # canonicalize -0.0 to +0.0 before hashing (round-5 review),
+            # while the shortest-round-trip string repr is injective over
+            # doubles and keeps '-0.0' distinct. The remaining blind spot is
+            # NaN payload bits (all NaNs stringify to 'NaN') — matching the
+            # eqNullSafe semantics of the full diff, which also treats all
+            # NaNs as equal.
+            aggs.append(
+                F.sum(F.xxhash64(F.col(c).cast("string")).cast("decimal(38,0)")).alias(
+                    f"sum_{c}"
+                )
+            )
         else:
-            # float/double/decimal/string/binary/...: bit-pattern hash sum
+            # decimal/string/binary/...: value-bytes hash sum
             aggs.append(
                 F.sum(F.xxhash64(F.col(c)).cast("decimal(38,0)")).alias(f"sum_{c}")
             )

@@ -2511,7 +2511,13 @@ def q_ann_recall_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_hits")
     )
     per_q = brute.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
-    joined = per_q.join(hits, "query_id", "left").fillna(0, ["n_hits"])
+    # localCheckpoint: BOTH consumers below (per-row booleans + the 1-row
+    # aggregate) read one materialization — without it the whole banded-LSH
+    # subtree (Arrow signatures, 37-way probe explode, band join) executed
+    # twice (round-5 review).
+    joined = (
+        per_q.join(hits, "query_id", "left").fillna(0, ["n_hits"]).localCheckpoint()
+    )
     agg = joined.agg(
         (F.sum("n_hits") / F.sum("n_brute") >= ANN_RECALL_AGG_MIN).alias("agg_recall_ok")
     )

@@ -40,13 +40,20 @@ def write_jsonl(df: DataFrame, path: str, corrupt_expr=None) -> None:
     """Serialize ``df`` as JSONL text at ``path``. ``corrupt_expr`` is an
     optional boolean Column marking rows whose emitted line is
     deterministically truncated mid-object (fixture for quarantine tests —
-    a real pipeline never does this, real corpora just arrive broken;
-    dropping the trailing chars always severs the closing brace, so the
-    line is guaranteed invalid JSON)."""
+    a real pipeline never does this, real corpora just arrive broken).
+    The truncated length is floored at 1 char so severing always leaves a
+    non-empty line that still contains the opening brace but not the
+    closing one — guaranteed invalid JSON even for minimal records like
+    an all-null row's '{}' (a zero-floor would emit an EMPTY line, which
+    the reader rightly skips, silently losing the corrupted record —
+    round-5 review)."""
     line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     if corrupt_expr is not None:
         line = F.when(
-            corrupt_expr, F.substring(line, 1, F.length(line) - F.lit(5))
+            corrupt_expr,
+            F.substring(
+                line, 1, F.greatest(F.length(line) - F.lit(5), F.lit(1))
+            ),
         ).otherwise(line)
     df.select(line.alias("value")).write.mode("overwrite").text(path)
 
@@ -57,7 +64,11 @@ def read_jsonl(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
     columns plus ``_corrupt_record`` (raw line when the parse failed,
     else NULL)."""
     full = f"{ddl_schema}, {CORRUPT_COL} STRING"
-    raw = spark.read.text(path)
+    # Blank lines are SKIPPED, matching spark.read.json's file-source
+    # behavior: from_json('') under PERMISSIVE returns an all-null struct
+    # with a null corrupt column, which would otherwise masquerade as a
+    # legitimate all-null data row (round-5 review).
+    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
     parsed = raw.select(
         F.from_json(
             "value",

@@ -67,3 +67,24 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     dim2 = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
     assert li2.join(dim2, li2.l_partkey == dim2.p_partkey).count() == pruned_cnt
     assert pruned_cnt > 0
+
+
+def test_multi_probe_bits_generalize(spark, sf_dir):
+    """Round-5 review: probe_bits=3 must actually probe 3-bit neighbors
+    (previously capped silently at 2): candidate coverage at 3 bits is a
+    superset of 2 bits, and both are supersets of single-probe."""
+    from cassandra_data_migrator_spark.operators.similarity import lsh_topk_banded
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 7)
+    res = {}
+    for pb in (0, 2, 3):
+        rows = lsh_topk_banded(emb, qs, k=10, num_bands=8, probe_bits=pb).select(
+            "query_id", "vec_id"
+        ).collect()
+        res[pb] = {(r.query_id, r.vec_id) for r in rows}
+    # more probes -> at least as many (query, neighbor) results recovered
+    assert len(res[2]) >= len(res[0])
+    assert len(res[3]) >= len(res[2])

@@ -261,3 +261,23 @@ def test_timestamp_add_duration(spark):
     ).first()
     # +1 month clamps Jan 31 -> Feb 29 (2024 leap), then +2d -> Mar 2, +3h
     assert out.shifted == "2024-03-02 13:00:00"
+
+
+def test_duration_rejects_tokenizer_shaped_input(spark):
+    """Round-5 review: strings that MIMIC the tokenizer's intermediate form
+    ('y:1,' / 'h:5,' / '1hmo:3,') must raise, not parse — the whole-string
+    shape check anchors on the ORIGINAL column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions import codecs
+
+    for bad in ["y:1,", "h:5,", "1hmo:3,", "mo:2", "1h,", ":", "5h 3m"]:
+        df = spark.createDataFrame([(bad,)], "s STRING")
+        with pytest.raises(Exception, match="malformed CQL duration"):
+            df.select(codecs.cql_duration_parse(F.col("s")).alias("d")).collect()
+    # and the adjacent valid forms still parse
+    ok = spark.createDataFrame([("1y2mo3d",), ("5h3m",), ("",)], "s STRING")
+    rows = ok.select(codecs.cql_duration_parse(F.col("s")).alias("d")).collect()
+    assert rows[0].d.months == 14 and rows[0].d.days == 3
+    assert rows[1].d.nanos == 5 * 3_600_000_000_000 + 3 * 60_000_000_000

@@ -91,3 +91,35 @@ def test_jsonl_hostile_strings_roundtrip(spark, tmp_path):
     assert bad.count() == 0
     back = {r.doc_id: r.text for r in good.collect()}
     assert back == dict(rows)
+
+
+def test_jsonl_minimal_record_corruption_still_quarantined(spark, tmp_path):
+    """Round-5 review: an all-null row serializes to '{}'; its truncated
+    line must stay non-empty and be QUARANTINED, not skipped or leaked to
+    the good path as a phantom all-null row."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(None, None), (2, "ok")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "minimal")
+    jsonl.write_jsonl(df, path, corrupt_expr=F.col("doc_id").isNull())
+    good, bad = jsonl.split_quarantine(
+        jsonl.read_jsonl(spark, path, "doc_id BIGINT, text STRING")
+    )
+    assert bad.count() == 1, "the corrupted minimal record must be quarantined"
+    assert bad.collect()[0].raw_line == "{"
+    assert [(r.doc_id, r.text) for r in good.collect()] == [(2, "ok")]
+
+
+def test_jsonl_blank_lines_skipped(spark, tmp_path):
+    """Blank lines in hand-edited/concatenated JSONL are skipped (matching
+    spark.read.json), never surfaced as all-null rows."""
+    p = tmp_path / "blank"
+    p.mkdir()
+    (p / "part-0.txt").write_text('{"doc_id":1,"text":"a"}\n\n   \n{"doc_id":2,"text":"b"}\n')
+    good, bad = jsonl.split_quarantine(
+        jsonl.read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
+    )
+    assert bad.count() == 0
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [(1, "a"), (2, "b")]

@@ -93,3 +93,24 @@ def test_single_row_mutation_flags_one_slice(spark, sf_dir):
     assert len(changed) == 1
     rows = _report_rows(inc)
     assert rows == [(some_pk, "mismatch", "o_orderstatus")]
+
+
+def test_slice_digest_detects_signed_zero_flip(spark):
+    """Round-5 review: a double column flipping 0.0 -> -0.0 must change the
+    slice digest (Spark's hash expressions canonicalize -0.0, so the digest
+    hashes the injective string form instead)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.plans.validate_incremental import slice_digest
+
+    base = spark.createDataFrame(
+        [(i, 0.0) for i in range(8)], "pk BIGINT, v DOUBLE"
+    )
+    flipped = base.withColumn(
+        "v", F.when(F.col("pk") == 3, F.lit(-0.0)).otherwise(F.col("v"))
+    )
+    d1 = {r.slice_id: r["sum_v"] for r in slice_digest(base, "pk", 4, ["v"]).collect()}
+    d2 = {
+        r.slice_id: r["sum_v"] for r in slice_digest(flipped, "pk", 4, ["v"]).collect()
+    }
+    assert d1 != d2, "-0.0 flip must change at least one slice digest"
