@@ -3416,6 +3416,46 @@ def q_dedup_incremental_batch(spark, sf_dir):
     )
 
 
+MIX_TEMP_ALPHA = 0.7  # temperature: sampled share ∝ n^0.7 (mT5/XLM-R style)
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based multi-source mixing — the standard LLM recipe for
+    balancing corpora of very different sizes: sampled share ∝ n^α with
+    α = 0.7, realized as per-source keep rates n^(α−1) normalized so the
+    SMALLEST source keeps 100% (downsampling-only — no duplication).
+    The fixture's sources are uniform, so three skewed source GROUPS
+    (head 10 / mid 6 / tail 4 sources — sizes 250/150/100 at sf0.01,
+    ratios scale-invariant) are derived in-plan; rows are kept by the
+    deterministic token ring, never rand(). One bounded groupBy + a
+    broadcast rate join — scan-bound like the other samplers."""
+    d = _t(spark, sf_dir, "documents")
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    grp = (
+        F.when(idx < 10, F.lit("head"))
+        .when(idx < 16, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+    )
+    dg = d.select("doc_id", grp.alias("src_group"))
+    counts = dg.groupBy("src_group").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    w = counts.withColumn("w", F.pow(F.col("n_s"), F.lit(MIX_TEMP_ALPHA - 1.0)))
+    mx = w.agg(F.max("w").alias("w_max"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "src_group",
+        F.round(F.lit(100.0) * F.col("w") / F.col("w_max"))
+        .cast("int")
+        .alias("keep_rate"),
+    )
+    bucket = pmod_100(tok("doc_id"))
+    return (
+        dg.join(F.broadcast(rates), "src_group")
+        .select("doc_id", "src_group", bucket.alias("bucket"), "keep_rate")
+        .filter(F.col("bucket") < F.col("keep_rate"))
+    )
+
+
 PAGERANK_ITERS = 5
 PAGERANK_D = 0.85  # damping; base term uses the literal 0.15 on BOTH sides
 
@@ -3682,6 +3722,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_incremental_batch": q_dedup_incremental_batch,
         "bpe_token_count": q_bpe_token_count,
         "pagerank_dup_graph": q_pagerank_dup_graph,
+        "temperature_mix": q_temperature_mix,
         "embedding_stats": q_embedding_stats,
         # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
@@ -4630,6 +4671,24 @@ def oracle_sql() -> dict[str, str]:
                WHERE doc_id % {JSONL_CORRUPT_MOD} = 0) AS n_bad
         """,
         "pagerank_dup_graph": _pagerank_oracle_sql(),
+        "temperature_mix": f"""
+            WITH dg AS (SELECT doc_id,
+                               CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'head'
+                                    WHEN CAST(substr(source, 4) AS INT) < 16 THEN 'mid'
+                                    ELSE 'tail' END AS src_group
+                        FROM documents),
+            c AS (SELECT src_group, CAST(COUNT(*) AS DOUBLE) AS n_s
+                  FROM dg GROUP BY src_group),
+            w AS (SELECT src_group, POW(n_s, 0.7 - 1.0) AS w FROM c),
+            mx AS (SELECT MAX(w) AS w_max FROM w),
+            r AS (SELECT src_group, CAST(ROUND(100.0 * w / mx.w_max) AS INT) AS keep_rate
+                  FROM w CROSS JOIN mx)
+            SELECT d.doc_id, d.src_group,
+                   CAST({pmod_100_sql(tok_sql("d.doc_id"))} AS BIGINT) AS bucket,
+                   r.keep_rate
+            FROM dg d JOIN r USING (src_group)
+            WHERE {pmod_100_sql(tok_sql("d.doc_id"))} < r.keep_rate
+        """,
         "dedup_incremental_batch": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
             pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i

@@ -304,6 +304,7 @@ BNLJ_KEYS = {
     "heavy_hitters_audit": "total",  # 1-row corpus-count broadcast
     "jsonl_quarantine": "total",  # two 1-row checksum aggs crossJoined
     "file_compaction": "total",  # three 1-row layout-stat aggs crossJoined
+    "temperature_mix": "total",  # 1-row max-weight broadcast for rate normalization
 }
 
 
