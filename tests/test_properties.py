@@ -131,3 +131,49 @@ def test_bpe_merges_shrink_token_counts_monotonically(spark, docs):
             if prev is not None:
                 assert n <= prev
             prev = n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.integers(min_value=0, max_value=100_000),  # ts_us
+            st.booleans(),  # left (anchor) vs right (payload)
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_interval_join_matches_brute_force(spark, rows):
+    """The bucketized interval join must equal the brute-force quadratic
+    reference on arbitrary key/time layouts — including duplicate
+    timestamps, bucket-boundary events, and empty sides."""
+    from cassandra_data_migrator_spark.operators.interval import interval_join_bucketed
+
+    window = 1_000
+    left = [(i, k, t) for i, (k, t, is_l) in enumerate(rows) if is_l]
+    right = [(k, t, float(i)) for i, (k, t, is_l) in enumerate(rows) if not is_l]
+    ldf = spark.createDataFrame(
+        left or [(0, 0, 0)], "event_id BIGINT, user_id BIGINT, ts_us BIGINT"
+    )
+    rdf = spark.createDataFrame(
+        right or [(0, 0, 0.0)], "user_id BIGINT, ts_us BIGINT, value DOUBLE"
+    )
+    if not left:
+        ldf = ldf.filter("event_id < 0")
+    if not right:
+        rdf = rdf.filter("value < 0")
+    got = sorted(
+        (r.event_id, r.rv_ts, r.rv_value)
+        for r in interval_join_bucketed(
+            ldf, rdf, ["user_id"], "ts_us", "ts_us", window, ["value"]
+        ).collect()
+    )
+    want = sorted(
+        (eid, rt, rv)
+        for (eid, lk, lt) in left
+        for (rk, rt, rv) in right
+        if lk == rk and lt < rt <= lt + window
+    )
+    assert got == want
