@@ -177,3 +177,50 @@ def test_interval_join_matches_brute_force(spark, rows):
         if lk == rk and lt < rt <= lt + window
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=50),  # ts
+            st.booleans(),  # left vs right
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_asof_join_matches_brute_force(spark, rows):
+    """The union+window as-of join must equal the quadratic reference
+    (latest right row with ts <= left ts, ties by largest tiebreak) on
+    arbitrary layouts — duplicate timestamps and ts-equal left/right rows
+    included."""
+    from cassandra_data_migrator_spark.operators.asof import asof_join
+
+    left = [(i, k, t) for i, (k, t, is_l) in enumerate(rows) if is_l]
+    right = [(i, k, t, float(i)) for i, (k, t, is_l) in enumerate(rows) if not is_l]
+    ldf = spark.createDataFrame(
+        left or [(0, 0, 0)], "lid BIGINT, user_id BIGINT, ts_us BIGINT"
+    )
+    rdf = spark.createDataFrame(
+        right or [(0, 0, 0, 0.0)],
+        "rid BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE",
+    )
+    if not left:
+        ldf = ldf.filter("lid < 0")
+    if not right:
+        rdf = rdf.filter("rid < 0")
+    got = sorted(
+        (r.lid, r.rv_ts, r.rv_value)
+        for r in asof_join(
+            ldf, rdf, ["user_id"], "ts_us", ["value"], how="inner", tiebreak_col="rid"
+        ).collect()
+    )
+    want = []
+    for lid, lk, lt in left:
+        cands = [(rt, rid, rv) for (rid, rk, rt, rv) in right if rk == lk and rt <= lt]
+        if cands:
+            rt, rid, rv = max(cands)  # latest ts, then largest tiebreak id
+            want.append((lid, rt, rv))
+    assert got == sorted(want)
