@@ -224,3 +224,108 @@ def test_asof_join_matches_brute_force(spark, rows):
             rt, rid, rv = max(cands)  # latest ts, then largest tiebreak id
             want.append((lid, rt, rv))
     assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=0,
+        max_size=18,
+    )
+)
+def test_dedup_clusters_match_union_find(spark, raw_pairs):
+    """Min-label propagation + pointer jumping must assign exactly the
+    union-find components (cluster id = min node id of the component) on
+    arbitrary random graphs — chains, cliques, self-loops, isolated
+    nodes."""
+    from cassandra_data_migrator_spark.operators.dedup import dedup_clusters
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    node_ids = sorted({n for p in pairs for n in p} | {0, 1})
+    ids = spark.createDataFrame([(n,) for n in node_ids], "doc_id BIGINT")
+    pdf = spark.createDataFrame(
+        pairs or [(0, 1)], "id_a BIGINT, id_b BIGINT"
+    )
+    if not pairs:
+        pdf = pdf.filter("id_a < 0")
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(ids, pdf).collect()
+    }
+    # union-find reference
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    comp_min = {}
+    for n in node_ids:
+        r = find(n)
+        comp_min.setdefault(r, []).append(n)
+    for members in comp_min.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_incremental_jaccard_matches_set_reference(spark, docs):
+    """Batch-vs-corpus Jaccard must equal a pure-Python shingle-set
+    reference on random small-vocab corpora (high duplicate density by
+    construction)."""
+    from cassandra_data_migrator_spark.operators.dedup import incremental_jaccard_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    is_batch = [i for i, _ in rows if i % 2 == 0]
+    batch = df.filter(F.col("doc_id") % 2 == 0)
+    corpus = df.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in incremental_jaccard_pairs(
+            batch, corpus, n=2, threshold=0.3
+        ).collect()
+    }
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    want = {}
+    for i, wi in enumerate(docs):
+        if i % 2 != 0:
+            continue
+        si = shingles([w.lower() for w in wi])
+        for j, wj in enumerate(docs):
+            if j % 2 != 1 or not si:
+                continue
+            sj = shingles([w.lower() for w in wj])
+            inter = len(si & sj)
+            if inter == 0 or not sj:
+                continue
+            jac = round(inter / (len(si) + len(sj) - inter), 4)
+            if jac >= 0.3:
+                want[(i, j)] = jac
+    assert got == want
