@@ -98,7 +98,7 @@ def cql_duration_parse(c: Column) -> Column:
     # pipeline per field (measured 12× in the r05 sweep).
     mapped = F.regexp_replace(c, r"(\d+)(mo|ms|us|ns|y|w|d|h|m|s)", r"$2:$1,")
     m = F.str_to_map(
-        F.regexp_replace(mapped, r",$", ""), F.lit(","), F.lit(":")
+        F.regexp_replace(mapped, r",\z", ""), F.lit(","), F.lit(":")
     )
 
     def u(k: str) -> Column:
@@ -121,7 +121,10 @@ def cql_duration_parse(c: Column) -> Column:
     # matched-token count is the comma count (plain string ops), and a
     # repeated unit makes map size < token count regardless of
     # spark.sql.mapKeyDedupPolicy.
-    shape_ok = c.rlike(r"^(\d+(?:mo|ms|us|ns|y|w|d|h|m|s))*$")
+    # \A..\z, not ^..$: Java regex '$' (non-MULTILINE) matches before a
+    # trailing line terminator, so '1h\n' would pass an ^..$ whole-string
+    # check (round-5 advice) — \z anchors at the true end of input.
+    shape_ok = c.rlike(r"\A(\d+(?:mo|ms|us|ns|y|w|d|h|m|s))*\z")
     entries = F.length(mapped) - F.length(F.replace(mapped, F.lit(","), F.lit("")))
     no_dup = F.size(m) == entries
     guard0 = F.coalesce(
@@ -135,10 +138,16 @@ def cql_duration_parse(c: Column) -> Column:
         ).cast("int"),
         F.lit(0),
     )
+    # guard0 rides on EVERY child: Catalyst's SimplifyExtractValueOps
+    # rewrites GetStructField(CreateNamedStruct(...)) to just the extracted
+    # child, so a consumer reading only .days or .nanos would skip a guard
+    # attached to months alone (round-5 advice). guard0 is a common
+    # subexpression, so CSE keeps the cost of the three copies identical
+    # to one.
     return F.struct(
         (u("y") * 12 + u("mo") + guard0).cast("int").alias("months"),
-        (u("w") * 7 + u("d")).cast("int").alias("days"),
-        nanos.cast("bigint").alias("nanos"),
+        (u("w") * 7 + u("d") + guard0).cast("int").alias("days"),
+        (nanos + guard0).cast("bigint").alias("nanos"),
     )
 
 

@@ -281,3 +281,48 @@ def test_duration_rejects_tokenizer_shaped_input(spark):
     rows = ok.select(codecs.cql_duration_parse(F.col("s")).alias("d")).collect()
     assert rows[0].d.months == 14 and rows[0].d.days == 3
     assert rows[1].d.nanos == 5 * 3_600_000_000_000 + 3 * 60_000_000_000
+
+
+def test_duration_guard_fires_on_every_struct_child(spark):
+    """Round-6 advice: Catalyst's SimplifyExtractValueOps rewrites
+    GetStructField(CreateNamedStruct(...)) to just the extracted child, so
+    a guard attached only to `months` would be pruned away for a consumer
+    that reads `.days` or `.nanos` alone. Malformed input must raise for
+    EVERY single-child projection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions import codecs
+
+    # '5hx' exercises the assert_true guard itself (a duplicate unit like
+    # '5h3h' would raise str_to_map's DUPLICATED_MAP_KEY first under the
+    # default EXCEPTION policy, bypassing the code path under test)
+    df = spark.createDataFrame([("5hx",)], "s STRING")
+    parsed = codecs.cql_duration_parse(F.col("s"))
+    for child in ["months", "days", "nanos"]:
+        with pytest.raises(Exception, match="malformed CQL duration"):
+            df.select(parsed.getField(child).alias("v")).collect()
+    # valid input: single-child extraction works and costs no correctness
+    ok = spark.createDataFrame([("1y3w2d",)], "s STRING")
+    p = codecs.cql_duration_parse(F.col("s"))
+    row = ok.select(
+        p.getField("months").alias("mo"),
+        p.getField("days").alias("d"),
+        p.getField("nanos").alias("ns"),
+    ).first()
+    assert (row.mo, row.d, row.ns) == (12, 23, 0)
+
+
+def test_duration_rejects_trailing_line_terminator(spark):
+    """Round-6 advice: Java regex '$' (non-MULTILINE) matches before a
+    final line terminator, so '^...$' accepted '1h\\n'. The \\A...\\z
+    anchors must reject any trailing newline/CR variants."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions import codecs
+
+    for bad in ["1h\n", "1h\r\n", "1h\r", "\n", "12h30m\n"]:
+        df = spark.createDataFrame([(bad,)], "s STRING")
+        with pytest.raises(Exception, match="malformed CQL duration"):
+            df.select(codecs.cql_duration_parse(F.col("s")).alias("d")).collect()
