@@ -24,6 +24,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def top_k_rows(
+    df: DataFrame, k: int, order_cols, rank_col: str | None = None
+) -> DataFrame:
+    """Global top-k rows by ``order_cols`` (which must end in a unique
+    tiebreak column for determinism), computed in two distributed phases:
+
+    1. per-partition prune — rank rows WITHIN each input partition
+       (partitioned window over ``spark_partition_id()``; the global top-k
+       is a subset of the union of per-partition top-ks under ANY
+       partitioning, so this is conservative-correct) and keep each
+       partition's local top-k;
+    2. one ordered pass over the ≤ k × numPartitions survivors assigns the
+       exact global ``row_number`` and keeps rank ≤ k.
+
+    The only unpartitioned window in the plan reads a set bounded by
+    k × numPartitions BY CONSTRUCTION — never the input table. Output is
+    bit-identical to ``row_number() over (order by order_cols) <= k`` on
+    the full input. If ``rank_col`` is None the rank is used only for the
+    top-k filter and dropped."""
+    out_rank = rank_col or "__grk"
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    w_global = Window.orderBy(*order_cols)
+    out = pruned.withColumn(out_rank, F.row_number().over(w_global)).filter(
+        F.col(out_rank) <= k
+    )
+    return out if rank_col else out.drop("__grk")
+
+
 def global_rank(
     df: DataFrame, value_col: str, id_col: str, pos_col: str = "pos", total_col: str = "n_total"
 ) -> DataFrame:

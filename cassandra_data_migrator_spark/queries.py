@@ -1562,9 +1562,13 @@ VOCAB_SIZE = 1000
 
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary construction: top-1k tokens by frequency with contiguous
-    ids. The global-order window runs over the AGGREGATED vocab (1 row per
-    distinct token ≥ min-count) — bounded by vocabulary size, not corpus
-    size, so the single-partition sort is over a dimension-sized table."""
+    ids. Two-phase top-k (operators/rank.top_k_rows, round-5 verdict #1):
+    each partition prunes to its local top-k, then ONE ordered pass over the
+    ≤ k × numPartitions survivors assigns the exact global id — the only
+    unpartitioned window reads a set bounded by construction, never the
+    (web-scale-unbounded) vocabulary table."""
+    from cassandra_data_migrator_spark.operators.rank import top_k_rows
+
     d = _t(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(tokens("text")).alias("word"))
@@ -1572,11 +1576,10 @@ def q_vocab_topk(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
-    return (
-        counts.select("word", "cnt", F.row_number().over(w).cast("bigint").alias("vocab_id"))
-        .filter(F.col("vocab_id") <= VOCAB_SIZE)
+    ranked = top_k_rows(
+        counts, VOCAB_SIZE, [F.col("cnt").desc(), F.col("word")], rank_col="__rnk"
     )
+    return ranked.select("word", "cnt", F.col("__rnk").cast("bigint").alias("vocab_id"))
 
 
 def q_user_entropy(spark, sf_dir):
@@ -1858,29 +1861,34 @@ def q_bm25_topk(spark, sf_dir):
         )
     )
     per_doc = scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 4).alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        per_doc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= BM25_TOPK)
-        .select("doc_id", "score", "rnk")
+    # two-phase top-k (round-5 verdict #1): a common-term query's candidate
+    # set is corpus-fraction-sized, so the final ordered pass may only read
+    # the ≤ k × numPartitions per-partition survivors, never all candidates
+    from cassandra_data_migrator_spark.operators.rank import top_k_rows
+
+    ranked = top_k_rows(
+        per_doc, BM25_TOPK, [F.col("score").desc(), F.col("doc_id")], rank_col="__rnk"
+    )
+    return ranked.select(
+        "doc_id", "score", F.col("__rnk").cast("bigint").alias("rnk")
     )
 
 
 def q_oov_rate(spark, sf_dir):
     """Out-of-vocabulary rate per document against the corpus's own top-N
-    vocabulary — the tokenizer-coverage audit for training mixes. The global
-    vocab window runs ONLY over the aggregated word-count table (bounded by
-    vocab size × partitions, same posture as vocab_topk); scoring is a
-    broadcast semi-join of the token stream against the N-row vocab."""
+    vocabulary — the tokenizer-coverage audit for training mixes. Vocab
+    selection is the two-phase top-k (operators/rank.top_k_rows — the only
+    unpartitioned window reads ≤ N × numPartitions per-partition survivors,
+    same posture as vocab_topk); scoring is a broadcast semi-join of the
+    token stream against the N-row vocab."""
+    from cassandra_data_migrator_spark.operators.rank import top_k_rows
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("word"))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
-    vocab = (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= OOV_VOCAB_N)
-        .select("word")
-    )
+    vocab = top_k_rows(
+        counts, OOV_VOCAB_N, [F.col("cnt").desc(), F.col("word")]
+    ).select("word")
     tagged = toks.join(
         F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
     )
@@ -2323,15 +2331,23 @@ def q_vocab_zipf_slope(spark, sf_dir):
     """Zipf's-law fit of the corpus vocabulary: OLS slope of ln(freq) over
     ln(rank) — the one-number corpus-health statistic (natural text ≈ −1).
     Per-word logs are rounded to 6dp then summed as DECIMALs, so the
-    regression sums are exact and order-independent on both engines; the
-    rank window runs only over the aggregated vocab (bounded)."""
+    regression sums are exact and order-independent on both engines. Every
+    vocab word needs a rank (not a top-k), so ranking is the distributed
+    histogram pattern (operators/rank.global_rank, round-5 verdict #1): the
+    only unpartitioned window cumsums the count-HISTOGRAM (1 row per
+    distinct frequency — Zipf ties collapse the tail), never the vocab."""
+    from cassandra_data_migrator_spark.operators.rank import global_rank
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens("text")).alias("w"))
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") >= ZIPF_VOCAB_MIN_COUNT
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("w"))
-    ranked = counts.withColumn("rank", F.row_number().over(w))
+    # rank by (cnt desc, w asc) == ascending (−cnt, w): global_rank's 0-based
+    # pos + 1 reproduces row_number() over (order by cnt desc, w) exactly
+    ranked = global_rank(
+        counts.withColumn("__negcnt", -F.col("cnt")), "__negcnt", "w"
+    ).withColumn("rank", (F.col("pos") + 1).cast("int"))
     xy = ranked.select(
         F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)").alias("x"),
         F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)").alias("y"),

@@ -136,15 +136,73 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-def test_vocab_topk_window_only_over_aggregated_vocab(spark, sf_dir):
-    """vocab_topk's global-order window may only read pre-aggregated (1 row
-    per word) input, never the raw token stream."""
-    df = q.queries()["vocab_topk"](spark, sf_dir)
-    plan = df._jdf.queryExecution().optimizedPlan()
-    for node in _walk_jvm_plan(plan):
-        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
-            names = [n.getClass().getSimpleName() for n in _walk_jvm_plan(node)]
-            assert "Aggregate" in names, "unpartitioned Window reads the raw token stream"
+# Keys whose plans deliberately contain an UNPARTITIONED Window, each bounded
+# by construction (round-5 verdict #1 — the BNLJ_KEYS treatment for windows):
+#   histogram: the window cumsums a value-HISTOGRAM aggregate (1 row per
+#              distinct value, operators/rank.global_rank) or a per-group
+#              share over a bounded-cardinality groupBy — input is bounded
+#              by value/group cardinality, never row count.
+#   pruned:    the window reads per-partition top-k SURVIVORS — a Filter on
+#              a PARTITIONED window's local rank feeds it, so its input is
+#              ≤ k × numPartitions rows (operators/rank.top_k_rows).
+GLOBAL_WINDOW_KEYS = {
+    "length_percentile": "histogram",  # rank.global_rank cumsum
+    "decile_assign": "histogram",  # rank.global_rank cumsum
+    "vocab_zipf_slope": "histogram",  # rank.global_rank over count histogram
+    "label_balance": "histogram",  # share over per-label agg (≤ #classes)
+    "part_brand_share": "histogram",  # share over per-brand agg (≤ #brands)
+    "vocab_topk": "pruned",  # rank.top_k_rows
+    "bm25_topk": "pruned",  # rank.top_k_rows
+    "oov_rate": "pruned",  # rank.top_k_rows (vocab selection)
+}
+
+
+def test_no_unbounded_global_windows_surface_wide(spark, sf_dir):
+    """Surface-wide single-reducer guard (round-5 verdict #1): an
+    unpartitioned Window funnels its whole input through ONE task, so it may
+    appear only in GLOBAL_WINDOW_KEYS, and there its input subtree must show
+    the bounding structure — an Aggregate (histogram/share class) or a
+    partitioned-window local prune (top-k survivor class). A new key that
+    sorts the raw table through one reducer fails here, not at 100 TB."""
+    for key in q.queries():
+        if key == "migrate_rowcount":
+            continue  # writes as a side effect; plan inspected post-write
+        df = q.queries()[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        unpart = [
+            n
+            for n in _walk_jvm_plan(plan)
+            if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty()
+        ]
+        if key not in GLOBAL_WINDOW_KEYS:
+            assert not unpart, (
+                f"{key} plans an unpartitioned Window (single-reducer sort); "
+                "either partition it, use operators/rank, or document it in "
+                "GLOBAL_WINDOW_KEYS with its bound"
+            )
+            continue
+        assert unpart, f"{key} listed in GLOBAL_WINDOW_KEYS but plans none"
+        mode = GLOBAL_WINDOW_KEYS[key]
+        for node in unpart:
+            sub = []
+            for i in range(node.children().size()):
+                sub.extend(_walk_jvm_plan(node.children().apply(i)))
+            names = [n.getClass().getSimpleName() for n in sub]
+            if mode == "histogram":
+                assert "Aggregate" in names, (
+                    f"{key}: unpartitioned Window reads non-aggregated input"
+                )
+            else:  # pruned
+                local = [
+                    n
+                    for n in sub
+                    if n.getClass().getSimpleName() == "Window"
+                    and not n.partitionSpec().isEmpty()
+                ]
+                assert local and "Filter" in names, (
+                    f"{key}: unpartitioned Window lacks the partitioned-window "
+                    "local-prune feeding it (top_k_rows shape)"
+                )
 
 
 def test_partitioned_sink_prune_partition_filter(spark, sf_dir):
