@@ -150,11 +150,13 @@ def ngram_jaccard_pairs(
 
 def incremental_jaccard_pairs(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
+    corpus_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """New-batch-vs-corpus exact n-gram Jaccard — the PRODUCTION dedup mode:
     a daily ingest batch is deduped against the standing corpus WITHOUT ever
@@ -173,17 +175,34 @@ def incremental_jaccard_pairs(
     removal (queries.q_boilerplate_ngrams) upstream, the same composition
     a C4-style pipeline applies anyway.
 
+    At 100 TB the standing corpus maintains TWO artifacts, passed in
+    instead of ``corpus``: ``corpus_index`` — the (id, shingle) inverted
+    index written ``bucketBy(N, "shingle")`` so the per-batch shingle join
+    co-locates with ZERO corpus-side Exchange — and ``corpus_sizes`` — the
+    per-doc shingle-count table (bucket it by id to kill the union-join
+    shuffle too). Both are incrementally maintained as batches merge in.
+    tests/test_bucketing.py pins the zero-corpus-Exchange plan and exact
+    result parity with the derive-from-``corpus`` path.
+
     Output (batch_id, corpus_id, jaccard >= threshold), jaccard rounded to
     4dp before the threshold compare (oracle-identical, like
     ngram_jaccard_pairs)."""
     bi = shingle_index(batch, text_col, id_col, n)
-    ci = shingle_index(corpus, text_col, id_col, n)
+    ci = (
+        corpus_index
+        if corpus_index is not None
+        else shingle_index(corpus, text_col, id_col, n)
+    )
     b_sizes = bi.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("nb")
     ).withColumnRenamed(id_col, "batch_id")
-    c_sizes = ci.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("nc")
-    ).withColumnRenamed(id_col, "corpus_id")
+    c_sizes = (
+        corpus_sizes.select(F.col(id_col).alias("corpus_id"), F.col("nc"))
+        if corpus_sizes is not None
+        else ci.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+        .withColumnRenamed(id_col, "corpus_id")
+    )
     inter = (
         bi.withColumnRenamed(id_col, "batch_id")
         .join(ci.withColumnRenamed(id_col, "corpus_id"), "shingle")
