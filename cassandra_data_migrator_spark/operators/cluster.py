@@ -227,12 +227,19 @@ def lloyd_kmeans(
         sums = (
             assigned.select("cluster", F.posexplode(F.col("__v")).alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            # DECIMAL sums: double addition is order-dependent across
+            # partitions, which would make the trained centroids (and every
+            # downstream IVF bucket assignment) vary run-to-run; a 15-digit
+            # fixed-point sum is exact and order-independent.
+            .agg(
+                F.sum(F.col("x").cast("decimal(30,15)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
         )
         rows = sums.collect()  # exactly ≤ k·dim rows — bounded weight sync
         new = [list(c) for c in centroids]
         for r in rows:
-            new[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+            new[r["cluster"]][r["pos"]] = float(r["s"]) / r["n"]
         centroids = new
     return assign_clusters_arrow(df, centroids, vec_col), centroids
 

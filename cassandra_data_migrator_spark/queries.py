@@ -357,14 +357,36 @@ def q_topk_similarity_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K, num_planes=4)
 
 
+# Per-session memo of trained IVF centroids keyed by sf_dir (the same
+# shared-derivation precedent as the graph keys' localCheckpoint reuse):
+# the trainer is deterministic — pinned smallest-id init + DECIMAL mean
+# sums (operators/cluster.lloyd_kmeans) — so memoization changes cost,
+# never results. Both IVF keys (topk_similarity_ivf, ivf_recall_audit)
+# probe the SAME trained cells, as a real IVF index would.
+_IVF_CENTROIDS_CACHE: dict = {}
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Train the IVF coarse quantizer end-to-end (round-5 verdict #4): 8
+    Lloyd cells over the embedding corpus instead of the old `vec_id % 97`
+    sample. Returns [(cell_id, centroid_vector)] for similarity.ivf_topk."""
+    from cassandra_data_migrator_spark.operators.cluster import lloyd_kmeans
+
+    if sf_dir not in _IVF_CENTROIDS_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+        _IVF_CENTROIDS_CACHE[sf_dir] = [
+            (i, [float(x) for x in c]) for i, c in enumerate(cents)
+        ]
+    return _IVF_CENTROIDS_CACHE[sf_dir]
+
+
 def q_topk_similarity_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (rows-only): centroids = a fixed, deterministic sample
-    of the corpus (vec_id % 97 == 3, max 8) standing in for k-means output."""
+    """IVF-bucketed ANN (rows-only): centroids = lloyd_kmeans-trained cells
+    (trainer → assign → probe chained end-to-end; bounded k·dim driver
+    state only)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.filter("vec_id % 97 = 3").orderBy("vec_id").limit(8).collect()
-    ]
+    cents = _ivf_centroids(spark, sf_dir)
     return similarity.ivf_topk(emb, emb.filter(TOPK_QUERY_PRED), cents, k=TOPK_K, nprobe=2)
 
 
@@ -3015,7 +3037,8 @@ def q_rolling_hash_chunks(spark, sf_dir):
     return dedup.content_defined_chunks(_t(spark, sf_dir, "documents"))
 
 
-IVF_RECALL_MIN = 0.3  # measured 0.48-0.66 at sf0.001/0.01/0.1; see BASELINE.md
+IVF_RECALL_MIN = 0.8  # trained cells: measured 0.90/0.90/0.98 at sf0.001/0.01/0.1
+# (the old % 97 centroid sample measured 0.48-0.66 — round-5 verdict #4)
 SIMHASH_RECALL_MIN = 0.8  # measured 0.949-1.0 at sf0.001/0.01/0.1
 SIMHASH_AUDIT_MAX_HAMMING = 8
 
@@ -3030,10 +3053,9 @@ def q_ivf_recall_audit(spark, sf_dir):
     corpus-level recall is the stable contract."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(TOPK_QUERY_PRED)
-    cents = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.filter("vec_id % 97 = 3").orderBy("vec_id").limit(8).collect()
-    ]  # bounded: ≤ 8·dim doubles, the same centroid sync q_topk_similarity_ivf does
+    # trained cells (lloyd_kmeans via _ivf_centroids, round-5 verdict #4) —
+    # the audit now measures the recall of the ACTUAL deployed quantizer
+    cents = _ivf_centroids(spark, sf_dir)
     brute = similarity.brute_force_topk(emb, qs, k=TOPK_K).select(
         "query_id", "vec_id"
     ).localCheckpoint()  # feeds both the count and the hit join
