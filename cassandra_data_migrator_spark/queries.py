@@ -3585,6 +3585,36 @@ def q_bpe_token_count(spark, sf_dir):
     return bpe.bpe_token_counts(d, merges)
 
 
+# Fixture merge table for the oracled BPE-apply contract (round-5 verdict
+# #8). The pairs are chosen CHARACTER-DISJOINT (no char appears in two
+# pairs) and 2-char-flat (no merge output feeds another merge), which makes
+# greedy lowest-rank-first BPE application provably equivalent to
+# independent leftmost non-overlapping substring replacement per pair:
+# merging (x,y) consumes only x,y and never creates a new single-char
+# adjacency, so the patterns cannot interact. Under that restriction the
+# per-word token count is exactly len(word) + 1 − Σ_p occurrences_p(word),
+# which ANSI SQL computes via the REPLACE length-difference trick — so the
+# REAL Arrow apply kernel (functions/bpe.segment_words) gets a full
+# value-level DuckDB oracle. The trainer itself stays rows-only
+# (bpe_token_count); this key retires the APPLY path's rows-only status.
+BPE_AUDIT_MERGES = [
+    ("t", "h"), ("a", "n"), ("e", "r"), ("i", "s"), ("o", "u"), ("l", "d"),
+]
+
+
+def q_bpe_apply_audit(spark, sf_dir):
+    """BPE application under a fixed merge table, per-doc token counts via
+    the production path (distinct-word Arrow segmentation → broadcast join
+    → per-doc sum). The fixture pairs are non-interacting by construction,
+    so the oracle recomputes the exact counts in SQL — any defect in the
+    greedy apply loop (rank order, leftmost choice, END_OF_WORD handling)
+    shows up as a value mismatch."""
+    from cassandra_data_migrator_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.bpe_token_counts(d, BPE_AUDIT_MERGES)
+
+
 LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 
 
@@ -3765,6 +3795,7 @@ def queries() -> dict[str, QueryFn]:
         "length_bucketing": q_length_bucketing,
         "dedup_incremental_batch": q_dedup_incremental_batch,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_apply_audit": q_bpe_apply_audit,
         "pagerank_dup_graph": q_pagerank_dup_graph,
         "temperature_mix": q_temperature_mix,
         "embedding_stats": q_embedding_stats,
@@ -4755,6 +4786,23 @@ def oracle_sql() -> dict[str, str]:
                          JOIN cs ON cs.doc_id = i.corpus_id
             WHERE ROUND(i.ni * 1.0 / (bs.nb + cs.nc - i.ni), 4)
                   >= {NGRAM_THRESHOLD}
+        """,
+        # Exact BPE-apply recomputation: the fixture pairs are character-
+        # disjoint and non-chaining (see BPE_AUDIT_MERGES), so greedy apply
+        # == independent leftmost non-overlapping replacement per pair, and
+        # per-word tokens = len + 1 − Σ occurrences (REPLACE length trick).
+        "bpe_apply_audit": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            w AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+            per AS (SELECT doc_id,
+                           LENGTH(word) + 1
+                           {' '.join(
+                               f"- (LENGTH(word) - LENGTH(REPLACE(word, '{a}{b}', ''))) / 2"
+                               for a, b in BPE_AUDIT_MERGES
+                           )} AS n
+                    FROM w)
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+            FROM per GROUP BY doc_id
         """,
         "length_bucketing": f"""
             WITH nt AS (SELECT len({TOKS_SQL}) AS n_tok FROM documents),

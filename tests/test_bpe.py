@@ -79,3 +79,33 @@ def test_pair_counts_weighted():
     pc = bpe._pair_counts({("a", "b"): 3, ("a", "b", "c"): 2})
     assert pc[("a", "b")] == 5 and pc[("b", "c")] == 2
     assert isinstance(pc, Counter)
+
+
+def test_fixture_merges_match_replace_formula():
+    """The bpe_apply_audit oracle's claim (round-5 verdict #8): for the
+    character-disjoint, non-chaining fixture pairs, greedy BPE apply length
+    equals len(word) + 1 − Σ leftmost-non-overlapping occurrences per pair.
+    Exercised on adversarial words (self-overlap candidates, adjacent
+    merges, chained-looking sequences, unseen chars)."""
+    from cassandra_data_migrator_spark.queries import BPE_AUDIT_MERGES
+
+    # the oracle's structural preconditions: 12 distinct chars, no merge
+    # output is a member of another pair
+    chars = [c for p in BPE_AUDIT_MERGES for c in p]
+    assert len(set(chars)) == len(chars)
+
+    ranks = {p: i for i, p in enumerate(BPE_AUDIT_MERGES)}
+    words = [
+        "the", "ther", "her", "tth", "anan", "thth", "thquan", "banana",
+        "erer", "x", "thisisatest", "ouldlder", "ttthhh", "island", "an",
+        "", "zzz", "understand", "toolder", "eerriiss",
+    ]
+    for w in words:
+        if not w:
+            continue
+        got = len(bpe.apply_bpe_word(w, ranks))
+        occ = 0
+        for a, b in BPE_AUDIT_MERGES:
+            pat = a + b
+            occ += (len(w) - len(w.replace(pat, ""))) // 2
+        assert got == len(w) + 1 - occ, (w, got, len(w) + 1 - occ)

@@ -315,6 +315,7 @@ ARROW_PYTHON_KEYS = {
     "kmeans_clusters",  # assignment kernel (cluster.assign_clusters_arrow)
     "semantic_dedup",  # per-cluster GEMM (cluster.semdedup_pruned_ids)
     "bpe_token_count",  # per-word-TYPE segmentation kernel (functions/bpe.py)
+    "bpe_apply_audit",  # same kernel under the fixture merge table
 }
 
 
