@@ -3,12 +3,12 @@ opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas functions over ``mapInPandas``.
 
 The Spark-side machinery here is real and tested: schemas, batch iteration,
-partition-preserving transforms, deterministic fake "decode". The actual
-codec work (PIL/ffmpeg/torchaudio) is NOT in this container, so the decode
-kernels are stubbed behind ``NotImplementedError`` with a deterministic fake
-used by tests — swapping in a real decoder changes one function, not the
-pipeline (prompt: 'make the Spark-side plumbing real and tested, stub the
-decode').
+partition-preserving transforms. Binary PPM (P6) decodes FOR REAL — a pure
+Python parser (decode_ppm / ppm_stats), no codec libs, oracled end-to-end
+by the multimodal_decode key. Compressed-codec work (PIL/ffmpeg/torchaudio)
+is NOT in this container, so those paths remain stubbed behind
+``NotImplementedError`` with a deterministic fake used by tests — swapping
+in a real decoder changes one function, not the pipeline.
 
 Design for 100 TB: binary payloads never pass through Python row-at-a-time —
 mapInPandas streams Arrow record batches; metadata-only operations (filtering
@@ -52,13 +52,65 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder hook — intentionally unimplemented in this container.
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL image decode for binary PPM (P6) — pure Python, no codec libs
+    (round-5 verdict #5: retire the stub for one uncompressed format).
 
-    Production: PIL.Image.open(io.BytesIO(payload)); tests use
-    ``_fake_feature`` via ``extract_features(..., use_fake=True)``.
-    """
-    raise NotImplementedError("image decoding requires PIL; not available in this env")
+    Parses the NetPBM P6 header (magic, whitespace/comment-tolerant width,
+    height, maxval, exactly one whitespace byte, then raw interleaved RGB)
+    and returns (width, height, maxval, pixel_bytes). Raises ValueError on
+    a wrong magic, malformed header, maxval > 255 (2-byte samples not
+    supported), or a payload whose pixel section is not exactly
+    width*height*3 bytes — truncated or padded images must fail loudly,
+    never produce silent garbage stats."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    i, n = 2, len(payload)
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comments (to end of line)
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header (missing field)")
+        try:
+            fields.append(int(payload[i:j]))
+        except ValueError as exc:
+            raise ValueError(f"malformed PPM header field {payload[i:j]!r}") from exc
+        i = j
+    # exactly ONE whitespace byte separates maxval from pixel data
+    if i >= n or not payload[i : i + 1].isspace():
+        raise ValueError("malformed PPM header (no separator before pixels)")
+    i += 1
+    width, height, maxval = fields
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pixels = payload[i:]
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"PPM pixel section is {len(pixels)} bytes, expected {width * height * 3}"
+        )
+    return width, height, maxval, pixels
+
+
+def decode_image(payload: bytes) -> object:
+    """Image decode dispatch: binary PPM decodes for real (decode_ppm);
+    compressed formats (PNG/JPEG) still require PIL, absent in this
+    container — those stay honestly unimplemented."""
+    if payload and payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "only binary PPM decodes without PIL; PNG/JPEG unavailable in this env"
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -167,6 +219,86 @@ def payload_digest(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_batches, DIGEST_SCHEMA)
+
+
+PPM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("maxval", IntegerType()),
+        StructField("n_pix", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def ppm_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over mapInPandas: parse each PPM
+    payload and emit exact integer stats (dimensions, per-channel byte
+    sums) — no floats in the kernel, so the output is bit-reproducible and
+    a downstream JVM projection derives the rounded channel means. The
+    closure inlines the P6 parser (repo kernel convention: python workers
+    must not need this package importable); tests/test_multimodal.py pins
+    it byte-identical to decode_ppm, the module-level reference."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if not payload or not payload.startswith(b"P6"):
+                raise ValueError("not a binary PPM (P6 magic missing)")
+            i, n = 2, len(payload)
+            fields = []
+            while len(fields) < 3:
+                while i < n and payload[i : i + 1].isspace():
+                    i += 1
+                if i < n and payload[i : i + 1] == b"#":
+                    while i < n and payload[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                if j == i:
+                    raise ValueError("malformed PPM header (missing field)")
+                fields.append(int(payload[i:j]))
+                i = j
+            if i >= n or not payload[i : i + 1].isspace():
+                raise ValueError("malformed PPM header (no separator before pixels)")
+            i += 1
+            width, height, maxval = fields
+            if width < 1 or height < 1:
+                raise ValueError(f"invalid PPM dimensions {width}x{height}")
+            if not 0 < maxval <= 255:
+                raise ValueError(f"unsupported PPM maxval {maxval}")
+            pixels = payload[i:]
+            if len(pixels) != width * height * 3:
+                raise ValueError(
+                    f"PPM pixel section is {len(pixels)} bytes, "
+                    f"expected {width * height * 3}"
+                )
+            return width, height, maxval, pixels
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "maxval", "n_pix",
+                    "r_sum", "g_sum", "b_sum")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, mx, px = parse(bytes(payload))
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(mx)
+                out["n_pix"].append(w * h)
+                out["r_sum"].append(sum(px[0::3]))
+                out["g_sum"].append(sum(px[1::3]))
+                out["b_sum"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, PPM_STATS_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_nth: int, frame_col: str = "media_id") -> DataFrame:

@@ -2282,14 +2282,55 @@ def q_multimodal_extract(spark, sf_dir):
     return payload_digest(media)
 
 
+PPM_W = 4  # fixture image width (pixels); 3 bytes/pixel
+PPM_MAX_H = 8  # fixture image height cap
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode under the DRIVER check (round-5 verdict #5 — the
+    PIL stub retired for one format): documents become binary PPM (P6)
+    images (header + raw RGB from the printable-ASCII text bytes, built
+    JVM-side), the Arrow mapInPandas kernel (operators/multimodal.ppm_stats)
+    PARSES each payload — magic, whitespace-tolerant header, exact pixel-
+    section length — and emits exact integer stats; rounded channel means
+    derive JVM-side. The oracle re-slices the SAME bytes in DuckDB
+    (ord(substr(...)) over the identical construction), so a single byte
+    mis-parsed anywhere in the decoder turns the key red."""
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_stats
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = PPM_W * 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__h"),
+    ).filter(F.col("__h") >= 1)
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+        F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
+    ).cast("binary")
+    stats = ppm_stats(media.select("media_id", payload.alias("payload")))
+    return stats.select(
+        "media_id", "width", "height", "maxval", "n_pix",
+        "r_sum", "g_sum", "b_sum",
+        F.round(F.col("r_sum") / F.col("n_pix"), 4).alias("r_mean"),
+        F.round(F.col("g_sum") / F.col("n_pix"), 4).alias("g_mean"),
+        F.round(F.col("b_sum") / F.col("n_pix"), 4).alias("b_mean"),
+    )
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
     are counted from the edge list's endpoints only — the corpus itself
-    never enters the aggregation."""
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
-    )
+    never enters the aggregation. Edge list = the session-shared
+    _ngram_pairs materialization."""
+    pairs = _ngram_pairs(spark, sf_dir)
     ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
     )
@@ -3796,6 +3837,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_incremental_batch": q_dedup_incremental_batch,
         "bpe_token_count": q_bpe_token_count,
         "bpe_apply_audit": q_bpe_apply_audit,
+        "multimodal_decode": q_multimodal_decode,
         "pagerank_dup_graph": q_pagerank_dup_graph,
         "temperature_mix": q_temperature_mix,
         "embedding_stats": q_embedding_stats,
@@ -4786,6 +4828,40 @@ def oracle_sql() -> dict[str, str]:
                          JOIN cs ON cs.doc_id = i.corpus_id
             WHERE ROUND(i.ni * 1.0 / (bs.nb + cs.nc - i.ni), 4)
                   >= {NGRAM_THRESHOLD}
+        """,
+        # The decoder contract: DuckDB re-slices the SAME pixel bytes the
+        # Spark side feeds the PPM parser (payload pixel section = first
+        # 12h chars of the printable-ASCII-sanitized text, 1 byte/char).
+        "multimodal_decode": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({PPM_MAX_H},
+                                 CAST(LENGTH(s) // {PPM_W * 3} AS INT)) AS h
+                    FROM san),
+            ok AS (SELECT doc_id, s, h FROM dim WHERE h >= 1),
+            b AS (SELECT doc_id, h,
+                         unnest(range(1, h * {PPM_W * 3} + 1)) AS i, s
+                  FROM ok),
+            v AS (SELECT doc_id, h, i,
+                         ord(substr(s, CAST(i AS INT), 1)) AS val
+                  FROM b)
+            SELECT doc_id AS media_id,
+                   CAST({PPM_W} AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(255 AS INT) AS maxval,
+                   CAST({PPM_W} * h AS BIGINT) AS n_pix,
+                   CAST(SUM(CASE WHEN (i-1)%3=0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,
+                   CAST(SUM(CASE WHEN (i-1)%3=1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,
+                   CAST(SUM(CASE WHEN (i-1)%3=2 THEN val ELSE 0 END) AS BIGINT) AS b_sum,
+                   ROUND(SUM(CASE WHEN (i-1)%3=0 THEN val ELSE 0 END) * 1.0
+                         / ({PPM_W} * h), 4) AS r_mean,
+                   ROUND(SUM(CASE WHEN (i-1)%3=1 THEN val ELSE 0 END) * 1.0
+                         / ({PPM_W} * h), 4) AS g_mean,
+                   ROUND(SUM(CASE WHEN (i-1)%3=2 THEN val ELSE 0 END) * 1.0
+                         / ({PPM_W} * h), 4) AS b_mean
+            FROM v GROUP BY doc_id, h
         """,
         # Exact BPE-apply recomputation: the fixture pairs are character-
         # disjoint and non-chaining (see BPE_AUDIT_MERGES), so greedy apply

@@ -55,3 +55,92 @@ def test_feature_extraction_deterministic(media_df):
 
 def test_frame_sampling(media_df):
     assert sample_frames(media_df, 10).count() == 5
+
+
+# --- real PPM decode (round-5 verdict #5: stub retired for one format) ---
+
+
+def _ppm(w, h, pixels, maxval=255, header_extra=""):
+    head = f"P6{header_extra}\n{w} {h}\n{maxval}\n".encode()
+    return head + bytes(pixels)
+
+
+def test_decode_ppm_known_image():
+    from cassandra_data_migrator_spark.operators.multimodal import decode_ppm
+
+    # 2x1 image: red pixel (255,0,0), mid-grey (7,8,9)
+    payload = _ppm(2, 1, [255, 0, 0, 7, 8, 9])
+    w, h, mx, px = decode_ppm(payload)
+    assert (w, h, mx) == (2, 1, 255)
+    assert list(px) == [255, 0, 0, 7, 8, 9]
+
+
+def test_decode_ppm_comments_and_whitespace():
+    from cassandra_data_migrator_spark.operators.multimodal import decode_ppm
+
+    payload = b"P6 # a comment\n# full line comment\n 2\t1 \n255\n" + bytes(6)
+    w, h, mx, px = decode_ppm(payload)
+    assert (w, h, mx) == (2, 1, 255) and px == bytes(6)
+
+
+def test_decode_ppm_rejects_malformed():
+    from cassandra_data_migrator_spark.operators.multimodal import decode_ppm
+
+    good = _ppm(2, 1, [0] * 6)
+    for bad in (
+        b"",                       # empty
+        b"P5\n2 1\n255\n" + bytes(2),   # wrong magic (greyscale PGM)
+        good[:-1],                 # truncated pixel section
+        good + b"\x00",            # padded pixel section
+        b"P6\n2 x\n255\n" + bytes(6),   # non-numeric field
+        _ppm(2, 1, [0] * 6, maxval=65535),  # 2-byte samples unsupported
+        b"P6\n0 1\n255\n",         # zero width
+        b"P6\n2 1\n255",           # header ends before separator
+    ):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+    # dispatch: PPM goes to the real decoder, PNG still raises
+    from cassandra_data_migrator_spark.operators.multimodal import decode_image
+
+    assert decode_image(good)[0] == 2
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+
+
+def test_ppm_stats_kernel_matches_reference(spark):
+    """The inlined mapInPandas parser must agree byte-for-byte with
+    decode_ppm (the module-level reference) on every payload, including
+    ones with comments and single-digit dims."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_stats,
+    )
+
+    payloads = [
+        _ppm(2, 1, [255, 0, 0, 7, 8, 9]),
+        _ppm(1, 1, [1, 2, 3]),
+        _ppm(3, 2, list(range(18))),
+        b"P6\n# c\n2 2\n255\n" + bytes(range(12)),
+    ]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r.media_id: r for r in ppm_stats(df).collect()}
+    assert len(got) == len(payloads)
+    for i, p in enumerate(payloads):
+        w, h, mx, px = decode_ppm(p)
+        r = got[i]
+        assert (r.width, r.height, r.maxval, r.n_pix) == (w, h, mx, w * h)
+        assert (r.r_sum, r.g_sum, r.b_sum) == (
+            sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+        )
+
+
+def test_ppm_stats_kernel_fails_loudly_on_corrupt_payload(spark):
+    """A corrupt payload must abort the job, never emit garbage stats."""
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_stats
+
+    df = spark.createDataFrame(
+        [(0, _ppm(1, 1, [1, 2, 3])[:-1])], "media_id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception):
+        ppm_stats(df).collect()

@@ -316,6 +316,7 @@ ARROW_PYTHON_KEYS = {
     "semantic_dedup",  # per-cluster GEMM (cluster.semdedup_pruned_ids)
     "bpe_token_count",  # per-word-TYPE segmentation kernel (functions/bpe.py)
     "bpe_apply_audit",  # same kernel under the fixture merge table
+    "multimodal_decode",  # real PPM parse kernel (multimodal.ppm_stats)
 }
 
 
