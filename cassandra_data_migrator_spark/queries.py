@@ -3802,18 +3802,71 @@ def queries() -> dict[str, QueryFn]:
     """Declared surface, in DRIVER VERIFICATION ORDER.
 
     The driver's correctness check covers the first 50 entries of this dict
-    per round (observed r01-r04 behavior). r05 ordering (round-4 verdict,
-    'Next round' #1-2): the one red key (bigram_pmi, signed-zero fix applied)
-    plus the 8 keys never driver-verified come FIRST, then keys newly added
-    this round, then the r01/r02-verified block (longest-ago driver rows,
-    re-confirmed in this window), then r03/r04-verified keys, which keep
-    local DuckDB parity coverage via tests/test_oracle_parity.py. See
+    per round (observed r01-r05 behavior). r06 ordering: keys NEW or
+    BEHAVIOR-CHANGED this round come first (two-phase rank rewrites,
+    trained-IVF keys, shared-edge-list graph keys, the duration-guard codec
+    fix, the two new audit keys), then the keys whose last driver row is
+    OLDEST (r02 block, then r03) so the fleet-wide re-verification cadence
+    keeps rolling. Later keys retain local DuckDB parity coverage via
+    tests/test_oracle_parity.py and tools/parity_check.py --all. See
     COVERAGE.md for the per-key verified-in-round ledger.
     """
     return {
-        # --- r05 window head: the r04 red row (fixed) + 8 never-verified ---
-        "bigram_pmi": q_bigram_pmi,
+        # --- r06 window head: new or behavior-changed this round ---
+        "bpe_apply_audit": q_bpe_apply_audit,
+        "multimodal_decode": q_multimodal_decode,
+        "codec_duration": q_codec_duration,
+        "vocab_topk": q_vocab_topk,
+        "bm25_topk": q_bm25_topk,
+        "oov_rate": q_oov_rate,
+        "vocab_zipf_slope": q_vocab_zipf_slope,
         "ivf_recall_audit": q_ivf_recall_audit,
+        "topk_similarity_ivf": q_topk_similarity_ivf,
+        "kmeans_clusters": q_kmeans_clusters,
+        "dedup_clusters": q_dedup_clusters,
+        "graph_triangles": q_graph_triangles,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "pagerank_dup_graph": q_pagerank_dup_graph,
+        "graph_degree": q_graph_degree,
+        "dedup_incremental_batch": q_dedup_incremental_batch,
+        # --- oldest driver rows: last verified r02 ---
+        "asof_join": q_asof_join,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "doc_fingerprint": q_doc_fingerprint,
+        "funnel_conversion": q_funnel_conversion,
+        "group_agg": q_group_agg,
+        "join_agg_pipeline": q_join_agg_pipeline,
+        "lang_id": q_lang_id,
+        "length_percentile": q_length_percentile,
+        "pii_scrub": q_pii_scrub,
+        "pivot_events": q_pivot_events,
+        "profile_table": q_profile_table,
+        "quality_score": q_quality_score,
+        "quantiles": q_quantiles,
+        "ranking_topk": q_ranking_topk,
+        "rollup_agg": q_rollup_agg,
+        "sentiment_lexicon": q_sentiment_lexicon,
+        "set_ops": q_set_ops,
+        "text_tokens": q_text_tokens,
+        "tfidf": q_tfidf,
+        "token_count": q_token_count,
+        "topk_similarity": q_topk_similarity,
+        "topk_similarity_lsh": q_topk_similarity_lsh,
+        "value_histogram": q_value_histogram,
+        # --- last verified r03 (window tail) ---
+        "anomaly_zscore": q_anomaly_zscore,
+        "bigram_doc_freq": q_bigram_doc_freq,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "chunk_dedup": q_chunk_dedup,
+        "cohort_retention": q_cohort_retention,
+        "contamination_check": q_contamination_check,
+        "corpus_curate": q_corpus_curate,
+        "corr_stats": q_corr_stats,
+        "csv_roundtrip": q_csv_roundtrip,
+        "cube_agg": q_cube_agg,
+        # --- driver-verified r04/r05 (local parity keeps covering these) ---
+        "bigram_pmi": q_bigram_pmi,
         "simhash_recall_audit": q_simhash_recall_audit,
         "packing_efficiency": q_packing_efficiency,
         "gaps_islands": q_gaps_islands,
@@ -3821,10 +3874,8 @@ def queries() -> dict[str, QueryFn]:
         "semantic_dedup": q_semantic_dedup,
         "cross_source_chunk_overlap": q_cross_source_chunk_overlap,
         "writetime_histogram": q_writetime_histogram,
-        # --- new or behavior-changed in r05 (need fresh driver rows) ---
         "migrate_writetime_roundtrip": q_migrate_writetime_roundtrip,
         "ttl_expiry": q_ttl_expiry,
-        "codec_duration": q_codec_duration,
         "ann_recall_audit": q_ann_recall_audit,
         "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
         "lm_perplexity": q_lm_perplexity,
@@ -3834,14 +3885,9 @@ def queries() -> dict[str, QueryFn]:
         "jsonl_quarantine": q_jsonl_quarantine,
         "file_compaction": q_file_compaction,
         "length_bucketing": q_length_bucketing,
-        "dedup_incremental_batch": q_dedup_incremental_batch,
         "bpe_token_count": q_bpe_token_count,
-        "bpe_apply_audit": q_bpe_apply_audit,
-        "multimodal_decode": q_multimodal_decode,
-        "pagerank_dup_graph": q_pagerank_dup_graph,
         "temperature_mix": q_temperature_mix,
         "embedding_stats": q_embedding_stats,
-        # --- backfill: r01/r02-verified, longest-ago driver rows ---
         "scan_project": q_scan_project,
         "const_columns": q_const_columns,
         "codec_cast": q_codec_cast,
@@ -3866,37 +3912,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_fuzzy": q_dedup_fuzzy,
         "simhash_near_dup": q_simhash_near_dup,
-        "topk_similarity": q_topk_similarity,
-        "topk_similarity_lsh": q_topk_similarity_lsh,
-        "topk_similarity_ivf": q_topk_similarity_ivf,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "text_tokens": q_text_tokens,
-        "sentiment_lexicon": q_sentiment_lexicon,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tfidf": q_tfidf,
-        "pii_scrub": q_pii_scrub,
-        "length_percentile": q_length_percentile,
-        "asof_join": q_asof_join,
-        "group_agg": q_group_agg,
-        "profile_table": q_profile_table,
-        "funnel_conversion": q_funnel_conversion,
-        "value_histogram": q_value_histogram,
-        "pivot_events": q_pivot_events,
-        "rollup_agg": q_rollup_agg,
-        "set_ops": q_set_ops,
-        "quantiles": q_quantiles,
-        "ranking_topk": q_ranking_topk,
-        "join_agg_pipeline": q_join_agg_pipeline,
-        # --- driver-verified r03/r04 (local parity keeps covering these) ---
         "codec_blob": q_codec_blob,
         "validate_diff_composite": q_validate_diff_composite,
-        "bm25_topk": q_bm25_topk,
-        "oov_rate": q_oov_rate,
         "sentence_split": q_sentence_split,
         "user_event_types": q_user_event_types,
         "salted_join": q_salted_join,
@@ -3906,17 +3923,13 @@ def queries() -> dict[str, QueryFn]:
         "weighted_sample": q_weighted_sample,
         "group_topk_pct": q_group_topk_pct,
         "window_time_range": q_window_time_range,
-        "graph_degree": q_graph_degree,
         "multimodal_extract": q_multimodal_extract,
         "cdc_delta_detect": q_cdc_delta_detect,
         "json_key_profile": q_json_key_profile,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "vocab_zipf_slope": q_vocab_zipf_slope,
         "approx_distinct_audit": q_approx_distinct_audit,
         "approx_percentile_audit": q_approx_percentile_audit,
         "guardrail_rowsize": q_guardrail_rowsize,
-        "graph_triangles": q_graph_triangles,
-        "edit_distance_pairs": q_edit_distance_pairs,
         "quarantine_split": q_quarantine_split,
         "running_distinct": q_running_distinct,
         "event_paths": q_event_paths,
@@ -3930,7 +3943,6 @@ def queries() -> dict[str, QueryFn]:
         "codec_date_time": q_codec_date_time,
         "codec_struct": q_codec_struct,
         "partition_retry": q_partition_retry,
-        "kmeans_clusters": q_kmeans_clusters,
         "kmeans_assign": q_kmeans_assign,
         "minhash_recall_audit": q_minhash_recall_audit,
         "guardrail_partition_rows": q_guardrail_partition_rows,
@@ -3942,18 +3954,14 @@ def queries() -> dict[str, QueryFn]:
         "date_rollup": q_date_rollup,
         "semi_anti_join": q_semi_anti_join,
         "salted_group_agg": q_salted_group_agg,
-        "cube_agg": q_cube_agg,
-        "bigram_doc_freq": q_bigram_doc_freq,
         "running_total": q_running_total,
         "hash_split": q_hash_split,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
-        "contamination_check": q_contamination_check,
         "seq_packing": q_seq_packing,
         "embedding_quantize": q_embedding_quantize,
         "json_roundtrip": q_json_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_logprob": q_unigram_logprob,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -3961,31 +3969,24 @@ def queries() -> dict[str, QueryFn]:
         "interval_join": q_interval_join,
         "event_sequences": q_event_sequences,
         "regional_revenue": q_regional_revenue,
-        "corr_stats": q_corr_stats,
         "grouping_sets_agg": q_grouping_sets_agg,
         "time_gap_fill": q_time_gap_fill,
         "ewma_smooth": q_ewma_smooth,
         "unpivot_metrics": q_unpivot_metrics,
         "quota_cap": q_quota_cap,
-        "vocab_topk": q_vocab_topk,
         "user_entropy": q_user_entropy,
         "latest_event": q_latest_event,
-        "anomaly_zscore": q_anomaly_zscore,
         "decile_assign": q_decile_assign,
         "partitioned_sink_prune": q_partitioned_sink_prune,
         "dedup_canonical": q_dedup_canonical,
         "part_brand_share": q_part_brand_share,
         "label_balance": q_label_balance,
-        "cohort_retention": q_cohort_retention,
         "mad_robust": q_mad_robust,
         "window_rank_funcs": q_window_rank_funcs,
         "regex_extract_all": q_regex_extract_all,
-        "corpus_curate": q_corpus_curate,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "chunk_dedup": q_chunk_dedup,
         "winsorize_clamp": q_winsorize_clamp,
     }
 

@@ -1,13 +1,18 @@
 #!/usr/bin/env python3
 """Reproduce SCALE.md's scale-up linearity table: union the sf0.1 fixture
-k times with shifted ids (every doc gains k-1 exact clones — also a
-worst-case duplicate-density stress) and time representative operator
-families at 1x and kx with the noop-write sink.
+k times with shifted ids (every doc/vector gains k-1 exact clones — also a
+worst-case duplicate-density stress) and time every multi-second operator
+family at 1x and kx with the noop-write sink (round-5 verdict #3: convert
+the asserted 100 TB slopes into measured ones).
 
 Usage:
-    python tools/scale_stress.py [--k 4] [--sf /root/testdata/sf0.1]
+    python tools/scale_stress.py [--k 10] [--sf /root/testdata/sf0.1]
+                                 [--families ngram,pagerank,...]
 
 Prints one line per (operator, scale) plus the kx/1x ratios (linear = k).
+A ratio well above k flags a super-linear cliff the sf0.1 bench cannot
+see; the committed readings live in SCALE.md 'Measured scale-up
+linearity'.
 """
 
 from __future__ import annotations
@@ -22,13 +27,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--families", default="", help="comma list; empty = all")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from cassandra_data_migrator_spark.operators import dedup, validation, windows
+    from cassandra_data_migrator_spark.operators import (
+        dedup,
+        interval,
+        validation,
+        windows,
+    )
+    from cassandra_data_migrator_spark.operators.asof import asof_join
+    from cassandra_data_migrator_spark.operators.cluster import (
+        assign_clusters_exact,
+        semdedup_pruned_ids,
+    )
+    from cassandra_data_migrator_spark.operators.graph import pagerank_pairs
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
     from cassandra_data_migrator_spark.session import get_spark
     from cassandra_data_migrator_spark.sources.parquet import load_table
 
@@ -55,19 +73,65 @@ def main() -> None:
     for k in (1, args.k):
         docs = scaled("documents", "doc_id", k)
         events = scaled("events", "event_id", k)
-        docs.count(), events.count()  # warm IO + JIT
+        emb = scaled("embeddings", "vec_id", k)
+        docs.count(), events.count(), emb.count()  # warm IO + JIT
         tgt = events.withColumn(
             "value",
             F.when(
                 F.col("event_id") % 1000 == 0, F.col("value") + 1
             ).otherwise(F.col("value")),
         )
+        # shared inputs derived OUTSIDE the timed regions: the graph cases
+        # time CC/PageRank over the kx edge list, not the pair generation
+        # (which has its own row)
+        pairs_ckpt = (
+            dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        n_pairs = pairs_ckpt.count()
+        print(f"[x{k}] edge list: {n_pairs} pairs", flush=True)
+        trades = events.filter(F.col("event_id") % 2 == 1).select(
+            "user_id", "event_id", "ts_us"
+        )
+        quotes = events.filter(F.col("event_id") % 2 == 0).select(
+            "user_id", "ts_us",
+            F.col("event_id").alias("q_id"), F.col("value").alias("q_value"),
+        )
+        anchors = events.filter(F.col("event_type") == "signup").select(
+            "event_id", "user_id", "ts_us"
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "value"
+        )
+        init = (
+            emb.orderBy("vec_id").limit(8)
+            .select("vec_id", as_double_array("embedding").alias("v")).collect()
+        )
+        centroids = [(int(r["vec_id"]), list(r["v"])) for r in init]
+
+        def run_semdedup() -> None:
+            assigned = assign_clusters_exact(emb, centroids, "embedding").select(
+                "vec_id", "cluster_id", as_double_array("embedding").alias("__v")
+            )
+            noop(semdedup_pruned_ids(assigned, 0.3))
+
         cases = {
             "dedup_exact": lambda: noop(dedup.dedup_exact(docs)),
             "ngram_jaccard_pairs": lambda: noop(
                 dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
             ),
             "dedup_fuzzy": lambda: noop(dedup.dedup_fuzzy(docs)),
+            "simhash_pairs": lambda: noop(
+                dedup.simhash_near_dup_pairs(dedup.simhash(docs), max_hamming=8)
+            ),
+            "dedup_clusters": lambda: noop(
+                dedup.dedup_clusters(docs.select("doc_id"), pairs_ckpt)
+            ),
+            "pagerank": lambda: noop(
+                pagerank_pairs(pairs_ckpt, iters=5, damping=0.85)
+            ),
+            "semantic_dedup": run_semdedup,
             "group_agg": lambda: noop(
                 events.groupBy("event_type").agg(
                     F.count(F.lit(1)), F.sum("value")
@@ -77,12 +141,28 @@ def main() -> None:
             "validate_diff": lambda: noop(
                 validation.diff(events, tgt, ["event_id"], ["value", "event_type"])
             ),
+            "asof_join": lambda: noop(
+                asof_join(
+                    trades, quotes, ["user_id"], "ts_us", ["q_id", "q_value"],
+                    how="inner", tiebreak_col="q_id",
+                )
+            ),
+            "interval_join": lambda: noop(
+                interval.interval_join_bucketed(
+                    anchors, purchases, ["user_id"], "ts_us", "ts_us",
+                    6 * 3600 * 1_000_000, ["value"],
+                )
+            ),
         }
+        wanted = [f for f in args.families.split(",") if f]
+        if wanted:
+            cases = {n: f for n, f in cases.items() if n in wanted}
         results[k] = {}
         for name, fn in cases.items():
             dt = timed(fn)
             results[k][name] = dt
             print(f"{name} x{k}: {dt:.2f}s", flush=True)
+        pairs_ckpt.unpersist()
 
     print(f"=== ratios x{args.k}/x1 (linear = {args.k}.0) ===")
     for name in results[1]:
