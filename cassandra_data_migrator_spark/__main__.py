@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
         overrides[k] = v
 
     job = dispatch_job(args.job)  # fail fast on unknown job, like entrypoint.sh:240-242
+    # the wrapper's pre-job environment hooks, same order (entrypoint.sh
+    # main): logging property injection, then SSL truststore imports
+    from cassandra_data_migrator_spark.logging_bridge import configure_logging_from_env
+    from cassandra_data_migrator_spark.sources.ssl import import_ssl_certificates
+
+    configure_logging_from_env()
+    import_ssl_certificates()
     cfg = MigrationConfig.from_env().with_overrides(**overrides)
 
     # reuse an active session if the caller (tests, notebooks) owns one —
