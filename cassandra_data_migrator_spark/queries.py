@@ -417,12 +417,15 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 _NGRAM_PAIRS_CACHE: dict = {}
 
 
-def _ngram_pairs(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _ngram_pairs(spark, sf_dir, threshold=NGRAM_THRESHOLD):
+    """Session-shared edge list per (appId, sf_dir, threshold). The two
+    recall audits share the exact pair set at their matched threshold the
+    same way the graph keys share the standard-threshold list."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
     if key not in _NGRAM_PAIRS_CACHE:
         _NGRAM_PAIRS_CACHE[key] = (
             dedup.ngram_jaccard_pairs(
-                _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+                _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=threshold
             )
             .select("id_a", "id_b")
             .localCheckpoint()
@@ -2990,11 +2993,9 @@ def q_minhash_recall_audit(spark, sf_dir):
     collapses: an all-one-bucket regression would blow the bucket guard,
     an empty-join regression scores 0.0 < floor."""
     d = _t(spark, sf_dir, "documents")
-    exact = (
-        dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=MINHASH_AUDIT_THRESHOLD)
-        .select("id_a", "id_b")
-        .localCheckpoint()  # feeds both the count and the hit join
-    )
+    # session-shared exact pair set at the audit threshold (feeds both the
+    # count and the hit join here AND simhash_recall_audit's exact half)
+    exact = _ngram_pairs(spark, sf_dir, threshold=MINHASH_AUDIT_THRESHOLD)
     sigs = dedup.minhash_signatures(d, num_hashes=32)
     cands = dedup.lsh_candidate_pairs(sigs, num_bands=8)
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
@@ -3131,11 +3132,8 @@ def q_simhash_recall_audit(spark, sf_dir):
     0.5, within-floor boolean — turns the last unaudited near-dup family
     (simhash_near_dup) into a contract."""
     d = _t(spark, sf_dir, "documents")
-    exact = (
-        dedup.ngram_jaccard_pairs(d, n=NGRAM_N, threshold=MINHASH_AUDIT_THRESHOLD)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    # session-shared exact pair set (see minhash_recall_audit)
+    exact = _ngram_pairs(spark, sf_dir, threshold=MINHASH_AUDIT_THRESHOLD)
     sigs = dedup.simhash(d)
     pairs = dedup.simhash_near_dup_pairs(sigs, max_hamming=SIMHASH_AUDIT_MAX_HAMMING).select(
         "id_a", "id_b"
