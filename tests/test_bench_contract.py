@@ -62,3 +62,24 @@ def test_q_cs_carries_every_key_in_registry_order():
     assert parsed["q_cs_order"] == "registry"
     assert len(parsed["q_cs"]) == len(keys)
     assert parsed["q_cs"] == [i + 1 for i in range(len(keys))]
+
+
+def test_shared_artifacts_survive_between_key_block_cleanup(spark, sf_dir):
+    """bench.py drops ALL cached blocks between keys (its timing-isolation
+    protocol). Session-shared artifacts (_ngram_pairs) must therefore be
+    disk-backed, never localCheckpoint-backed: a cached-block memo raised
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next consumer key (r06
+    regression caught pre-driver). Consume one graph key, run the exact
+    cleanup bench performs, and the next consumer must still work AND
+    produce identical results."""
+    from cassandra_data_migrator_spark import queries as q
+
+    first = q.queries()["graph_triangles"](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    again = q.queries()["graph_triangles"](spark, sf_dir).collect()
+    assert [r.asDict() for r in first] == [r.asDict() for r in again]
+    # a second consumer of the same shared artifact also survives
+    deg = q.queries()["graph_degree"](spark, sf_dir)
+    assert deg.count() > 0
