@@ -486,6 +486,85 @@ def q_quality_score(spark, sf_dir):
     return quality_features(_t(spark, sf_dir, "documents"))
 
 
+# Gopher document-filter rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — the published
+# heuristic recipe most web-scale pipelines start from). Published
+# thresholds, kept verbatim:
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' and '...' per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_REQUIRED_STOPWORDS = 2
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rules as one scan-bound projection: per doc,
+    every rule statistic (word count, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alpha-word fraction, required-
+    stopword hits) plus the per-rule booleans folded into an overall
+    `passes`. All JVM expressions over one tokenize — no shuffle, no UDF;
+    substring counts use the REPLACE length trick so both engines count
+    non-overlapping occurrences identically. Ratios are guarded rounded
+    doubles (zero-word/zero-line docs emit 0.0, and the word-count rule
+    fails them anyway). On the synthetic keyword-soup fixture the
+    required-stopword rule rejects every doc (avg 0.76 hits vs the
+    published floor of 2) — the thresholds are kept verbatim rather than
+    tuned to flatter the fixture; the per-rule statistics vary per doc and
+    are what the value hash checks."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks).cast("bigint")
+    sum_wlen = F.length(F.concat_ws("", toks)).cast("bigint")
+    mean_wlen = F.when(n_words > 0, F.round(sum_wlen / n_words, 4)).otherwise(0.0)
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ).cast("bigint")
+    n_ellipsis = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+    ).cast("bigint")
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 4)
+    ).otherwise(0.0)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[•*-]"))
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("bigint")
+    bullet_frac = F.when(n_lines > 0, F.round(n_bullet / n_lines, 4)).otherwise(0.0)
+    ell_frac = F.when(n_lines > 0, F.round(n_ell_end / n_lines, 4)).otherwise(0.0)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
+    alpha_frac = F.when(n_words > 0, F.round(n_alpha / n_words, 4)).otherwise(0.0)
+    n_req_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_REQUIRED_STOPWORDS
+    ).cast("bigint")
+    rules = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac < GOPHER_MAX_BULLET_LINE_FRAC)
+        & (ell_frac < GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (n_req_stop >= GOPHER_MIN_REQUIRED_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen_r"),
+        symbol_ratio.alias("symbol_ratio_r"),
+        bullet_frac.alias("bullet_frac_r"),
+        ell_frac.alias("ellipsis_frac_r"),
+        alpha_frac.alias("alpha_frac_r"),
+        n_req_stop.alias("n_req_stopwords"),
+        rules.alias("passes"),
+    )
+
+
 def q_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -3827,6 +3906,7 @@ def queries() -> dict[str, QueryFn]:
         # --- r06 window head: new or behavior-changed this round ---
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
+        "gopher_rules": q_gopher_rules,
         "codec_duration": q_codec_duration,
         "vocab_topk": q_vocab_topk,
         "bm25_topk": q_bm25_topk,
@@ -4841,6 +4921,60 @@ def oracle_sql() -> dict[str, str]:
                          JOIN cs ON cs.doc_id = i.corpus_id
             WHERE ROUND(i.ni * 1.0 / (bs.nb + cs.nc - i.ni), 4)
                   >= {NGRAM_THRESHOLD}
+        """,
+        "gopher_rules": f"""
+            WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS ts,
+                              string_split(text, chr(10)) AS ls
+                       FROM documents),
+            s AS (SELECT doc_id,
+                    CAST(len(ts) AS BIGINT) AS n_words,
+                    CAST(LENGTH(array_to_string(ts, '')) AS BIGINT) AS sum_wlen,
+                    CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                         AS BIGINT) AS n_hash,
+                    CAST((LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+                         AS BIGINT) AS n_ell,
+                    CAST(len(ls) AS BIGINT) AS n_lines,
+                    CAST(len(list_filter(ls,
+                         l -> regexp_matches(l, '^\\s*[•*-]'))) AS BIGINT)
+                         AS n_bullet,
+                    CAST(len(list_filter(ls,
+                         l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ell_end,
+                    CAST(len(list_filter(ts,
+                         x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                    CAST({" + ".join(
+                        f"(CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END)"
+                        for w in GOPHER_REQUIRED_STOPWORDS
+                    )} AS BIGINT) AS n_req
+                  FROM t),
+            r AS (SELECT doc_id, n_words,
+                    CASE WHEN n_words > 0
+                         THEN ROUND(sum_wlen * 1.0 / n_words, 4)
+                         ELSE 0.0 END AS mean_wlen_r,
+                    CASE WHEN n_words > 0
+                         THEN ROUND((n_hash + n_ell) * 1.0 / n_words, 4)
+                         ELSE 0.0 END AS symbol_ratio_r,
+                    CASE WHEN n_lines > 0
+                         THEN ROUND(n_bullet * 1.0 / n_lines, 4)
+                         ELSE 0.0 END AS bullet_frac_r,
+                    CASE WHEN n_lines > 0
+                         THEN ROUND(n_ell_end * 1.0 / n_lines, 4)
+                         ELSE 0.0 END AS ellipsis_frac_r,
+                    CASE WHEN n_words > 0
+                         THEN ROUND(n_alpha * 1.0 / n_words, 4)
+                         ELSE 0.0 END AS alpha_frac_r,
+                    n_req AS n_req_stopwords
+                  FROM s)
+            SELECT *,
+                   (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                    AND mean_wlen_r BETWEEN {GOPHER_MIN_MEAN_WLEN}
+                                        AND {GOPHER_MAX_MEAN_WLEN}
+                    AND symbol_ratio_r < {GOPHER_MAX_SYMBOL_RATIO}
+                    AND bullet_frac_r < {GOPHER_MAX_BULLET_LINE_FRAC}
+                    AND ellipsis_frac_r < {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+                    AND alpha_frac_r >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+                    AND n_req_stopwords >= {GOPHER_MIN_REQUIRED_STOPWORDS}
+                   ) AS passes
+            FROM r
         """,
         # The decoder contract: DuckDB re-slices the SAME pixel bytes the
         # Spark side feeds the PPM parser (payload pixel section = first
