@@ -102,6 +102,62 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, maxval, pixels
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL audio decode for RIFF/WAVE PCM — pure Python, no codec libs
+    (the audio sibling of decode_ppm). Walks the RIFF chunk list (fmt /
+    data in any order, unknown chunks skipped with their declared sizes,
+    odd-sized chunks padded per the RIFF spec), validates PCM format code
+    1 with 8- or 16-bit samples, and returns (n_channels, sample_rate,
+    bits, data_bytes). Raises ValueError on a wrong magic, a malformed or
+    missing chunk, a non-PCM format, or a data section that is not a whole
+    number of frames — truncated audio fails loudly, never yields garbage
+    sample stats."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = int.from_bytes(payload[4:8], "little")
+    if declared + 8 != len(payload):
+        raise ValueError(
+            f"RIFF size {declared} inconsistent with payload of {len(payload)} bytes"
+        )
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"chunk {cid!r} truncated ({len(body)}/{size} bytes)")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too small")
+            fmt = (
+                int.from_bytes(body[0:2], "little"),   # audio format
+                int.from_bytes(body[2:4], "little"),   # channels
+                int.from_bytes(body[4:8], "little"),   # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits per sample
+            )
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size % 2)  # RIFF pads odd chunks to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if channels < 1:
+        raise ValueError("invalid channel count 0")
+    frame = channels * (bits // 8)
+    if len(data) % frame != 0:
+        raise ValueError(
+            f"data section {len(data)} bytes is not a whole number of "
+            f"{frame}-byte frames"
+        )
+    return channels, rate, bits, data
+
+
 def decode_image(payload: bytes) -> object:
     """Image decode dispatch: binary PPM decodes for real (decode_ppm);
     compressed formats (PNG/JPEG) still require PIL, absent in this
@@ -299,6 +355,92 @@ def ppm_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, PPM_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("s_sum", LongType()),
+        StructField("s_min", IntegerType()),
+        StructField("s_max", IntegerType()),
+    ]
+)
+
+
+def wav_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over mapInPandas: RIFF-parse each
+    WAV payload and emit exact integer sample stats (8-bit unsigned /
+    16-bit signed LE) — no floats in the kernel. Closure inlines the
+    parser (workers must not need this package importable);
+    tests/test_multimodal.py pins it byte-identical to decode_wav."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            if int.from_bytes(payload[4:8], "little") + 8 != len(payload):
+                raise ValueError("RIFF size inconsistent")
+            i, n = 12, len(payload)
+            fmt = None
+            data = None
+            while i + 8 <= n:
+                cid = payload[i : i + 4]
+                size = int.from_bytes(payload[i + 4 : i + 8], "little")
+                body = payload[i + 8 : i + 8 + size]
+                if len(body) != size:
+                    raise ValueError("chunk truncated")
+                if cid == b"fmt ":
+                    if size < 16:
+                        raise ValueError("fmt chunk too small")
+                    fmt = (
+                        int.from_bytes(body[0:2], "little"),
+                        int.from_bytes(body[2:4], "little"),
+                        int.from_bytes(body[4:8], "little"),
+                        int.from_bytes(body[14:16], "little"),
+                    )
+                elif cid == b"data":
+                    data = body
+                i += 8 + size + (size % 2)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt or data chunk")
+            afmt, channels, rate, bits = fmt
+            if afmt != 1 or bits not in (8, 16) or channels < 1:
+                raise ValueError("unsupported WAV encoding")
+            frame = channels * (bits // 8)
+            if len(data) % frame != 0:
+                raise ValueError("partial frame in data section")
+            if bits == 8:
+                samples = list(data)
+            else:
+                samples = [
+                    int.from_bytes(data[j : j + 2], "little", signed=True)
+                    for j in range(0, len(data), 2)
+                ]
+            return channels, rate, bits, samples
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "n_channels", "sample_rate", "bits",
+                    "n_samples", "s_sum", "s_min", "s_max")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ch, rate, bits, samples = parse(bytes(payload))
+                out["media_id"].append(media_id)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["n_samples"].append(len(samples))
+                out["s_sum"].append(sum(samples))
+                out["s_min"].append(min(samples) if samples else 0)
+                out["s_max"].append(max(samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, WAV_STATS_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_nth: int, frame_col: str = "media_id") -> DataFrame:

@@ -2420,6 +2420,59 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+WAV_N_SAMPLES = 64  # fixture clip length (8-bit mono PCM frames)
+WAV_RATE = 8000
+
+
+def _wav_header() -> bytes:
+    """Constant RIFF/WAVE header for the fixture clips (sizes are fixed
+    because every clip is exactly WAV_N_SAMPLES 8-bit mono frames)."""
+    data_size = WAV_N_SAMPLES
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + WAV_RATE.to_bytes(4, "little")   # sample rate
+        + WAV_RATE.to_bytes(4, "little")   # byte rate (rate * block align)
+        + (1).to_bytes(2, "little")        # block align
+        + (8).to_bytes(2, "little")        # bits per sample
+    )
+    riff_size = 4 + (8 + len(fmt)) + (8 + data_size)
+    return (
+        b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + data_size.to_bytes(4, "little")
+    )
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode under the DRIVER check (the WAV sibling of
+    multimodal_decode): documents become 8-bit mono PCM clips (constant
+    RIFF header + 64 samples from the printable-ASCII text bytes, built
+    JVM-side), the Arrow kernel (operators/multimodal.wav_stats) walks the
+    RIFF chunks and emits exact integer sample stats; the rounded sample
+    mean derives JVM-side. The oracle re-slices the identical bytes via
+    ord(substr(...)) — a mis-parsed chunk offset or sample anywhere in the
+    decoder turns the key red."""
+    from cassandra_data_migrator_spark.operators.multimodal import wav_stats
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+    ).filter(F.length("__s") >= WAV_N_SAMPLES)
+    payload = F.concat(
+        F.lit(_wav_header()),
+        F.col("__s").substr(1, WAV_N_SAMPLES).cast("binary"),
+    )
+    stats = wav_stats(media.select("media_id", payload.alias("payload")))
+    return stats.select(
+        "media_id", "n_channels", "sample_rate", "bits",
+        "n_samples", "s_sum", "s_min", "s_max",
+        F.round(F.col("s_sum") / F.col("n_samples"), 4).alias("s_mean_r"),
+    )
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
@@ -3907,6 +3960,7 @@ def queries() -> dict[str, QueryFn]:
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
         "gopher_rules": q_gopher_rules,
+        "multimodal_audio": q_multimodal_audio,
         "codec_duration": q_codec_duration,
         "vocab_topk": q_vocab_topk,
         "bm25_topk": q_bm25_topk,
@@ -4975,6 +5029,30 @@ def oracle_sql() -> dict[str, str]:
                     AND n_req_stopwords >= {GOPHER_MIN_REQUIRED_STOPWORDS}
                    ) AS passes
             FROM r
+        """,
+        # The audio-decoder contract: same mechanism as multimodal_decode —
+        # the data section is the first 64 sanitized chars, 1 byte/char.
+        "multimodal_audio": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            ok AS (SELECT doc_id, s FROM san
+                   WHERE LENGTH(s) >= {WAV_N_SAMPLES}),
+            b AS (SELECT doc_id,
+                         unnest(range(1, {WAV_N_SAMPLES} + 1)) AS i, s
+                  FROM ok),
+            v AS (SELECT doc_id, ord(substr(s, CAST(i AS INT), 1)) AS val
+                  FROM b)
+            SELECT doc_id AS media_id,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST({WAV_RATE} AS INT) AS sample_rate,
+                   CAST(8 AS INT) AS bits,
+                   CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+                   CAST(SUM(val) AS BIGINT) AS s_sum,
+                   CAST(MIN(val) AS INT) AS s_min,
+                   CAST(MAX(val) AS INT) AS s_max,
+                   ROUND(SUM(val) * 1.0 / {WAV_N_SAMPLES}, 4) AS s_mean_r
+            FROM v GROUP BY doc_id
         """,
         # The decoder contract: DuckDB re-slices the SAME pixel bytes the
         # Spark side feeds the PPM parser (payload pixel section = first

@@ -144,3 +144,101 @@ def test_ppm_stats_kernel_fails_loudly_on_corrupt_payload(spark):
     )
     with pytest.raises(Exception):
         ppm_stats(df).collect()
+
+
+# --- real WAV decode (the audio sibling of decode_ppm) ---
+
+
+def _wav(samples, rate=8000, bits=8, channels=1, extra_chunk=None):
+    if bits == 8:
+        data = bytes(samples)
+    else:
+        data = b"".join(
+            int(s).to_bytes(2, "little", signed=True) for s in samples
+        )
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk is not None:
+        chunks += extra_chunk
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_wav_known_clip():
+    from cassandra_data_migrator_spark.operators.multimodal import decode_wav
+
+    ch, rate, bits, data = decode_wav(_wav([0, 127, 255, 64]))
+    assert (ch, rate, bits) == (1, 8000, 8)
+    assert list(data) == [0, 127, 255, 64]
+    # 16-bit signed, unknown chunk skipped (odd size → RIFF pad honored)
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    ch, rate, bits, data = decode_wav(
+        _wav([-32768, 32767, -1], bits=16, extra_chunk=junk)
+    )
+    assert bits == 16 and len(data) == 6
+    import struct
+
+    assert list(struct.unpack("<3h", data)) == [-32768, 32767, -1]
+
+
+def test_decode_wav_rejects_malformed():
+    import pytest as _pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import decode_wav
+
+    good = _wav([1, 2, 3, 4])
+    for bad in (
+        b"",
+        b"RIFX" + good[4:],                     # wrong magic
+        good[:-1],                              # truncated data chunk
+        good + b"\x00",                         # RIFF size now inconsistent
+        good.replace(b"WAVE", b"AVI "),         # not WAVE
+        good.replace(b"fmt ", b"fmtX"),         # fmt chunk missing
+        _wav([1, 2, 3], bits=16)[:-1],          # partial 16-bit frame
+    ):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+    # non-PCM format code
+    nonpcm = bytearray(good)
+    off = good.index(b"fmt ") + 8
+    nonpcm[off:off + 2] = (3).to_bytes(2, "little")  # IEEE float
+    with _pytest.raises(ValueError, match="PCM only"):
+        decode_wav(bytes(nonpcm))
+
+
+def test_wav_stats_kernel_matches_reference(spark):
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_wav,
+        wav_stats,
+    )
+
+    payloads = [
+        _wav([0, 127, 255, 64]),
+        _wav([-5, 5, 0], bits=16),
+        _wav(list(range(200))[:100]),
+        _wav([9], extra_chunk=b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id LONG, payload BINARY"
+    )
+    got = {r.media_id: r for r in wav_stats(df).collect()}
+    import struct
+
+    for i, p in enumerate(payloads):
+        ch, rate, bits, data = decode_wav(p)
+        samples = (
+            list(data)
+            if bits == 8
+            else list(struct.unpack(f"<{len(data)//2}h", data))
+        )
+        r = got[i]
+        assert (r.n_channels, r.sample_rate, r.bits) == (ch, rate, bits)
+        assert (r.n_samples, r.s_sum, r.s_min, r.s_max) == (
+            len(samples), sum(samples), min(samples), max(samples),
+        )

@@ -317,6 +317,7 @@ ARROW_PYTHON_KEYS = {
     "bpe_token_count",  # per-word-TYPE segmentation kernel (functions/bpe.py)
     "bpe_apply_audit",  # same kernel under the fixture merge table
     "multimodal_decode",  # real PPM parse kernel (multimodal.ppm_stats)
+    "multimodal_audio",  # real WAV RIFF parse kernel (multimodal.wav_stats)
 }
 
 
