@@ -136,3 +136,43 @@ def test_compact_empty_source(spark, empty_events, tmp_path):
     k = layout.compact(spark, src, dst, target_rows=100)
     assert k == 1  # floor: one (empty) target layout, never zero
     assert spark.read.parquet(dst).count() == 0
+
+
+def test_top_k_rows_empty_and_k_exceeds_input(spark, empty_docs):
+    from cassandra_data_migrator_spark.operators.rank import top_k_rows
+
+    assert (
+        top_k_rows(
+            empty_docs.select("doc_id", "n_chars"),
+            5,
+            [F.col("n_chars").desc(), F.col("doc_id")],
+            rank_col="rnk",
+        ).count()
+        == 0
+    )
+    # k larger than the input returns every row, exactly ranked
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, v BIGINT")
+    got = sorted(
+        (r.id, r.rnk)
+        for r in top_k_rows(
+            df, 100, [F.col("v").desc(), F.col("id")], rank_col="rnk"
+        ).collect()
+    )
+    assert got == [(1, 2), (2, 1)]
+
+
+def test_ppm_and_wav_kernels_empty_input(spark):
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        ppm_stats,
+        wav_stats,
+    )
+
+    empty = spark.createDataFrame([], "media_id LONG, payload BINARY")
+    assert ppm_stats(empty).count() == 0
+    assert wav_stats(empty).count() == 0
+
+
+def test_incremental_dedup_empty_batch_and_empty_corpus(spark, sf_dir, empty_docs):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    assert dedup.incremental_jaccard_pairs(empty_docs, d, n=3, threshold=0.2).count() == 0
+    assert dedup.incremental_jaccard_pairs(d, empty_docs, n=3, threshold=0.2).count() == 0
