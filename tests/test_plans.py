@@ -283,6 +283,24 @@ def test_ttl_expiry_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p, "ttl_expiry should be a pure scan projection+filter"
 
 
+def test_gopher_rules_no_shuffle(spark, sf_dir):
+    """The Gopher rule projection is one tokenize over the scan — zero
+    shuffles, zero Python."""
+    p = _plan(spark, sf_dir, "gopher_rules", mode="simple")
+    assert "Exchange" not in p, "gopher_rules shuffles the corpus"
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_multimodal_decoders_no_shuffle(spark, sf_dir):
+    """Both real-decode keys are scan → JVM payload build → ONE Arrow
+    kernel → projection: the corpus never shuffles, and payload bytes
+    enter Python exactly once."""
+    for key in ("multimodal_decode", "multimodal_audio"):
+        p = _plan(spark, sf_dir, key, mode="simple")
+        assert "Exchange" not in p, f"{key} shuffles the corpus"
+        assert p.count("MapInPandas") == 1, f"{key} should have exactly one kernel"
+
+
 def test_rolling_hash_chunks_single_exchange(spark, sf_dir):
     """The per-doc boundary window and the chunk groupBy must REUSE one hash
     partitioning by doc — two exchanges would mean the window and the
