@@ -40,6 +40,7 @@ def diff(
     pk_cols: list[str],
     compare_cols: list[str],
     include_valid: bool = False,
+    null_safe_pk: bool = True,
 ) -> DataFrame:
     """Row-compare origin vs target → (pk..., status, mismatch_cols).
 
@@ -47,10 +48,23 @@ def diff(
     rows are not reported [upstream@6.0.1]); per-column null-safe inequality
     via eqNullSafe; mismatch_cols is a comma-joined, declaration-ordered list
     so results hash deterministically.
+
+    ``null_safe_pk``: the default joins with ``<=>``, but Spark plans
+    null-safe keys as hashpartitioning(coalesce(k, d), isnull(k)) — which
+    does NOT match a bucketBy(k) table's layout, so BOTH sides of a
+    repeated validate re-shuffle even against bucketed tables (measured:
+    2 Exchanges). Cassandra primary keys can never be null, so pass
+    ``null_safe_pk=False`` for the production repeated-validate path:
+    plain equality keys make the bucketed join co-located with ZERO
+    Exchange (pinned in tests/test_bucketing.py), and the two forms are
+    row-identical whenever the PK is non-null on both sides.
     """
     o = origin.alias("o")
     t = target.alias("t")
-    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"t.{k}")) for k in pk_cols]
+    if null_safe_pk:
+        cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"t.{k}")) for k in pk_cols]
+    else:
+        cond = [F.col(f"o.{k}") == F.col(f"t.{k}") for k in pk_cols]
     joined = o.join(t, cond, "left")
 
     target_absent = F.col(f"t.{pk_cols[0]}").isNull()

@@ -199,3 +199,61 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_db):
         .collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+@pytest.fixture(scope="module")
+def bucketed_validate_db(spark, sf_dir, tmp_path_factory):
+    """Origin + target events bucketed by the PK — the repeated-validate
+    layout SCALE.md prescribes."""
+    from cassandra_data_migrator_spark.sources.parquet import load_table as _lt
+
+    loc = tmp_path_factory.mktemp("validatedb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS validatedb LOCATION '{loc}'")
+    e = _lt(spark, sf_dir, "events")
+    tgt = e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 500 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    for name, df in (("origin_b", e), ("target_b", tgt)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "event_id")
+            .sortBy("event_id")
+            .format("parquet")
+            .saveAsTable(f"validatedb.{name}")
+        )
+    yield "validatedb"
+    spark.sql("DROP DATABASE IF EXISTS validatedb CASCADE")
+
+
+def test_repeated_validate_bucketed_zero_exchange(spark, sf_dir, bucketed_validate_db):
+    """SCALE.md's 'bucketed target tables for repeated validate runs kill
+    the diff shuffle', demonstrated — and the trap that defeats it pinned.
+    The default null-safe PK join plans hashpartitioning(coalesce(k,d),
+    isnull(k)) which does NOT match bucketBy(k), so both sides re-shuffle
+    (measured 2 Exchanges). With null_safe_pk=False (Cassandra PKs are
+    never null) the diff is fully co-located: ZERO Exchanges, identical
+    results."""
+    from cassandra_data_migrator_spark.operators import validation
+
+    o = spark.table(f"{bucketed_validate_db}.origin_b")
+    t = spark.table(f"{bucketed_validate_db}.target_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast = validation.diff(o, t, ["event_id"], ["value", "event_type"],
+                               null_safe_pk=False)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed diff still shuffles:\n{plan[:1500]}"
+        assert plan.count("Bucketed: true") == 2
+        # the default null-safe form DOES shuffle — the documented trap
+        safe = validation.diff(o, t, ["event_id"], ["value", "event_type"])
+        safe_plan = safe._jdf.queryExecution().executedPlan().toString()
+        assert safe_plan.count("Exchange hashpartitioning") == 2
+        got = sorted((r.event_id, r.status) for r in fast.collect())
+        want = sorted((r.event_id, r.status) for r in safe.collect())
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
