@@ -397,3 +397,41 @@ def test_decode_ppm_roundtrip_any_pixels(w, h, extra, sep, comment):
             decode_ppm(payload[:-1])
     with _pytest.raises(ValueError):
         decode_ppm(payload + b"\x00")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64),
+    st.sampled_from([8, 16]),
+    st.integers(min_value=1, max_value=192_000),
+    st.booleans(),
+)
+def test_decode_wav_roundtrip_random_clips(samples, bits, rate, junk_chunk):
+    """decode_wav: any PCM clip (either bit depth, any sample rate, with or
+    without an odd-sized unknown chunk before data) round-trips exactly,
+    and truncating the data section by one byte is always rejected."""
+    import pytest as _pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import decode_wav
+
+    if bits == 8:
+        samples = [s & 0xFF for s in samples]
+        data = bytes(samples)
+    else:
+        data = b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * bits // 8).to_bytes(4, "little")
+        + (bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if junk_chunk:
+        chunks += b"JUNK" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    payload = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    ch, got_rate, got_bits, got_data = decode_wav(payload)
+    assert (ch, got_rate, got_bits, got_data) == (1, rate, bits, data)
+    if data:
+        with _pytest.raises(ValueError):
+            decode_wav(payload[:-1])
