@@ -62,6 +62,11 @@ KNOWN_KEYS: dict[str, tuple[type, Any]] = {
     "spark.cdm.autocorrect.missing": (bool, False),
     "spark.cdm.autocorrect.mismatch": (bool, False),
     "spark.cdm.autocorrect.missing.counter": (bool, False),
+    # PK join null-safety. Default mirrors diff()'s null-safe <=>; set
+    # false for the bucketed repeated-validate path (Cassandra PKs can
+    # never be null, and null-safe keys defeat bucket co-location — see
+    # operators/validation.py diff docstring / tests/test_bucketing.py).
+    "spark.cdm.validate.nullSafePk": (bool, True),
     # guardrail
     "spark.cdm.feature.guardrail.colSizeInKB": (int, 0),
     # perfops. Rate limits: CDM's limiter is always-on (20k/40k defaults)

@@ -59,6 +59,8 @@ def diff(
     Exchange (pinned in tests/test_bucketing.py), and the two forms are
     row-identical whenever the PK is non-null on both sides.
     """
+    if not pk_cols:
+        raise ValueError("diff requires at least one PK column")
     o = origin.alias("o")
     t = target.alias("t")
     if null_safe_pk:

@@ -151,8 +151,15 @@ def run_validate(
     autocorrect payloads."""
     piped = build_feature_pipeline(origin, cfg)
     pk = cfg.pk_columns()
+    if not pk:
+        raise ValueError(
+            "validate requires spark.cdm.schema.pk (comma-separated PK columns)"
+        )
     compare = [c for c in piped.columns if c not in pk and not c.startswith("__")]
-    report = validation.diff(piped, target, pk, compare)
+    report = validation.diff(
+        piped, target, pk, compare,
+        null_safe_pk=cfg.get("spark.cdm.validate.nullSafePk"),
+    )
     return JobResult("validate", report)
 
 

@@ -239,3 +239,42 @@ def test_contract_key_consistency():
         f"undeclared rows-only keys: {rows_only - set(ROWS_ONLY_KEYS)}; "
         f"declared-but-oracled: {set(ROWS_ONLY_KEYS) - rows_only}"
     )
+
+
+def test_validate_without_pk_config_aborts_clearly(spark, sf_dir):
+    """A validate run with no spark.cdm.schema.pk must abort naming the
+    missing key — the bare IndexError it used to raise is exactly the
+    unhelpful failure a config-driven tool must never emit."""
+    import pytest as _pytest
+
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.plans.migrate import run_job
+    from cassandra_data_migrator_spark.sources.parquet import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError, match="spark.cdm.schema.pk"):
+        run_job(spark, "validate", o, MigrationConfig({}), target=o)
+
+
+def test_validate_null_safe_pk_knob_changes_join_keys(spark, sf_dir):
+    """spark.cdm.validate.nullSafePk=false must reach the diff join: the
+    plan's join keys switch from coalesce/isnull wrappers to plain PKs
+    (the bucket-compatible form), and the report is identical on non-null
+    PKs."""
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.plans.migrate import run_job
+    from cassandra_data_migrator_spark.sources.parquet import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    base = {"spark.cdm.schema.pk": "o_orderkey"}
+    safe = run_job(spark, "validate", o, MigrationConfig(dict(base)), target=o)
+    fast = run_job(
+        spark, "validate", o,
+        MigrationConfig(dict(base, **{"spark.cdm.validate.nullSafePk": False})),
+        target=o,
+    )
+    fast_plan = fast.output._jdf.queryExecution().executedPlan().toString()
+    safe_plan = safe.output._jdf.queryExecution().executedPlan().toString()
+    assert "coalesce(o_orderkey" in safe_plan
+    assert "coalesce(o_orderkey" not in fast_plan
+    assert safe.output.count() == fast.output.count() == 0  # self-diff is clean
