@@ -35,14 +35,17 @@ class LoggingConfigError(RuntimeError):
     pass
 
 
-def _resolve_value(raw: str) -> str:
+def _resolve_value(raw: str, env: dict[str, str]) -> str:
+    # indirection resolves against the SAME environment mapping the caller
+    # supplied, never live os.environ — an injected env (tests, config
+    # replay) must be self-contained
     if raw.startswith("env:"):
         name = raw[4:]
-        if name not in os.environ:
+        if name not in env:
             raise LoggingConfigError(
                 f"logging value indirection {raw!r}: ${name} is not set"
             )
-        return os.environ[name]
+        return env[name]
     return raw
 
 
@@ -58,12 +61,14 @@ def configure_logging_from_env(
         if not var.startswith(LOGGING_ENV_PREFIX):
             continue
         conf_key = var[len(LOGGING_ENV_PREFIX):].lower().replace("_", ".")
-        if not conf_key.endswith(".level") and conf_key != "log.level":
+        # "log.level" itself ends with ".level", so one check covers both
+        # the package-logger shorthand and dotted logger paths
+        if not conf_key.endswith(".level"):
             raise LoggingConfigError(
                 f"Unable to map logging property {conf_key!r} "
                 "(expected <logger.path>.level or log.level)"
             )
-        value = _resolve_value(raw).upper()
+        value = _resolve_value(raw, env).upper()
         if value not in _LEVELS:
             raise LoggingConfigError(
                 f"invalid log level {value!r} for {conf_key!r}"

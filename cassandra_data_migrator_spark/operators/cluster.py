@@ -230,13 +230,25 @@ def lloyd_kmeans(
             # DECIMAL sums: double addition is order-dependent across
             # partitions, which would make the trained centroids (and every
             # downstream IVF bucket assignment) vary run-to-run; a 15-digit
-            # fixed-point sum is exact and order-independent.
+            # fixed-point sum is exact and order-independent. The cast is
+            # non-ANSI (NaN/Inf/overflow → NULL), which would SILENTLY skew
+            # the mean while count still counts the row — so non-castable
+            # components are counted explicitly and raised loudly.
             .agg(
                 F.sum(F.col("x").cast("decimal(30,15)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("x").cast("decimal(30,15)").isNull(), 1).otherwise(0)
+                ).alias("n_bad"),
             )
         )
         rows = sums.collect()  # exactly ≤ k·dim rows — bounded weight sync
+        bad = sum(r["n_bad"] for r in rows)
+        if bad:
+            raise ValueError(
+                f"k-means input contains {bad} non-finite/overflow vector "
+                "component(s) — clean or clip embeddings before training"
+            )
         new = [list(c) for c in centroids]
         for r in rows:
             new[r["cluster"]][r["pos"]] = float(r["s"]) / r["n"]

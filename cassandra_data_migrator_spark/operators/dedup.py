@@ -187,6 +187,17 @@ def incremental_jaccard_pairs(
     Output (batch_id, corpus_id, jaccard >= threshold), jaccard rounded to
     4dp before the threshold compare (oracle-identical, like
     ngram_jaccard_pairs)."""
+    if corpus is None and corpus_index is None:
+        raise ValueError(
+            "incremental_jaccard_pairs needs either corpus (derive in-run) "
+            "or corpus_index (standing bucketed artifact)"
+        )
+    if corpus_sizes is not None and corpus_index is None:
+        raise ValueError(
+            "corpus_sizes without corpus_index mixes a raw-corpus-derived "
+            "index with external sizes — pass both standing artifacts or "
+            "neither"
+        )
     bi = shingle_index(batch, text_col, id_col, n)
     ci = (
         corpus_index

@@ -78,12 +78,12 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         j = i
         while j < n and not payload[j : j + 1].isspace():
             j += 1
-        if j == i:
-            raise ValueError("malformed PPM header (missing field)")
-        try:
-            fields.append(int(payload[i:j]))
-        except ValueError as exc:
-            raise ValueError(f"malformed PPM header field {payload[i:j]!r}") from exc
+        # strict ASCII digits only: Python's int() accepts '+2'/'1_2'
+        # forms no NetPBM writer emits — a corrupted header byte must
+        # fail, not parse (bytes.isdigit is exactly [0-9]+)
+        if j == i or not payload[i:j].isdigit():
+            raise ValueError(f"malformed PPM header field {payload[i:j]!r}")
+        fields.append(int(payload[i:j]))
         i = j
     # exactly ONE whitespace byte separates maxval from pixel data
     if i >= n or not payload[i : i + 1].isspace():
@@ -140,6 +140,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         elif cid == b"data":
             data = body
         i += 8 + size + (size % 2)  # RIFF pads odd chunks to even offsets
+    if i < n:
+        # 1-7 stray bytes after the last chunk: a truncated chunk header,
+        # not valid RIFF — reject, never silently ignore
+        raise ValueError(f"{n - i} trailing byte(s) after the last RIFF chunk")
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, rate, bits = fmt
@@ -318,8 +322,8 @@ def ppm_stats(df: DataFrame) -> DataFrame:
                 j = i
                 while j < n and not payload[j : j + 1].isspace():
                     j += 1
-                if j == i:
-                    raise ValueError("malformed PPM header (missing field)")
+                if j == i or not payload[i:j].isdigit():
+                    raise ValueError("malformed PPM header field")
                 fields.append(int(payload[i:j]))
                 i = j
             if i >= n or not payload[i : i + 1].isspace():
@@ -407,6 +411,8 @@ def wav_stats(df: DataFrame) -> DataFrame:
                 elif cid == b"data":
                     data = body
                 i += 8 + size + (size % 2)
+            if i < n:
+                raise ValueError("trailing bytes after the last RIFF chunk")
             if fmt is None or data is None:
                 raise ValueError("missing fmt or data chunk")
             afmt, channels, rate, bits = fmt

@@ -425,16 +425,22 @@ _NGRAM_PAIRS_CACHE: dict = {}
 def _ngram_pairs(spark, sf_dir, threshold=NGRAM_THRESHOLD):
     key = (spark.sparkContext.applicationId, sf_dir, threshold)
     if key not in _NGRAM_PAIRS_CACHE:
+        import atexit
         import hashlib
         import os
+        import shutil
         import tempfile
 
         digest = hashlib.md5(f"{sf_dir}|{threshold}".encode()).hexdigest()[:12]
-        path = os.path.join(
+        session_dir = os.path.join(
             tempfile.gettempdir(),
             f"cdm_shared_{spark.sparkContext.applicationId}",
-            f"ngram_pairs_{digest}",
         )
+        if not os.path.isdir(session_dir):
+            # one best-effort cleanup hook per session dir — without it,
+            # every application leaks its edge-list parquet into /tmp
+            atexit.register(shutil.rmtree, session_dir, ignore_errors=True)
+        path = os.path.join(session_dir, f"ngram_pairs_{digest}")
         (
             dedup.ngram_jaccard_pairs(
                 _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=threshold
@@ -1905,12 +1911,18 @@ def q_kmeans_clusters(spark, sf_dir):
     corpus is never shuffled for assignment (literal-centroid argmin in the
     scan projection); each iteration's update is one k·dim partial-agg
     shuffle + bounded k·dim driver sync — see operators/cluster.py.
-    Iterative (non-SQL-expressible) → rows-only checked."""
-    from cassandra_data_migrator_spark.operators.cluster import cluster_profile, lloyd_kmeans
+    Iterative (non-SQL-expressible) → rows-only checked. Centroids come
+    from the SAME session-shared trainer memo the IVF keys use
+    (_ivf_centroids — identical params, deterministic trainer), so one
+    session trains once; this key runs only the final assignment pass."""
+    from cassandra_data_migrator_spark.operators.cluster import (
+        assign_clusters_arrow,
+        cluster_profile,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, _ = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
-    return cluster_profile(assigned)
+    cents = [c for _, c in _ivf_centroids(spark, sf_dir)]
+    return cluster_profile(assign_clusters_arrow(emb, cents, "embedding"))
 
 
 # ---------------------------------------------------------------------------

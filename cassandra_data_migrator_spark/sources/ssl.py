@@ -79,10 +79,32 @@ def keytool_import_args(props: dict[str, str]) -> list[str]:
     ]
 
 
+def _alias_present(props: dict[str, str]) -> bool:
+    """True when the alias already exists in the target truststore —
+    keytool -import is NOT idempotent ('alias already exists' is a hard
+    failure), and the import loop runs on every job launch, so a
+    persistent truststore must be probed first."""
+    if not os.path.exists(props["keystore"]):
+        return False
+    proc = subprocess.run(
+        [
+            "keytool", "-list",
+            "-alias", props["alias"],
+            "-keystore", props["keystore"],
+            "-storepass", props["storepass"],
+        ],
+        capture_output=True,
+        text=True,
+    )
+    return proc.returncode == 0
+
+
 def import_ssl_certificates(settings_path: str | None = None) -> list[str]:
     """Import every configured certificate into its truststore; returns the
-    list of imported aliases. ``settings_path=None`` reads the reference's
-    env var; unset/empty → no-op (empty list), set-but-missing → error."""
+    list of newly imported aliases (already-present aliases are skipped, so
+    the per-job-launch hook is idempotent against a persistent truststore).
+    ``settings_path=None`` reads the reference's env var; unset/empty →
+    no-op (empty list), set-but-missing → error."""
     if settings_path is None:
         settings_path = os.environ.get(SSL_SETTINGS_ENV, "")
     if not settings_path:
@@ -90,6 +112,8 @@ def import_ssl_certificates(settings_path: str | None = None) -> list[str]:
     settings = load_ssl_store_settings(settings_path)
     imported: list[str] = []
     for name, props in settings.items():
+        if _alias_present(props):
+            continue
         proc = subprocess.run(
             keytool_import_args(props), capture_output=True, text=True
         )

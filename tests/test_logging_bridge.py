@@ -32,9 +32,16 @@ def test_dotted_logger_key_translation_and_aliases():
 
 
 def test_env_indirection(monkeypatch):
-    monkeypatch.setenv("MY_LEVEL", "ERROR")
-    applied = configure_logging_from_env({"CDM_LOGGING_Y_LEVEL": "env:MY_LEVEL"})
+    # indirection resolves against the SAME mapping that carries the
+    # CDM_LOGGING_* entries — an injected env must be self-contained
+    applied = configure_logging_from_env(
+        {"CDM_LOGGING_Y_LEVEL": "env:MY_LEVEL", "MY_LEVEL": "ERROR"}
+    )
     assert applied == {"y": "ERROR"}
+    # default (no arg) reads live os.environ, the production path
+    monkeypatch.setenv("CDM_LOGGING_Y_LEVEL", "env:MY_LEVEL")
+    monkeypatch.setenv("MY_LEVEL", "WARN")
+    assert configure_logging_from_env() == {"y": "WARNING"}
     with pytest.raises(LoggingConfigError, match="is not set"):
         configure_logging_from_env({"CDM_LOGGING_Y_LEVEL": "env:UNSET_VAR_XYZ"})
 

@@ -242,3 +242,50 @@ def test_wav_stats_kernel_matches_reference(spark):
         assert (r.n_samples, r.s_sum, r.s_min, r.s_max) == (
             len(samples), sum(samples), min(samples), max(samples),
         )
+
+
+def test_decode_wav_rejects_trailing_bytes_and_plus_headers():
+    """Round-6 review fixes: stray bytes after the last RIFF chunk (a
+    truncated chunk header the old loop silently ignored) must raise, and
+    PPM header fields must be strict ASCII digits (int() accepts '+2')."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    good = _wav([1, 2, 3, 4])
+    stray = good + b"\x00\x01\x02"
+    # keep the declared RIFF size consistent so ONLY the tail check fires
+    stray = (
+        stray[:4]
+        + (len(stray) - 8).to_bytes(4, "little")
+        + stray[8:]
+    )
+    with pytest.raises(ValueError, match="trailing byte"):
+        decode_wav(stray)
+    for bad in (b"P6\n+2 1\n255\n" + bytes(6), b"P6\n2 1\n2_55\n" + bytes(6)):
+        with pytest.raises(ValueError, match="malformed PPM header field"):
+            decode_ppm(bad)
+
+
+def test_lloyd_kmeans_rejects_non_finite_components(spark):
+    """The DECIMAL centroid cast nulls NaN/Inf (non-ANSI), which would
+    silently skew the mean — the trainer must fail loudly instead."""
+    from cassandra_data_migrator_spark.operators.cluster import lloyd_kmeans
+
+    rows = [(0, [1.0, 2.0]), (1, [float("nan"), 3.0]), (2, [4.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="non-finite"):
+        lloyd_kmeans(df, "embedding", "vec_id", k=2, iters=1)
+
+
+def test_incremental_dedup_argument_validation(spark):
+    from cassandra_data_migrator_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+    )
+
+    d = spark.createDataFrame([(1, "a b c d")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="either corpus"):
+        incremental_jaccard_pairs(d, None)
+    with pytest.raises(ValueError, match="both standing artifacts"):
+        incremental_jaccard_pairs(d, d, corpus_sizes=d)

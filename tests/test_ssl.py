@@ -126,3 +126,23 @@ def test_import_failure_surfaces_keytool_error(tmp_path):
         json.dump(settings, fh)
     with pytest.raises(SslSettingsError, match="keytool import failed"):
         import_ssl_certificates(p)
+
+
+def test_import_loop_is_idempotent(tmp_path):
+    """The hook runs on EVERY job launch: a second run against the same
+    persistent truststore must skip already-present aliases (keytool
+    -import itself hard-fails on 'alias already exists')."""
+    cer = _make_cert(tmp_path, "node-x")
+    trust = str(tmp_path / "trust.jks")
+    p = str(tmp_path / "ssl.json")
+    with open(p, "w") as fh:
+        json.dump({"origin": {"alias": "node-x", "file": cer,
+                              "keystore": trust, "storepass": "trustpw"}}, fh)
+    assert import_ssl_certificates(p) == ["node-x"]
+    # second launch: no error, nothing newly imported
+    assert import_ssl_certificates(p) == []
+    listed = subprocess.run(
+        ["keytool", "-list", "-keystore", trust, "-storepass", "trustpw"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    assert listed.count("node-x") == 1
