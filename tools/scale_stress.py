@@ -46,6 +46,8 @@ def main() -> None:
         semdedup_pruned_ids,
     )
     from cassandra_data_migrator_spark.operators.graph import pagerank_pairs
+    from cassandra_data_migrator_spark.operators.rank import top_k_rows
+    from cassandra_data_migrator_spark.functions.text import tokens
     from cassandra_data_migrator_spark.functions.vectors import as_double_array
     from cassandra_data_migrator_spark.session import get_spark
     from cassandra_data_migrator_spark.sources.parquet import load_table
@@ -116,8 +118,28 @@ def main() -> None:
             )
             noop(semdedup_pruned_ids(assigned, 0.3))
 
+        def run_vocab_topk() -> None:
+            # the round-6 two-phase rewrite of the r05 perf-weak family
+            # (queries.q_vocab_topk): tokenize -> vocab agg -> distributed
+            # top-k. The clone-union stress scales the EXPLODE 10x while the
+            # distinct vocab stays fixed, so this measures exactly the part
+            # that grows with corpus size.
+            counts = (
+                docs.select(F.explode(tokens("text")).alias("word"))
+                .groupBy("word")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .filter(F.col("cnt") >= 5)
+            )
+            noop(
+                top_k_rows(
+                    counts, 1000, [F.col("cnt").desc(), F.col("word")],
+                    rank_col="__rnk",
+                )
+            )
+
         cases = {
             "dedup_exact": lambda: noop(dedup.dedup_exact(docs)),
+            "vocab_topk": run_vocab_topk,
             "ngram_jaccard_pairs": lambda: noop(
                 dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
             ),
