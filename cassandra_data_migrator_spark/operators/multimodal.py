@@ -3,10 +3,12 @@ opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas functions over ``mapInPandas``.
 
 The Spark-side machinery here is real and tested: schemas, batch iteration,
-partition-preserving transforms. Binary PPM (P6) decodes FOR REAL — a pure
-Python parser (decode_ppm / ppm_stats), no codec libs, oracled end-to-end
-by the multimodal_decode key. Compressed-codec work (PIL/ffmpeg/torchaudio)
-is NOT in this container, so those paths remain stubbed behind
+partition-preserving transforms. Binary PPM (P6) images, RIFF/WAVE PCM
+audio, and YUV4MPEG2 mono video decode FOR REAL — pure Python parsers
+(decode_ppm / decode_wav / decode_y4m and their Arrow kernels), no codec
+libs, each oracled end-to-end by its multimodal_* key. Compressed-codec
+work (PIL/ffmpeg/torchaudio) is NOT in this container, so those paths
+remain stubbed behind
 ``NotImplementedError`` with a deterministic fake used by tests — swapping
 in a real decoder changes one function, not the pipeline.
 
@@ -160,6 +162,72 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
             f"{frame}-byte frames"
         )
     return channels, rate, bits, data
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL video decode for YUV4MPEG2 (Y4M) mono streams — pure Python,
+    no codec libs (the video sibling of decode_ppm/decode_wav, closing the
+    image/audio/video triple with real container bytes). Parses the stream
+    header (magic, space-separated parameters, newline-terminated; W and H
+    required, F/I/A/X tolerated and irrelevant to the byte layout), then
+    walks the FRAME list: each frame is the literal ``FRAME``, optional
+    parameters up to a newline, then exactly width*height luma bytes
+    (``Cmono`` / 4:0:0 — one byte per pixel keeps the arithmetic exact in
+    pure Python; the Y4M default 420 and every other colorspace are
+    rejected as unsupported, never mis-sliced). Returns
+    ``(width, height, n_frames, planes)`` with ``planes`` = the
+    concatenated frame bytes. Raises ValueError on a wrong magic, a
+    missing or malformed W/H, a non-mono colorspace, a malformed FRAME
+    marker, a truncated frame, or a stream with no frames — truncated
+    video fails loudly, never yields garbage stats."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated stream header")
+    width = height = None
+    colorspace = b"420"  # the Y4M default when no C parameter is present
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            # strict ASCII digits only (int() accepts '+2'/'1_2' forms no
+            # Y4M writer emits — a corrupted header byte must fail)
+            if not val.isdigit():
+                raise ValueError(f"malformed Y4M width {tok!r}")
+            width = int(val)
+        elif tag == b"H":
+            if not val.isdigit():
+                raise ValueError(f"malformed Y4M height {tok!r}")
+            height = int(val)
+        elif tag == b"C":
+            colorspace = val
+    if not width or not height:
+        raise ValueError("Y4M stream header missing W or H")
+    if colorspace != b"mono":
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r} (mono only)")
+    frame_bytes = width * height
+    i, n = nl + 1, len(payload)
+    planes: list[bytes] = []
+    while i < n:
+        if payload[i : i + 5] != b"FRAME" or payload[i + 5 : i + 6] not in (b"\n", b" "):
+            raise ValueError(
+                f"malformed FRAME marker before frame {len(planes)}"
+            )
+        fnl = payload.find(b"\n", i + 5)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        body = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError(
+                f"frame {len(planes)} truncated ({len(body)}/{frame_bytes} bytes)"
+            )
+        planes.append(body)
+        i = fnl + 1 + frame_bytes
+    if not planes:
+        raise ValueError("Y4M stream contains no frames")
+    return width, height, len(planes), b"".join(planes)
 
 
 def decode_image(payload: bytes) -> object:
@@ -447,6 +515,105 @@ def wav_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, WAV_STATS_SCHEMA)
+
+
+Y4M_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+        StructField("samp_frames", IntegerType()),
+        StructField("samp_sum", LongType()),
+    ]
+)
+
+
+def y4m_stats(df: DataFrame, sample_every: int = 2) -> DataFrame:
+    """Arrow-batched REAL video decode over mapInPandas: parse each Y4M
+    mono payload and emit exact integer pixel stats over ALL frames plus
+    the every-``sample_every``-th-frame subset — in-payload frame
+    sampling, the semantics ``sample_frames`` (a row-level index filter)
+    cannot express because the frames live INSIDE one binary payload.
+    No floats in the kernel; closure inlines the parser (workers must not
+    need this package importable); tests/test_multimodal.py pins it
+    byte-identical to decode_y4m."""
+    if sample_every < 1:
+        raise ValueError("sample_every must be >= 1")
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if not payload.startswith(b"YUV4MPEG2"):
+                raise ValueError("not a YUV4MPEG2 stream")
+            nl = payload.find(b"\n")
+            if nl < 0:
+                raise ValueError("unterminated stream header")
+            width = height = None
+            colorspace = b"420"
+            for tok in payload[9:nl].split(b" "):
+                if not tok:
+                    continue
+                tag, val = tok[:1], tok[1:]
+                if tag == b"W":
+                    if not val.isdigit():
+                        raise ValueError("malformed Y4M width")
+                    width = int(val)
+                elif tag == b"H":
+                    if not val.isdigit():
+                        raise ValueError("malformed Y4M height")
+                    height = int(val)
+                elif tag == b"C":
+                    colorspace = val
+            if not width or not height:
+                raise ValueError("Y4M stream header missing W or H")
+            if colorspace != b"mono":
+                raise ValueError("unsupported Y4M colorspace (mono only)")
+            frame_bytes = width * height
+            i, n = nl + 1, len(payload)
+            frames: list[bytes] = []
+            while i < n:
+                if payload[i : i + 5] != b"FRAME" or payload[i + 5 : i + 6] not in (
+                    b"\n",
+                    b" ",
+                ):
+                    raise ValueError("malformed FRAME marker")
+                fnl = payload.find(b"\n", i + 5)
+                if fnl < 0:
+                    raise ValueError("unterminated FRAME header")
+                body = payload[fnl + 1 : fnl + 1 + frame_bytes]
+                if len(body) != frame_bytes:
+                    raise ValueError("truncated frame")
+                frames.append(body)
+                i = fnl + 1 + frame_bytes
+            if not frames:
+                raise ValueError("Y4M stream contains no frames")
+            return width, height, frames
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "n_frames",
+                    "px_sum", "px_min", "px_max", "samp_frames", "samp_sum")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = parse(bytes(payload))
+                allpix = b"".join(frames)
+                sampled = frames[::sample_every]
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["px_sum"].append(sum(allpix))
+                out["px_min"].append(min(allpix))
+                out["px_max"].append(max(allpix))
+                out["samp_frames"].append(len(sampled))
+                out["samp_sum"].append(sum(b"".join(sampled)))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, Y4M_STATS_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_nth: int, frame_col: str = "media_id") -> DataFrame:

@@ -2485,6 +2485,65 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+Y4M_W = 4
+Y4M_H = 4
+Y4M_FRAMES = 4  # fixture clip length (mono 4x4 luma frames)
+Y4M_SAMPLE_EVERY = 2
+Y4M_FRAME_BYTES = Y4M_W * Y4M_H
+Y4M_SAMP_FRAMES = len(range(0, Y4M_FRAMES, Y4M_SAMPLE_EVERY))
+
+
+def _y4m_header() -> bytes:
+    """Constant YUV4MPEG2 stream header for the fixture clips (mono /
+    4:0:0 — one byte per pixel keeps every stat exact-integer)."""
+    return f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 Cmono\n".encode()
+
+
+def q_multimodal_video(spark, sf_dir):
+    """REAL video decode under the DRIVER check (the Y4M sibling of
+    multimodal_decode/multimodal_audio — image, audio, AND video now parse
+    real container bytes): documents become 4-frame 4x4 mono YUV4MPEG2
+    clips (constant stream header + four FRAME-marker/luma-plane sections
+    from the printable-ASCII text bytes, built JVM-side); the Arrow kernel
+    (operators/multimodal.y4m_stats) walks the container and emits exact
+    integer pixel stats over ALL frames plus the every-2nd-frame sampled
+    subset — IN-PAYLOAD frame sampling, which the row-level
+    sample_frames() index filter cannot express. Means derive JVM-side
+    from the kernel's decoded counts. The oracle re-slices the identical
+    bytes via ord(substr(...)) with each char's frame index recomputed
+    from its position, so a mis-parsed marker or plane offset anywhere in
+    the decoder turns the key red."""
+    from cassandra_data_migrator_spark.operators.multimodal import y4m_stats
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    total = Y4M_FRAMES * Y4M_FRAME_BYTES
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+    ).filter(F.length("__s") >= total)
+    parts = [F.lit(_y4m_header())]
+    for f in range(Y4M_FRAMES):
+        parts.append(F.lit(b"FRAME\n"))
+        parts.append(
+            F.col("__s").substr(f * Y4M_FRAME_BYTES + 1, Y4M_FRAME_BYTES).cast("binary")
+        )
+    payload = F.concat(*parts)
+    stats = y4m_stats(
+        media.select("media_id", payload.alias("payload")),
+        sample_every=Y4M_SAMPLE_EVERY,
+    )
+    n_all = F.col("n_frames") * F.col("width") * F.col("height")
+    n_samp = F.col("samp_frames") * F.col("width") * F.col("height")
+    return stats.select(
+        "media_id", "width", "height", "n_frames",
+        "px_sum", "px_min", "px_max",
+        F.round(F.col("px_sum") / n_all, 4).alias("px_mean_r"),
+        "samp_frames", "samp_sum",
+        F.round(F.col("samp_sum") / n_samp, 4).alias("samp_mean_r"),
+    )
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
@@ -3969,6 +4028,7 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r06 window head: new or behavior-changed this round ---
+        "multimodal_video": q_multimodal_video,
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
         "gopher_rules": q_gopher_rules,
@@ -5064,6 +5124,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(val) AS INT) AS s_min,
                    CAST(MAX(val) AS INT) AS s_max,
                    ROUND(SUM(val) * 1.0 / {WAV_N_SAMPLES}, 4) AS s_mean_r
+            FROM v GROUP BY doc_id
+        """,
+        # The video-decoder contract: same mechanism again — the four luma
+        # planes are the first 64 sanitized chars, 1 byte/char, and each
+        # char's frame index is its position // 16.
+        "multimodal_video": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            ok AS (SELECT doc_id, s FROM san
+                   WHERE LENGTH(s) >= {Y4M_FRAMES * Y4M_FRAME_BYTES}),
+            b AS (SELECT doc_id,
+                         unnest(range(1, {Y4M_FRAMES * Y4M_FRAME_BYTES} + 1)) AS i, s
+                  FROM ok),
+            v AS (SELECT doc_id,
+                         CAST((i - 1) // {Y4M_FRAME_BYTES} AS INT) AS f,
+                         ord(substr(s, CAST(i AS INT), 1)) AS val
+                  FROM b)
+            SELECT doc_id AS media_id,
+                   CAST({Y4M_W} AS INT) AS width,
+                   CAST({Y4M_H} AS INT) AS height,
+                   CAST({Y4M_FRAMES} AS INT) AS n_frames,
+                   CAST(SUM(val) AS BIGINT) AS px_sum,
+                   CAST(MIN(val) AS INT) AS px_min,
+                   CAST(MAX(val) AS INT) AS px_max,
+                   ROUND(SUM(val) * 1.0 / {Y4M_FRAMES * Y4M_FRAME_BYTES}, 4)
+                       AS px_mean_r,
+                   CAST({Y4M_SAMP_FRAMES} AS INT) AS samp_frames,
+                   CAST(SUM(CASE WHEN f % {Y4M_SAMPLE_EVERY} = 0
+                                 THEN val ELSE 0 END) AS BIGINT) AS samp_sum,
+                   ROUND(SUM(CASE WHEN f % {Y4M_SAMPLE_EVERY} = 0
+                                  THEN val ELSE 0 END) * 1.0
+                         / {Y4M_SAMP_FRAMES * Y4M_FRAME_BYTES}, 4) AS samp_mean_r
             FROM v GROUP BY doc_id
         """,
         # The decoder contract: DuckDB re-slices the SAME pixel bytes the

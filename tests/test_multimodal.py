@@ -289,3 +289,94 @@ def test_incremental_dedup_argument_validation(spark):
         incremental_jaccard_pairs(d, None)
     with pytest.raises(ValueError, match="both standing artifacts"):
         incremental_jaccard_pairs(d, d, corpus_sizes=d)
+
+
+def _y4m(frames, w=2, h=2, header_extra=" F25:1 Ip A1:1", cspace=" Cmono",
+         frame_params=""):
+    head = f"YUV4MPEG2 W{w} H{h}{header_extra}{cspace}\n".encode()
+    body = b"".join(
+        b"FRAME" + frame_params.encode() + b"\n" + bytes(f) for f in frames
+    )
+    return head + body
+
+
+def test_decode_y4m_known_clip():
+    from cassandra_data_migrator_spark.operators.multimodal import decode_y4m
+
+    f0, f1 = [0, 127, 255, 64], [1, 2, 3, 4]
+    w, h, n, planes = decode_y4m(_y4m([f0, f1]))
+    assert (w, h, n) == (2, 2, 2)
+    assert list(planes) == f0 + f1
+    # FRAME parameters after the marker are legal and skipped
+    w, h, n, planes = decode_y4m(_y4m([f0], frame_params=" Xmeta=1"))
+    assert (n, list(planes)) == (1, f0)
+    # unknown stream-header params tolerated, order-independent
+    w, h, n, _ = decode_y4m(_y4m([f0], header_extra=" Xsome=thing F30:1"))
+    assert (w, h, n) == (2, 2, 1)
+
+
+def test_decode_y4m_rejects_malformed():
+    from cassandra_data_migrator_spark.operators.multimodal import decode_y4m
+
+    good = _y4m([[1, 2, 3, 4]])
+    for bad, msg in (
+        (b"", "not a YUV4MPEG2"),
+        (b"YUV4MPEG1" + good[9:], "not a YUV4MPEG2"),
+        (good.replace(b" W2", b""), "missing W or H"),
+        (good.replace(b" H2", b""), "missing W or H"),
+        (good.replace(b" W2", b" W+2"), "malformed Y4M width"),
+        (good.replace(b" Cmono", b""), "unsupported Y4M colorspace"),
+        (good.replace(b" Cmono", b" C420"), "unsupported Y4M colorspace"),
+        (good[:-1], "truncated"),
+        (good + b"\x00", "malformed FRAME marker"),
+        (good.replace(b"FRAME\n", b"FRAMX\n"), "malformed FRAME marker"),
+        (good.replace(b"FRAME\n", b"FRAMES\n"), "malformed FRAME marker"),
+        (_y4m([]), "no frames"),
+        (b"YUV4MPEG2 W2 H2 Cmono", "unterminated stream header"),
+        # bare 'FRAME' at EOF hits the marker check (no separator byte);
+        # 'FRAME ' with params but no newline hits the unterminated branch
+        (b"YUV4MPEG2 W2 H2 Cmono\nFRAME", "malformed FRAME marker"),
+        (b"YUV4MPEG2 W2 H2 Cmono\nFRAME Xt=0", "unterminated FRAME header"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            decode_y4m(bad)
+
+
+def test_y4m_stats_kernel_matches_reference(spark):
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_y4m,
+        y4m_stats,
+    )
+
+    payloads = [
+        _y4m([[0, 127, 255, 64], [1, 2, 3, 4], [9, 9, 9, 9]]),
+        _y4m([[5]], w=1, h=1),
+        _y4m([list(range(16)), list(range(16, 32))], w=4, h=4,
+             frame_params=" Xt=0"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id LONG, payload BINARY"
+    )
+    got = {r.media_id: r for r in y4m_stats(df, sample_every=2).collect()}
+    for i, p in enumerate(payloads):
+        w, h, n, planes = decode_y4m(p)
+        frames = [planes[j * w * h:(j + 1) * w * h] for j in range(n)]
+        sampled = b"".join(frames[::2])
+        r = got[i]
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert (r.px_sum, r.px_min, r.px_max) == (
+            sum(planes), min(planes), max(planes),
+        )
+        assert (r.samp_frames, r.samp_sum) == (len(frames[::2]), sum(sampled))
+
+
+def test_y4m_stats_kernel_fails_loudly_on_corrupt_payload(spark):
+    from cassandra_data_migrator_spark.operators.multimodal import y4m_stats
+
+    df = spark.createDataFrame(
+        [(0, _y4m([[1, 2, 3, 4]])[:-1])], "media_id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        y4m_stats(df).collect()
+    with pytest.raises(ValueError, match="sample_every"):
+        y4m_stats(df, sample_every=0)

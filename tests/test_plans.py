@@ -295,7 +295,7 @@ def test_multimodal_decoders_no_shuffle(spark, sf_dir):
     """Both real-decode keys are scan → JVM payload build → ONE Arrow
     kernel → projection: the corpus never shuffles, and payload bytes
     enter Python exactly once."""
-    for key in ("multimodal_decode", "multimodal_audio"):
+    for key in ("multimodal_decode", "multimodal_audio", "multimodal_video"):
         p = _plan(spark, sf_dir, key, mode="simple")
         assert "Exchange" not in p, f"{key} shuffles the corpus"
         assert p.count("MapInPandas") == 1, f"{key} should have exactly one kernel"
@@ -336,6 +336,7 @@ ARROW_PYTHON_KEYS = {
     "bpe_apply_audit",  # same kernel under the fixture merge table
     "multimodal_decode",  # real PPM parse kernel (multimodal.ppm_stats)
     "multimodal_audio",  # real WAV RIFF parse kernel (multimodal.wav_stats)
+    "multimodal_video",  # real Y4M container parse kernel (multimodal.y4m_stats)
 }
 
 

@@ -435,3 +435,37 @@ def test_decode_wav_roundtrip_random_clips(samples, bits, rate, junk_chunk):
     if data:
         with _pytest.raises(ValueError):
             decode_wav(payload[:-1])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=25, max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_decode_y4m_roundtrip_random_clips(w, h, raw_frames, extra_params, frame_params):
+    """decode_y4m: any mono clip (any W/H up to 5, 1-6 frames, with or
+    without unknown stream/FRAME parameters) round-trips exactly, and
+    truncating the last frame by one byte is always rejected."""
+    import pytest as _pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import decode_y4m
+
+    frames = [bytes(f[: w * h]) for f in raw_frames]
+    head = f"YUV4MPEG2 W{w} H{h}"
+    if extra_params:
+        head += " F30000:1001 Ip A1:1 Xmeta=zz"
+    head += " Cmono\n"
+    marker = b"FRAME Xk=v\n" if frame_params else b"FRAME\n"
+    payload = head.encode() + b"".join(marker + f for f in frames)
+    gw, gh, gn, planes = decode_y4m(payload)
+    assert (gw, gh, gn) == (w, h, len(frames))
+    assert planes == b"".join(frames)
+    with _pytest.raises(ValueError):
+        decode_y4m(payload[:-1])
