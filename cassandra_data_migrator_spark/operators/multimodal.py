@@ -517,6 +517,113 @@ def wav_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, WAV_STATS_SCHEMA)
 
 
+PPM_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("in_w", IntegerType()),
+        StructField("in_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def ppm_resize_stats(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Arrow-batched REAL image RESIZE over mapInPandas: PPM-parse each
+    payload, box-filter downsample by ``factor`` (each output channel
+    value = floor mean of its factor×factor input block; rows/cols beyond
+    the last whole block are cropped, the standard pooling convention),
+    and emit exact integer stats of the RESIZED image — the fourth named
+    multimodal kernel (decode / feature-extract / frame-sample / resize),
+    all integer arithmetic so both engines agree to the last bit. Raises
+    on any payload smaller than one block — a resize that silently
+    emits an empty image hides upstream corruption. Closure inlines the
+    parser (workers must not need this package importable);
+    tests/test_multimodal.py pins it against a pure-Python reference."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if not payload or not payload.startswith(b"P6"):
+                raise ValueError("not a binary PPM (P6 magic missing)")
+            i, n = 2, len(payload)
+            fields: list[int] = []
+            while len(fields) < 3:
+                while i < n and payload[i : i + 1].isspace():
+                    i += 1
+                if i < n and payload[i : i + 1] == b"#":
+                    while i < n and payload[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                if j == i or not payload[i:j].isdigit():
+                    raise ValueError("malformed PPM header field")
+                fields.append(int(payload[i:j]))
+                i = j
+            if i >= n or not payload[i : i + 1].isspace():
+                raise ValueError("malformed PPM header")
+            i += 1
+            width, height, maxval = fields
+            if width < 1 or height < 1 or not 0 < maxval <= 255:
+                raise ValueError("invalid PPM header values")
+            pixels = payload[i:]
+            if len(pixels) != width * height * 3:
+                raise ValueError("PPM pixel section length mismatch")
+            return width, height, pixels
+
+        area = factor * factor
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "in_w", "in_h", "out_w", "out_h",
+                    "r_sum", "g_sum", "b_sum", "px_min", "px_max")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pixels = parse(bytes(payload))
+                w2, h2 = w // factor, h // factor
+                if w2 < 1 or h2 < 1:
+                    raise ValueError(
+                        f"{w}x{h} image smaller than the {factor}x{factor} block"
+                    )
+                ch_sums = [0, 0, 0]
+                pmin, pmax = 255, 0
+                for orow in range(h2):
+                    for ocol in range(w2):
+                        for ch in range(3):
+                            s = 0
+                            for dy in range(factor):
+                                row = (orow * factor + dy) * w
+                                for dx in range(factor):
+                                    s += pixels[(row + ocol * factor + dx) * 3 + ch]
+                            v = s // area
+                            ch_sums[ch] += v
+                            if v < pmin:
+                                pmin = v
+                            if v > pmax:
+                                pmax = v
+                out["media_id"].append(media_id)
+                out["in_w"].append(w)
+                out["in_h"].append(h)
+                out["out_w"].append(w2)
+                out["out_h"].append(h2)
+                out["r_sum"].append(ch_sums[0])
+                out["g_sum"].append(ch_sums[1])
+                out["b_sum"].append(ch_sums[2])
+                out["px_min"].append(pmin)
+                out["px_max"].append(pmax)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, PPM_RESIZE_SCHEMA)
+
+
 Y4M_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -2485,6 +2485,53 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+PPM_RESIZE_FACTOR = 2
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image RESIZE under the DRIVER check — the fourth named
+    multimodal kernel (decode / feature-extract / frame-sample / resize)
+    now runs real arithmetic on real container bytes: the same JVM-built
+    PPM payloads as multimodal_decode, box-filter downsampled 2x2 in the
+    Arrow kernel (operators/multimodal.ppm_resize_stats; each output
+    channel value = floor mean of its block, odd trailing rows cropped),
+    emitting exact integer stats of the RESIZED image with rounded means
+    derived JVM-side. The oracle recomputes every pooled block from the
+    identical bytes via index arithmetic (row/col/channel from char
+    position, SUM // 4 per block), so one mis-addressed input pixel
+    anywhere in the pooling loop turns the key red."""
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_resize_stats
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = PPM_W * 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__h"),
+    ).filter(F.col("__h") >= PPM_RESIZE_FACTOR)
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+        F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
+    ).cast("binary")
+    stats = ppm_resize_stats(
+        media.select("media_id", payload.alias("payload")),
+        factor=PPM_RESIZE_FACTOR,
+    )
+    n_out = F.col("out_w") * F.col("out_h")
+    return stats.select(
+        "media_id", "in_w", "in_h", "out_w", "out_h",
+        "r_sum", "g_sum", "b_sum", "px_min", "px_max",
+        F.round(F.col("r_sum") / n_out, 4).alias("r_mean_r"),
+        F.round(F.col("g_sum") / n_out, 4).alias("g_mean_r"),
+        F.round(F.col("b_sum") / n_out, 4).alias("b_mean_r"),
+    )
+
+
 Y4M_W = 4
 Y4M_H = 4
 Y4M_FRAMES = 4  # fixture clip length (mono 4x4 luma frames)
@@ -4028,6 +4075,7 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r06 window head: new or behavior-changed this round ---
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
@@ -5125,6 +5173,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(val) AS INT) AS s_max,
                    ROUND(SUM(val) * 1.0 / {WAV_N_SAMPLES}, 4) AS s_mean_r
             FROM v GROUP BY doc_id
+        """,
+        # The resize contract: every pooled 2x2 block recomputed from the
+        # same bytes — row/col/channel from the char position, SUM // 4
+        # per block, stats over the pooled values.
+        "multimodal_resize": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({PPM_MAX_H},
+                                 CAST(LENGTH(s) // {PPM_W * 3} AS INT)) AS h
+                    FROM san),
+            ok AS (SELECT doc_id, s, h FROM dim
+                   WHERE h >= {PPM_RESIZE_FACTOR}),
+            b AS (SELECT doc_id, h,
+                         unnest(range(1,
+                             2 * (h // 2) * {PPM_W * 3} + 1)) AS i, s
+                  FROM ok),
+            v AS (SELECT doc_id, h,
+                         CAST((i - 1) // {PPM_W * 3} AS INT) // 2 AS orow,
+                         CAST(((i - 1) % {PPM_W * 3}) // 3 AS INT) // 2 AS ocol,
+                         CAST((i - 1) % 3 AS INT) AS ch,
+                         ord(substr(s, CAST(i AS INT), 1)) AS val
+                  FROM b),
+            blk AS (SELECT doc_id, h, orow, ocol, ch,
+                           SUM(val) // 4 AS pooled
+                    FROM v GROUP BY doc_id, h, orow, ocol, ch)
+            SELECT doc_id AS media_id,
+                   CAST({PPM_W} AS INT) AS in_w,
+                   CAST(h AS INT) AS in_h,
+                   CAST({PPM_W // PPM_RESIZE_FACTOR} AS INT) AS out_w,
+                   CAST(h // 2 AS INT) AS out_h,
+                   CAST(SUM(CASE WHEN ch = 0 THEN pooled ELSE 0 END) AS BIGINT) AS r_sum,
+                   CAST(SUM(CASE WHEN ch = 1 THEN pooled ELSE 0 END) AS BIGINT) AS g_sum,
+                   CAST(SUM(CASE WHEN ch = 2 THEN pooled ELSE 0 END) AS BIGINT) AS b_sum,
+                   CAST(MIN(pooled) AS INT) AS px_min,
+                   CAST(MAX(pooled) AS INT) AS px_max,
+                   ROUND(SUM(CASE WHEN ch = 0 THEN pooled ELSE 0 END) * 1.0
+                         / ({PPM_W // PPM_RESIZE_FACTOR} * (h // 2)), 4) AS r_mean_r,
+                   ROUND(SUM(CASE WHEN ch = 1 THEN pooled ELSE 0 END) * 1.0
+                         / ({PPM_W // PPM_RESIZE_FACTOR} * (h // 2)), 4) AS g_mean_r,
+                   ROUND(SUM(CASE WHEN ch = 2 THEN pooled ELSE 0 END) * 1.0
+                         / ({PPM_W // PPM_RESIZE_FACTOR} * (h // 2)), 4) AS b_mean_r
+            FROM blk GROUP BY doc_id, h
         """,
         # The video-decoder contract: same mechanism again — the four luma
         # planes are the first 64 sanitized chars, 1 byte/char, and each

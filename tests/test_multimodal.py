@@ -380,3 +380,53 @@ def test_y4m_stats_kernel_fails_loudly_on_corrupt_payload(spark):
         y4m_stats(df).collect()
     with pytest.raises(ValueError, match="sample_every"):
         y4m_stats(df, sample_every=0)
+
+
+def _pool_reference(w, h, pixels, factor):
+    """Independent floor-mean box-filter pooling (per channel)."""
+    w2, h2 = w // factor, h // factor
+    pooled = []
+    for orow in range(h2):
+        for ocol in range(w2):
+            for ch in range(3):
+                s = sum(
+                    pixels[((orow * factor + dy) * w + ocol * factor + dx) * 3 + ch]
+                    for dy in range(factor)
+                    for dx in range(factor)
+                )
+                pooled.append(s // (factor * factor))
+    return w2, h2, pooled
+
+
+def test_ppm_resize_kernel_matches_reference(spark):
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_resize_stats
+
+    imgs = [
+        (2, [0, 4, 8, 1, 5, 9, 2, 6, 10, 3, 7, 11] * 2),      # 4x? needs w*h*3
+        (4, list(range(4 * 4 * 3))),
+        (3, [255] * (4 * 3 * 3)),
+        (5, [(i * 37) % 256 for i in range(4 * 5 * 3)]),       # odd h -> crop
+    ]
+    payloads = [(i, _ppm(4, h, px)) for i, (h, px) in enumerate(imgs)]
+    df = spark.createDataFrame(payloads, "media_id LONG, payload BINARY")
+    got = {r.media_id: r for r in ppm_resize_stats(df, factor=2).collect()}
+    for i, (h, px) in enumerate(imgs):
+        w2, h2, pooled = _pool_reference(4, h, px, 2)
+        r = got[i]
+        assert (r.in_w, r.in_h, r.out_w, r.out_h) == (4, h, w2, h2)
+        assert (r.r_sum, r.g_sum, r.b_sum) == (
+            sum(pooled[0::3]), sum(pooled[1::3]), sum(pooled[2::3]),
+        )
+        assert (r.px_min, r.px_max) == (min(pooled), max(pooled))
+
+
+def test_ppm_resize_rejects_small_images_and_bad_factor(spark):
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_resize_stats
+
+    df = spark.createDataFrame(
+        [(0, _ppm(4, 1, list(range(12))))], "media_id LONG, payload BINARY"
+    )
+    with pytest.raises(Exception, match="smaller than"):
+        ppm_resize_stats(df, factor=2).collect()
+    with pytest.raises(ValueError, match="factor"):
+        ppm_resize_stats(df, factor=0)

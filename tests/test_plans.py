@@ -295,7 +295,8 @@ def test_multimodal_decoders_no_shuffle(spark, sf_dir):
     """Both real-decode keys are scan → JVM payload build → ONE Arrow
     kernel → projection: the corpus never shuffles, and payload bytes
     enter Python exactly once."""
-    for key in ("multimodal_decode", "multimodal_audio", "multimodal_video"):
+    for key in ("multimodal_decode", "multimodal_audio", "multimodal_video",
+                "multimodal_resize"):
         p = _plan(spark, sf_dir, key, mode="simple")
         assert "Exchange" not in p, f"{key} shuffles the corpus"
         assert p.count("MapInPandas") == 1, f"{key} should have exactly one kernel"
@@ -337,6 +338,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_decode",  # real PPM parse kernel (multimodal.ppm_stats)
     "multimodal_audio",  # real WAV RIFF parse kernel (multimodal.wav_stats)
     "multimodal_video",  # real Y4M container parse kernel (multimodal.y4m_stats)
+    "multimodal_resize",  # real box-filter downsample kernel (multimodal.ppm_resize_stats)
 }
 
 
