@@ -85,14 +85,22 @@ def main() -> None:
         )
         # shared inputs derived OUTSIDE the timed regions: the graph cases
         # time CC/PageRank over the kx edge list, not the pair generation
-        # (which has its own row)
-        pairs_ckpt = (
-            dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
-            .select("id_a", "id_b")
-            .localCheckpoint()
+        # (which has its own row). Skip the derivation entirely when a
+        # --families selection includes no graph consumer (it costs ~30 s
+        # at x10, dwarfing a targeted single-family run).
+        wanted = [f for f in args.families.split(",") if f]
+        needs_pairs = not wanted or bool(
+            {"dedup_clusters", "pagerank"} & set(wanted)
         )
-        n_pairs = pairs_ckpt.count()
-        print(f"[x{k}] edge list: {n_pairs} pairs", flush=True)
+        pairs_ckpt = None
+        if needs_pairs:
+            pairs_ckpt = (
+                dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+                .select("id_a", "id_b")
+                .localCheckpoint()
+            )
+            n_pairs = pairs_ckpt.count()
+            print(f"[x{k}] edge list: {n_pairs} pairs", flush=True)
         trades = events.filter(F.col("event_id") % 2 == 1).select(
             "user_id", "event_id", "ts_us"
         )
@@ -176,7 +184,6 @@ def main() -> None:
                 )
             ),
         }
-        wanted = [f for f in args.families.split(",") if f]
         if wanted:
             cases = {n: f for n, f in cases.items() if n in wanted}
         results[k] = {}
@@ -184,7 +191,8 @@ def main() -> None:
             dt = timed(fn)
             results[k][name] = dt
             print(f"{name} x{k}: {dt:.2f}s", flush=True)
-        pairs_ckpt.unpersist()
+        if pairs_ckpt is not None:
+            pairs_ckpt.unpersist()
 
     print(f"=== ratios x{args.k}/x1 (linear = {args.k}.0) ===")
     for name in results[1]:
