@@ -1,7 +1,8 @@
 """Multimodal plumbing: binary columns + Arrow-batched feature extraction.
-The decode kernel is stubbed (no image libs in this env) — what's tested is
-the real Spark machinery: schema, mapInPandas batch shape, determinism,
-metadata ops staying JVM-side."""
+PPM images, WAV audio, and Y4M video decode for REAL (pure-Python parsers,
+pinned here against references and corrupt payloads); compressed codecs
+(PNG/JPEG) still refuse honestly. Plus the real Spark machinery: schema,
+mapInPandas batch shape, determinism, metadata ops staying JVM-side."""
 
 import pytest
 
@@ -430,3 +431,35 @@ def test_ppm_resize_rejects_small_images_and_bad_factor(spark):
         ppm_resize_stats(df, factor=2).collect()
     with pytest.raises(ValueError, match="factor"):
         ppm_resize_stats(df, factor=0)
+
+
+def test_extract_features_real_path_decodes_ppm(spark):
+    """The real (use_fake=False) feature path now decodes PPM payloads —
+    geometry + channel means — and still honestly refuses compressed
+    formats."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [
+        (0, "image/x-portable-pixmap", _ppm(2, 1, [10, 20, 30, 50, 60, 70]),
+         2, 1, None),
+        (1, "image/x-portable-pixmap", _ppm(1, 1, [255, 0, 128]), 1, 1, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.feat_norm for r in extract_features(df).collect()}
+    assert len(got) == 2 and all(len(v) == 32 for v in got.values())
+    # deterministic and equal to the hand-computed feature hash
+    import hashlib
+    expect0 = hashlib.md5(
+        str([round(x, 6) for x in
+             [2.0, 1.0, 255.0, 2.0, 30.0, 40.0, 50.0, 0.0]]).encode()
+    ).hexdigest()
+    assert got[0] == expect0
+    # compressed formats still refuse loudly
+    png = spark.createDataFrame(
+        [(2, "image/png", b"\x89PNG....", 1, 1, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="PIL"):
+        extract_features(png).collect()
