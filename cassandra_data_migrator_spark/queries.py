@@ -2608,6 +2608,74 @@ SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5)
 CDC_INSERT_OFFSET = 10_000_000
 
 
+PROFILE_DRIFT_METRICS = (
+    "n_rows", "null_custkey", "null_priority",
+    "sum_price", "min_price", "max_price", "nd_status",
+)
+
+
+def q_validate_profile_drift(spark, sf_dir):
+    """Aggregate-only migration validation (profile drift): per-column
+    profiles of origin vs target — row count, null counts, DECIMAL-exact
+    price sum/min/max, status distinct count — joined metric-by-metric
+    with an exact drift flag. This is the SCREENING pass a 100 TB
+    migration runs BEFORE validate_diff's row-level join: two single-scan
+    partial aggregations collapsing to one row per side (no co-partition
+    shuffle of either table, unlike the row diff), then a 7-row metric
+    join. A clean profile does not prove row equality, but a drifted one
+    pinpoints the damaged column family for the price of two scans.
+    Target derived deterministically (the cdc_delta_detect convention):
+    mod-89 keys deleted, mod-97 prices shifted +1.0, mod-101 priorities
+    nulled."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "o_orderstatus",
+    )
+    t = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderpriority")),
+        )
+    )
+
+    def prof(df):
+        price = F.col("o_totalprice").cast("decimal(18,4)")
+        dec = "decimal(28,4)"
+        return df.agg(
+            F.count(F.lit(1)).cast(dec).alias("n_rows"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+            .cast(dec).alias("null_custkey"),
+            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+            .cast(dec).alias("null_priority"),
+            F.sum(price).cast(dec).alias("sum_price"),
+            F.min(price).cast(dec).alias("min_price"),
+            F.max(price).cast(dec).alias("max_price"),
+            F.count_distinct(F.col("o_orderstatus")).cast(dec).alias("nd_status"),
+        )
+
+    stack_expr = (
+        f"stack({len(PROFILE_DRIFT_METRICS)}, "
+        + ", ".join(f"'{m}', {m}" for m in PROFILE_DRIFT_METRICS)
+        + ") as (metric, v)"
+    )
+    lo = prof(o).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vo"))
+    lt = prof(t).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vt"))
+    return lo.join(F.broadcast(lt), "metric").select(
+        "metric",
+        F.col("vo").cast("double").alias("origin_v"),
+        F.col("vt").cast("double").alias("target_v"),
+        (F.col("vo") != F.col("vt")).cast("int").alias("drift"),
+    )
+
+
 def q_cdc_delta_detect(spark, sf_dir):
     """CDC-style snapshot delta: FULL-outer PK diff classifying every change
     as insert / update / delete (generalizes validate_diff, which is
@@ -4075,6 +4143,7 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r06 window head: new or behavior-changed this round ---
+        "validate_profile_drift": q_validate_profile_drift,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
         "bpe_apply_audit": q_bpe_apply_audit,
@@ -4565,6 +4634,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        # Aggregate-only profile drift: both profiles recomputed from
+        # scratch, unpivoted via UNION ALL, exact DECIMAL compare.
+        "validate_profile_drift": """
+            WITH tgt AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 101 = 0 THEN NULL
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 89 <> 0),
+            po AS (
+                SELECT CAST(COUNT(*) AS DECIMAL(28,4)) AS n_rows,
+                       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                            AS DECIMAL(28,4)) AS null_custkey,
+                       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                            AS DECIMAL(28,4)) AS null_priority,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DECIMAL(28,4)) AS sum_price,
+                       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DECIMAL(28,4)) AS min_price,
+                       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DECIMAL(28,4)) AS max_price,
+                       CAST(COUNT(DISTINCT o_orderstatus) AS DECIMAL(28,4))
+                            AS nd_status
+                FROM orders),
+            pt AS (
+                SELECT CAST(COUNT(*) AS DECIMAL(28,4)) AS n_rows,
+                       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                            AS DECIMAL(28,4)) AS null_custkey,
+                       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                            AS DECIMAL(28,4)) AS null_priority,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DECIMAL(28,4)) AS sum_price,
+                       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DECIMAL(28,4)) AS min_price,
+                       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DECIMAL(28,4)) AS max_price,
+                       CAST(COUNT(DISTINCT o_orderstatus) AS DECIMAL(28,4))
+                            AS nd_status
+                FROM tgt),
+            lo AS (
+                SELECT 'n_rows' AS metric, n_rows AS vo FROM po
+                UNION ALL SELECT 'null_custkey', null_custkey FROM po
+                UNION ALL SELECT 'null_priority', null_priority FROM po
+                UNION ALL SELECT 'sum_price', sum_price FROM po
+                UNION ALL SELECT 'min_price', min_price FROM po
+                UNION ALL SELECT 'max_price', max_price FROM po
+                UNION ALL SELECT 'nd_status', nd_status FROM po),
+            lt AS (
+                SELECT 'n_rows' AS metric, n_rows AS vt FROM pt
+                UNION ALL SELECT 'null_custkey', null_custkey FROM pt
+                UNION ALL SELECT 'null_priority', null_priority FROM pt
+                UNION ALL SELECT 'sum_price', sum_price FROM pt
+                UNION ALL SELECT 'min_price', min_price FROM pt
+                UNION ALL SELECT 'max_price', max_price FROM pt
+                UNION ALL SELECT 'nd_status', nd_status FROM pt)
+            SELECT lo.metric,
+                   CAST(vo AS DOUBLE) AS origin_v,
+                   CAST(vt AS DOUBLE) AS target_v,
+                   CAST(CASE WHEN vo <> vt THEN 1 ELSE 0 END AS INT) AS drift
+            FROM lo JOIN lt ON lo.metric = lt.metric
         """,
         "cdc_delta_detect": f"""
             WITH old_t AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -278,3 +278,24 @@ def test_validate_null_safe_pk_knob_changes_join_keys(spark, sf_dir):
     assert "coalesce(o_orderkey" in safe_plan
     assert "coalesce(o_orderkey" not in fast_plan
     assert safe.output.count() == fast.output.count() == 0  # self-diff is clean
+
+
+def test_profile_drift_flags_planted_damage(spark):
+    """The planted drift (deletes, price shift, nulled priorities) must
+    flag exactly the damaged metrics; untouched ones read clean."""
+    from cassandra_data_migrator_spark import queries as q
+
+    rows = {
+        r.metric: r
+        for r in q.q_validate_profile_drift(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == set(q.PROFILE_DRIFT_METRICS)
+    assert rows["n_rows"].drift == 1          # mod-89 deletes
+    assert rows["null_priority"].drift == 1   # mod-101 nulls
+    assert rows["sum_price"].drift == 1       # deletes + mod-97 shift
+    assert rows["null_custkey"].drift == 0    # untouched column
+    assert rows["nd_status"].drift == 0       # status set survives
+    for r in rows.values():
+        assert (r.origin_v != r.target_v) == bool(r.drift)

@@ -407,3 +407,14 @@ def test_no_unexpected_nested_loop_joins(spark, sf_dir):
                 f"{key} plans a BroadcastNestedLoopJoin (not in BNLJ_KEYS; "
                 "either fix the join or document the bounded build side)"
             )
+
+
+def test_validate_profile_drift_aggregate_only(spark, sf_dir):
+    """The screening validation must stay aggregate-shaped: two scans
+    collapsing to single-row profiles, the 7-row metric join broadcast —
+    never a row-level SortMergeJoin of the tables themselves (that is
+    validate_diff's job)."""
+    p = _plan(spark, sf_dir, "validate_profile_drift", mode="simple")
+    assert "SortMergeJoin" not in p, "profile drift row-joins the tables"
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4  # partial+final per side
