@@ -263,6 +263,40 @@ def q_validate_diff(spark, sf_dir):
     return validation.diff(origin, target, ["o_orderkey"], _ORDER_COMPARE_COLS)
 
 
+DIFF_SAMPLE_MOD = 10
+DIFF_SAMPLE_RESIDUE = 3
+
+
+def q_validate_diff_sampled(spark, sf_dir):
+    """Tier-2 of the tiered validation story (profile screen →
+    SAMPLED diff → full diff): a deterministic token-style PK sample
+    (o_orderkey % 10 == 3, CDM's coverage-percent idiom on the token
+    ring) restricts BOTH sides BEFORE the join, so at 100 TB the
+    co-partition shuffle moves 1/MOD of each table instead of all of it;
+    the same planted-damage target and the same diff operator as
+    validate_diff, rolled up to one summary row with the 1/frac
+    extrapolated damage estimates a migration operator actually reads.
+    Any residue class works because the planted damage (mod-97 deletes,
+    mod-101 mutations) is independent of the mod-10 sample."""
+    origin = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % DIFF_SAMPLE_MOD == DIFF_SAMPLE_RESIDUE
+    )
+    target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
+    d = validation.diff(
+        origin, target, ["o_orderkey"], _ORDER_COMPARE_COLS, include_valid=True
+    )
+    n_missing = F.sum((F.col("status") == "missing").cast("bigint"))
+    n_mismatch = F.sum((F.col("status") == "mismatch").cast("bigint"))
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_rows"),
+        n_missing.cast("bigint").alias("n_missing"),
+        n_mismatch.cast("bigint").alias("n_mismatch"),
+        F.sum((F.col("status") == "valid").cast("bigint")).cast("bigint").alias("n_valid"),
+        (n_missing * DIFF_SAMPLE_MOD).cast("bigint").alias("est_total_missing"),
+        (n_mismatch * DIFF_SAMPLE_MOD).cast("bigint").alias("est_total_mismatch"),
+    )
+
+
 def q_autocorrect_missing(spark, sf_dir):
     origin = _t(spark, sf_dir, "orders")
     target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
@@ -4143,6 +4177,7 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r06 window head: new or behavior-changed this round ---
+        "validate_diff_sampled": q_validate_diff_sampled,
         "validate_profile_drift": q_validate_profile_drift,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
@@ -5599,6 +5634,35 @@ def oracle_sql() -> dict[str, str]:
                OR o.o_totalprice IS DISTINCT FROM t.o_totalprice
                OR o.o_orderdate IS DISTINCT FROM t.o_orderdate
                OR o.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+        """,
+        # Tier-2 sampled diff: the same damage model restricted to the
+        # deterministic mod-10 sample on BOTH sides, rolled up with 1/frac
+        # extrapolation.
+        "validate_diff_sampled": """
+            WITH o AS (SELECT * FROM orders WHERE o_orderkey % 10 = 3),
+            t AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM o WHERE o_orderkey % 97 <> 0
+            ),
+            d AS (
+                SELECT CASE WHEN t.o_orderkey IS NULL THEN 'missing'
+                            WHEN o.o_custkey IS DISTINCT FROM t.o_custkey
+                              OR o.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                              OR o.o_totalprice IS DISTINCT FROM t.o_totalprice
+                              OR o.o_orderdate IS DISTINCT FROM t.o_orderdate
+                              OR o.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 'mismatch'
+                            ELSE 'valid' END AS status
+                FROM o LEFT JOIN t USING (o_orderkey)
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+                   CAST(SUM(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                   CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                   CAST(SUM(CASE WHEN status = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(SUM(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) * 10 AS BIGINT) AS est_total_missing,
+                   CAST(SUM(CASE WHEN status = 'mismatch' THEN 1 ELSE 0 END) * 10 AS BIGINT) AS est_total_mismatch
+            FROM d
         """,
         "autocorrect_missing": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

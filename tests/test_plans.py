@@ -418,3 +418,11 @@ def test_validate_profile_drift_aggregate_only(spark, sf_dir):
     assert "SortMergeJoin" not in p, "profile drift row-joins the tables"
     assert "BroadcastHashJoin" in p
     assert p.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_validate_diff_sampled_filters_before_join(spark, sf_dir):
+    """The mod-10 sample must restrict BOTH join inputs pre-shuffle — the
+    whole point of the tier-2 sampled diff is that the co-partition
+    exchange moves 1/MOD of each side, not the full tables."""
+    p = _plan(spark, sf_dir, "validate_diff_sampled", mode="simple")
+    assert p.count("% 10") >= 2, f"sample filter not on both sides:\n{p}"
