@@ -469,3 +469,42 @@ def test_decode_y4m_roundtrip_random_clips(w, h, raw_frames, extra_params, frame
     assert planes == b"".join(frames)
     with _pytest.raises(ValueError):
         decode_y4m(payload[:-1])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_box_pool_reference_properties(w, h, factor, seed):
+    """The box-filter pooling reference obeys the defining invariants for
+    any image and factor: output dims floor-divide, every pooled value
+    lies within its block's [min, max], and a constant image pools to the
+    constant. (The Spark kernel is pinned equal to this reference in
+    tests/test_multimodal.py; hypothesis stresses the reference itself.)"""
+    from tests.test_multimodal import _pool_reference
+
+    if w // factor < 1 or h // factor < 1:
+        return  # kernel rejects these; nothing to pool
+    rnd = []
+    x = seed
+    for _ in range(w * h * 3):
+        x = (1103515245 * x + 12345) % (2**31)
+        rnd.append(x % 256)
+    w2, h2, pooled = _pool_reference(w, h, rnd, factor)
+    assert (w2, h2) == (w // factor, h // factor)
+    assert len(pooled) == w2 * h2 * 3
+    for orow in range(h2):
+        for ocol in range(w2):
+            for ch in range(3):
+                block = [
+                    rnd[((orow * factor + dy) * w + ocol * factor + dx) * 3 + ch]
+                    for dy in range(factor)
+                    for dx in range(factor)
+                ]
+                v = pooled[(orow * w2 + ocol) * 3 + ch]
+                assert min(block) <= v <= max(block)
+    const = [123] * (w * h * 3)
+    assert set(_pool_reference(w, h, const, factor)[2]) == {123}
