@@ -68,3 +68,49 @@ def streaming_migrate_merge(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_migrate_quarantine(
+    source: DataFrame,
+    cfg: MigrationConfig,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    reason_expr: str,
+    available_now: bool = True,
+):
+    """CDM's error-row accounting (the batch ``quarantine_split`` operator)
+    in streaming form: every micro-batch runs the SAME feature pipeline,
+    then splits on the reason expression — clean rows append to the main
+    sink, flagged rows append to the quarantine sink carrying the failing
+    reason plus the micro-batch id for replay. ``reason_expr`` is a SQL
+    expression evaluating to the FIRST failing rule name or NULL (the batch
+    operator's fixed-precedence contract), so stream and batch agree row
+    for row. foreachBatch keeps the split atomic per micro-batch: one
+    pipeline evaluation (persisted across the two appends), two
+    partition-local parquet writes — no shuffle, no state, append-only at
+    any scale."""
+    from pyspark.sql import functions as F
+
+    piped = build_feature_pipeline(source, cfg)
+
+    def _split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flagged = batch_df.withColumn("reason", F.expr(reason_expr)).persist()
+        try:
+            flagged.filter(F.col("reason").isNull()).drop("reason").write.mode(
+                "append"
+            ).parquet(out_dir)
+            flagged.filter(F.col("reason").isNotNull()).withColumn(
+                "quarantine_batch", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(quarantine_dir)
+        finally:
+            flagged.unpersist()
+
+    writer = piped.writeStream.foreachBatch(_split_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

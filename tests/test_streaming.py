@@ -200,3 +200,50 @@ def test_streaming_window_distinct_within_sketch_bound(spark, sf_dir, tmp_path):
             r.n_users_est,
             r.n_users,
         )
+
+
+def test_streaming_quarantine_split_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming quarantine splitter (CDM error-file semantics in
+    foreachBatch form) must agree with the batch operator row for row:
+    main ∪ quarantine == pipeline output, reasons identical, and no
+    flagged row ever reaches the main sink."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.plans.migrate import build_feature_pipeline
+    from cassandra_data_migrator_spark.streaming.migrate import (
+        streaming_migrate_quarantine,
+    )
+
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "user_id",
+            "spark.cdm.filter.cassandra.whereCondition": "value > 100",
+        }
+    )
+    reason_expr = (
+        "CASE WHEN event_type = 'error' THEN 'error_event' "
+        "WHEN value > 400.0 THEN 'outlier_value' END"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "q_out")
+    quar = str(tmp_path / "q_quar")
+    q = streaming_migrate_quarantine(
+        stream, cfg, out, quar, str(tmp_path / "q_ckpt"), reason_expr
+    )
+    q.awaitTermination()
+
+    got_main = spark.read.parquet(out)
+    got_quar = spark.read.parquet(quar)
+    batch = build_feature_pipeline(load_table(spark, sf_dir, "events"), cfg)
+    b_reason = batch.withColumn("reason", F.expr(reason_expr))
+    b_clean = {r.event_id for r in b_reason.filter(F.col("reason").isNull()).collect()}
+    b_bad = {
+        r.event_id: r.reason
+        for r in b_reason.filter(F.col("reason").isNotNull()).collect()
+    }
+    assert {r.event_id for r in got_main.select("event_id").collect()} == b_clean
+    g_bad = {r.event_id: r.reason for r in got_quar.select("event_id", "reason").collect()}
+    assert g_bad == b_bad and len(b_bad) > 0 and len(b_clean) > 0
+    assert "reason" not in got_main.columns
+    assert "quarantine_batch" in got_quar.columns
