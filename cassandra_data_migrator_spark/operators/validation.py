@@ -124,3 +124,57 @@ def counter_delta(
     return joined.select(
         *[F.col(f"o.{k}").alias(k) for k in key_cols], delta.alias("delta")
     ).filter(F.col("delta") != 0)
+
+
+def profile_drift(
+    origin: DataFrame,
+    target: DataFrame,
+    null_cols: list[str],
+    sum_col: str,
+    distinct_col: str,
+) -> DataFrame:
+    """Aggregate-only validation screen (tier-1 of the tiered validation
+    ladder; see queries.q_validate_profile_drift for the declared-key
+    wiring): per-side column profiles — row count, per-column null
+    counts, DECIMAL-exact sum/min/max of ``sum_col``, distinct count of
+    ``distinct_col`` — unpivoted to long form and joined metric-by-metric
+    with an exact drift flag. Two single-scan partial aggregations
+    collapsing to ONE row per side, then a broadcast metric join: neither
+    table is ever co-partition shuffled, so the screen costs two scans at
+    any size and pinpoints the damaged column family before the row-level
+    diff runs."""
+    dec = "decimal(28,4)"
+    metrics = (
+        ["n_rows"]
+        + [f"null_{c}" for c in null_cols]
+        + [f"sum_{sum_col}", f"min_{sum_col}", f"max_{sum_col}", f"nd_{distinct_col}"]
+    )
+
+    def prof(df: DataFrame) -> DataFrame:
+        s = F.col(sum_col).cast("decimal(18,4)")
+        aggs = [F.count(F.lit(1)).cast(dec).alias("n_rows")]
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast(dec).alias(f"null_{c}")
+            for c in null_cols
+        ]
+        aggs += [
+            F.sum(s).cast(dec).alias(f"sum_{sum_col}"),
+            F.min(s).cast(dec).alias(f"min_{sum_col}"),
+            F.max(s).cast(dec).alias(f"max_{sum_col}"),
+            F.count_distinct(F.col(distinct_col)).cast(dec).alias(f"nd_{distinct_col}"),
+        ]
+        return df.agg(*aggs)
+
+    stack_expr = (
+        f"stack({len(metrics)}, "
+        + ", ".join(f"'{m}', {m}" for m in metrics)
+        + ") as (metric, v)"
+    )
+    lo = prof(origin).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vo"))
+    lt = prof(target).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vt"))
+    return lo.join(F.broadcast(lt), "metric").select(
+        "metric",
+        F.col("vo").cast("double").alias("origin_v"),
+        F.col("vt").cast("double").alias("target_v"),
+        (F.col("vo") != F.col("vt")).cast("int").alias("drift"),
+    )

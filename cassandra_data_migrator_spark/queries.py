@@ -2643,24 +2643,22 @@ CDC_INSERT_OFFSET = 10_000_000
 
 
 PROFILE_DRIFT_METRICS = (
-    "n_rows", "null_custkey", "null_priority",
-    "sum_price", "min_price", "max_price", "nd_status",
+    "n_rows", "null_o_custkey", "null_o_orderpriority",
+    "sum_o_totalprice", "min_o_totalprice", "max_o_totalprice",
+    "nd_o_orderstatus",
 )
 
 
 def q_validate_profile_drift(spark, sf_dir):
-    """Aggregate-only migration validation (profile drift): per-column
-    profiles of origin vs target — row count, null counts, DECIMAL-exact
-    price sum/min/max, status distinct count — joined metric-by-metric
-    with an exact drift flag. This is the SCREENING pass a 100 TB
-    migration runs BEFORE validate_diff's row-level join: two single-scan
-    partial aggregations collapsing to one row per side (no co-partition
-    shuffle of either table, unlike the row diff), then a 7-row metric
-    join. A clean profile does not prove row equality, but a drifted one
-    pinpoints the damaged column family for the price of two scans.
-    Target derived deterministically (the cdc_delta_detect convention):
-    mod-89 keys deleted, mod-97 prices shifted +1.0, mod-101 priorities
-    nulled."""
+    """Aggregate-only migration validation (profile drift) - tier-1 of the
+    tiered validation ladder; the heavy lifting lives in
+    operators/validation.profile_drift (two single-scan partial
+    aggregations collapsing to one row per side, broadcast metric join,
+    neither table co-partition shuffled). This key wires it to orders with
+    the planted-damage target (cdc_delta_detect convention): mod-89 keys
+    deleted, mod-97 prices shifted +1.0, mod-101 priorities nulled. The
+    oracle recomputes both profiles from scratch and compares with exact
+    DECIMAL equality."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
         "o_orderstatus",
@@ -2679,34 +2677,11 @@ def q_validate_profile_drift(spark, sf_dir):
             .otherwise(F.col("o_orderpriority")),
         )
     )
-
-    def prof(df):
-        price = F.col("o_totalprice").cast("decimal(18,4)")
-        dec = "decimal(28,4)"
-        return df.agg(
-            F.count(F.lit(1)).cast(dec).alias("n_rows"),
-            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
-            .cast(dec).alias("null_custkey"),
-            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
-            .cast(dec).alias("null_priority"),
-            F.sum(price).cast(dec).alias("sum_price"),
-            F.min(price).cast(dec).alias("min_price"),
-            F.max(price).cast(dec).alias("max_price"),
-            F.count_distinct(F.col("o_orderstatus")).cast(dec).alias("nd_status"),
-        )
-
-    stack_expr = (
-        f"stack({len(PROFILE_DRIFT_METRICS)}, "
-        + ", ".join(f"'{m}', {m}" for m in PROFILE_DRIFT_METRICS)
-        + ") as (metric, v)"
-    )
-    lo = prof(o).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vo"))
-    lt = prof(t).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vt"))
-    return lo.join(F.broadcast(lt), "metric").select(
-        "metric",
-        F.col("vo").cast("double").alias("origin_v"),
-        F.col("vt").cast("double").alias("target_v"),
-        (F.col("vo") != F.col("vt")).cast("int").alias("drift"),
+    return validation.profile_drift(
+        o, t,
+        null_cols=["o_custkey", "o_orderpriority"],
+        sum_col="o_totalprice",
+        distinct_col="o_orderstatus",
     )
 
 
@@ -4713,20 +4688,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM tgt),
             lo AS (
                 SELECT 'n_rows' AS metric, n_rows AS vo FROM po
-                UNION ALL SELECT 'null_custkey', null_custkey FROM po
-                UNION ALL SELECT 'null_priority', null_priority FROM po
-                UNION ALL SELECT 'sum_price', sum_price FROM po
-                UNION ALL SELECT 'min_price', min_price FROM po
-                UNION ALL SELECT 'max_price', max_price FROM po
-                UNION ALL SELECT 'nd_status', nd_status FROM po),
+                UNION ALL SELECT 'null_o_custkey', null_custkey FROM po
+                UNION ALL SELECT 'null_o_orderpriority', null_priority FROM po
+                UNION ALL SELECT 'sum_o_totalprice', sum_price FROM po
+                UNION ALL SELECT 'min_o_totalprice', min_price FROM po
+                UNION ALL SELECT 'max_o_totalprice', max_price FROM po
+                UNION ALL SELECT 'nd_o_orderstatus', nd_status FROM po),
             lt AS (
                 SELECT 'n_rows' AS metric, n_rows AS vt FROM pt
-                UNION ALL SELECT 'null_custkey', null_custkey FROM pt
-                UNION ALL SELECT 'null_priority', null_priority FROM pt
-                UNION ALL SELECT 'sum_price', sum_price FROM pt
-                UNION ALL SELECT 'min_price', min_price FROM pt
-                UNION ALL SELECT 'max_price', max_price FROM pt
-                UNION ALL SELECT 'nd_status', nd_status FROM pt)
+                UNION ALL SELECT 'null_o_custkey', null_custkey FROM pt
+                UNION ALL SELECT 'null_o_orderpriority', null_priority FROM pt
+                UNION ALL SELECT 'sum_o_totalprice', sum_price FROM pt
+                UNION ALL SELECT 'min_o_totalprice', min_price FROM pt
+                UNION ALL SELECT 'max_o_totalprice', max_price FROM pt
+                UNION ALL SELECT 'nd_o_orderstatus', nd_status FROM pt)
             SELECT lo.metric,
                    CAST(vo AS DOUBLE) AS origin_v,
                    CAST(vt AS DOUBLE) AS target_v,

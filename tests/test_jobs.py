@@ -293,9 +293,9 @@ def test_profile_drift_flags_planted_damage(spark):
     }
     assert set(rows) == set(q.PROFILE_DRIFT_METRICS)
     assert rows["n_rows"].drift == 1          # mod-89 deletes
-    assert rows["null_priority"].drift == 1   # mod-101 nulls
-    assert rows["sum_price"].drift == 1       # deletes + mod-97 shift
-    assert rows["null_custkey"].drift == 0    # untouched column
-    assert rows["nd_status"].drift == 0       # status set survives
+    assert rows["null_o_orderpriority"].drift == 1   # mod-101 nulls
+    assert rows["sum_o_totalprice"].drift == 1  # deletes + mod-97 shift
+    assert rows["null_o_custkey"].drift == 0  # untouched column
+    assert rows["nd_o_orderstatus"].drift == 0  # status set survives
     for r in rows.values():
         assert (r.origin_v != r.target_v) == bool(r.drift)

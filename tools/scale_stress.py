@@ -145,9 +145,37 @@ def main() -> None:
                 )
             )
 
+        def run_profile_drift() -> None:
+            # tier-1 screen: two single-scan profiles, broadcast metric join
+            ev_t = events.filter(F.col("event_id") % 89 != 0).withColumn(
+                "value",
+                F.when(
+                    F.col("event_id") % 97 == 0, F.col("value") + 1.0
+                ).otherwise(F.col("value")),
+            )
+            noop(
+                validation.profile_drift(
+                    events, ev_t,
+                    null_cols=["user_id"], sum_col="value",
+                    distinct_col="event_type",
+                )
+            )
+
+        def run_sampled_diff() -> None:
+            # tier-2: mod-10 sample restricts both sides pre-join
+            ev_s = events.filter(F.col("event_id") % 10 == 3)
+            tgt_s = tgt.filter(F.col("event_id") % 10 == 3)
+            noop(
+                validation.diff(
+                    ev_s, tgt_s, ["event_id"], ["value", "event_type"]
+                )
+            )
+
         cases = {
             "dedup_exact": lambda: noop(dedup.dedup_exact(docs)),
             "vocab_topk": run_vocab_topk,
+            "profile_drift": run_profile_drift,
+            "sampled_diff": run_sampled_diff,
             "ngram_jaccard_pairs": lambda: noop(
                 dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
             ),
