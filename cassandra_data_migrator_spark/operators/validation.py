@@ -172,9 +172,12 @@ def profile_drift(
     )
     lo = prof(origin).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vo"))
     lt = prof(target).select(F.expr(stack_expr)).select("metric", F.col("v").alias("vt"))
+    # null-safe inequality: an aggregate that is NULL on exactly one side
+    # (a column wiped to all-NULL, an empty target) IS drift and must flag
+    # 1 — plain != would return NULL and silently drop the alarm.
     return lo.join(F.broadcast(lt), "metric").select(
         "metric",
         F.col("vo").cast("double").alias("origin_v"),
         F.col("vt").cast("double").alias("target_v"),
-        (F.col("vo") != F.col("vt")).cast("int").alias("drift"),
+        (~F.col("vo").eqNullSafe(F.col("vt"))).cast("int").alias("drift"),
     )

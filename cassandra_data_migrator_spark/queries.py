@@ -4705,7 +4705,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lo.metric,
                    CAST(vo AS DOUBLE) AS origin_v,
                    CAST(vt AS DOUBLE) AS target_v,
-                   CAST(CASE WHEN vo <> vt THEN 1 ELSE 0 END AS INT) AS drift
+                   CAST(CASE WHEN vo IS DISTINCT FROM vt THEN 1 ELSE 0 END AS INT) AS drift
             FROM lo JOIN lt ON lo.metric = lt.metric
         """,
         "cdc_delta_detect": f"""

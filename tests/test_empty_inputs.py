@@ -176,3 +176,44 @@ def test_incremental_dedup_empty_batch_and_empty_corpus(spark, sf_dir, empty_doc
     d = load_table(spark, sf_dir, "documents").limit(20)
     assert dedup.incremental_jaccard_pairs(empty_docs, d, n=3, threshold=0.2).count() == 0
     assert dedup.incremental_jaccard_pairs(d, empty_docs, n=3, threshold=0.2).count() == 0
+
+
+def test_profile_drift_empty_inputs(spark):
+    """Empty origin AND target: the screen must return the full metric set
+    with zero counts and no drift — never crash on min/max over nothing."""
+    from cassandra_data_migrator_spark.operators.validation import profile_drift
+
+    schema = "k BIGINT, c STRING, v DOUBLE, s STRING"
+    empty = spark.createDataFrame([], schema)
+    rows = {
+        r.metric: r
+        for r in profile_drift(
+            empty, empty, null_cols=["c"], sum_col="v", distinct_col="s"
+        ).collect()
+    }
+    assert set(rows) == {"n_rows", "null_c", "sum_v", "min_v", "max_v", "nd_s"}
+    assert all(r.drift == 0 for r in rows.values())
+    assert rows["n_rows"].origin_v == 0.0 and rows["nd_s"].target_v == 0.0
+
+
+def test_profile_drift_flags_one_sided_null_aggregates(spark):
+    """A column wiped to all-NULL on the target side makes min/max/sum NULL
+    there while the origin has values — that IS drift and must flag 1 (a
+    plain != comparison silently returns NULL here; the r06 fix uses
+    null-safe inequality)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators.validation import profile_drift
+
+    schema = "k BIGINT, c STRING, v DOUBLE, s STRING"
+    origin = spark.createDataFrame([(1, "a", 1.0, "x"), (2, "b", 2.0, "y")], schema)
+    wiped = origin.withColumn("v", F.lit(None).cast("double"))
+    rows = {
+        r.metric: r
+        for r in profile_drift(
+            origin, wiped, null_cols=["c"], sum_col="v", distinct_col="s"
+        ).collect()
+    }
+    for m in ("sum_v", "min_v", "max_v"):
+        assert rows[m].target_v is None and rows[m].drift == 1
+    assert rows["n_rows"].drift == 0 and rows["nd_s"].drift == 0

@@ -247,3 +247,50 @@ def test_streaming_quarantine_split_matches_batch(spark, sf_dir, tmp_path):
     assert g_bad == b_bad and len(b_bad) > 0 and len(b_clean) > 0
     assert "reason" not in got_main.columns
     assert "quarantine_batch" in got_quar.columns
+
+
+def test_streaming_quarantine_restart_does_not_double_append(spark, tmp_path):
+    """Append sinks are not idempotent, so exactly-once for the quarantine
+    splitter rests entirely on the checkpoint: a restart with the same
+    checkpoint and no new source files must append NOTHING to either sink,
+    and a restart with one new file must append only that file's rows."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.streaming.migrate import (
+        streaming_migrate_quarantine,
+    )
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    out, quar, ckpt = (
+        str(tmp_path / "q_out2"), str(tmp_path / "q_quar2"), str(tmp_path / "q_ckpt2")
+    )
+    cfg = MigrationConfig({"spark.cdm.schema.pk": "id"})
+    schema = "id BIGINT, event_type STRING, value DOUBLE"
+    reason = "CASE WHEN event_type = 'error' THEN 'error_event' END"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_migrate_quarantine(stream, cfg, out, quar, ckpt, reason)
+        q.awaitTermination()
+
+    rows1 = [(1, "view", 10.0), (2, "error", 20.0), (3, "view", 30.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(quar).count() == 1
+
+    run_once()  # restart, nothing new: counts must not move
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(quar).count() == 1
+
+    spark.createDataFrame([(4, "error", 40.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    got = {r.id: (r.reason, r.quarantine_batch) for r in spark.read.parquet(quar).collect()}
+    assert set(got) == {2, 4} and got[4][0] == "error_event"
+    # the two quarantined rows came from different micro-batches
+    assert got[2][1] != got[4][1]
