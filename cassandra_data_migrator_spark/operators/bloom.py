@@ -1,0 +1,163 @@
+"""Bloom-filter prefilter for PK validation — the runtime-filter pattern.
+
+At 100 TB the expensive step of DiffData-style validation
+(operators/validation.py; CDM DiffJobSession [upstream@6.0.1]) is the
+co-partitioned PK join itself: both tables shuffle on the key. Spark's own
+optimizer injects bloom filters for exactly this shape (InjectRuntimeFilter:
+build a bloom over the small/filtered side, broadcast it, and drop probe-side
+rows before the shuffle). This module reproduces that pattern as an explicit,
+auditable operator for the migration-validation use case:
+
+1. **Build** (distributed): every target PK hashes to ``k`` bit positions
+   (``xxhash64`` with per-hash seeds — JVM, codegen'd); positions pack into
+   64-bit words via a ``bit_or`` aggregate on the word index. The aggregate
+   output is at most ``m / 64`` rows regardless of input size — partial
+   (map-side) combine does the heavy lifting, and only packed words cross
+   the wire. The collected word array (``m / 64`` longs, e.g. 512 KiB for
+   m = 2^22) is the SAME driver-bounded artifact Spark's runtime filter
+   broadcasts; SCALE.md ground rule 1 (bounded-by-construction collect).
+2. **Probe** (distributed, zero shuffle): membership is a pure JVM
+   expression over a single array literal — ``element_at`` on the word for
+   each of the k positions, bit-test, AND. No join, no Python; the probe
+   side streams through its scan.
+
+Semantics (the classic bloom contract): a key present in the build side is
+ALWAYS reported "maybe present" (no false negatives), so probe-side keys the
+filter rejects are **definitely missing** from the target — a migration
+validator catches them without ever running the diff join. A small
+false-positive fraction of truly-missing keys slips through to the join
+stage (caught there; correctness unaffected). ``bloom_prefilter_audit``
+pins both halves of that contract under the driver's value check.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_NUM_HASHES = 5
+BLOOM_BITS_PER_KEY = 20  # fp ~= (1 - e^(-k/20))^k ~= 0.0022 at k=5
+
+
+def _positions(key: Column, m: int, k: int) -> list[Column]:
+    """The k bit positions of ``key`` in an m-bit filter (m a power of 2).
+
+    Seeded xxhash64 per hash function — the same JVM hash family the
+    engine's MinHash/SimHash paths use, so cross-partition determinism is
+    already contract-tested there."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)).cast("bigint")
+        for i in range(k)
+    ]
+
+
+def sized_bits(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    """Filter size for ``n_keys``: next power of two >= n * bits_per_key
+    (power of two keeps pmod/bit arithmetic shift-friendly), floor 2^10."""
+    return 1 << max(10, math.ceil(math.log2(max(1, n_keys) * bits_per_key)))
+
+
+def build_bloom(df: DataFrame, key_col: str, m: int, k: int = BLOOM_NUM_HASHES) -> list[int]:
+    """Distributed build → packed word array (length m/64, python ints).
+
+    One explode + one groupBy(word_idx) with map-side partial bit_or: the
+    shuffle carries <= m/64 rows of (idx, word) per map partition, never
+    keys. Missing words (no key hashed into them) fill with 0."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_positions(key, m, k))).alias("pos")
+    words = (
+        df.select(pos)
+        # call_function: the SQL shiftleft/shiftright accept a COLUMN bit
+        # count (the python wrappers' numBits is typed int-only)
+        .select(
+            F.call_function("shiftright", F.col("pos"), F.lit(6)).cast("bigint").alias("widx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    packed = [0] * (m // 64)
+    for r in words:
+        packed[int(r["widx"])] = int(r["word"])
+    return packed
+
+
+def might_contain(key: Column, packed: list[int], m: int, k: int = BLOOM_NUM_HASHES) -> Column:
+    """JVM membership expression against the broadcast word array.
+
+    ONE array literal (a single Literal node, not m/64 child expressions —
+    F.lit on a python list) shared by all k probes; each probe is
+    element_at + shift + mask. NULL keys return false (a NULL PK is never
+    'present')."""
+    words = F.lit(packed)  # array<bigint> literal, constant-folded once
+    tests = []
+    for p in _positions(key, m, k):
+        word = F.element_at(
+            words, (F.call_function("shiftright", p, F.lit(6)) + 1).cast("int")
+        )
+        tests.append(
+            F.call_function("shiftright", word, (p % 64).cast("int"))
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return F.when(key.isNull(), F.lit(False)).otherwise(out)
+
+
+def bloom_prefilter_audit(
+    origin: DataFrame,
+    target: DataFrame,
+    pk_col: str,
+    min_catch_rate: float = 0.9,
+) -> DataFrame:
+    """One-row audit of the bloom prefilter against exact truth.
+
+    Build over ``target``'s PKs, probe every ``origin`` PK; compare the
+    definitely-missing set against the exact missing set (left anti join —
+    computed here only to audit; production replaces it with the diff join
+    on the filter's survivors). Emits:
+
+    - ``n_origin`` / ``n_missing_exact`` — exact counts (oracle recomputes),
+    - ``flagged_subset_ok`` — every bloom-flagged key IS truly missing
+      (the no-false-negative contract: a present key can never fail all k
+      bit tests unless the packing is broken),
+    - ``catch_rate_ok`` — the filter catches >= ``min_catch_rate`` of the
+      truly-missing keys without any join (expected miss fraction == the
+      fp rate, ~0.2% at 20 bits/key).
+
+    The exact branch shuffles; the bloom branch does not — that asymmetry
+    is the 100 TB point, and the audit emits only exact counts + booleans
+    so the DuckDB oracle is engine-independent.
+    """
+    n_target = target.count()
+    m = sized_bits(n_target)
+    packed = build_bloom(target, pk_col, m)
+    key = F.col(pk_col)
+    probed = origin.select(
+        key.alias("pk"),
+        (~might_contain(key, packed, m)).alias("flagged"),
+    )
+    exact_missing = (
+        origin.select(key.alias("pk"))
+        .join(target.select(key.alias("pk")).distinct(), "pk", "left_anti")
+        .select("pk", F.lit(1).alias("__miss"))
+    )
+    joined = probed.join(exact_missing, "pk", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_origin"),
+        F.sum(F.coalesce(F.col("__miss"), F.lit(0))).cast("bigint").alias("n_missing_exact"),
+        (
+            F.sum(F.when(F.col("flagged") & F.col("__miss").isNull(), 1).otherwise(0)) == 0
+        ).alias("flagged_subset_ok"),
+        (
+            F.sum(F.when(F.col("flagged") & F.col("__miss").isNotNull(), 1).otherwise(0))
+            >= F.lit(min_catch_rate) * F.sum(F.coalesce(F.col("__miss"), F.lit(0)))
+        ).alias("catch_rate_ok"),
+    )

@@ -4149,6 +4149,126 @@ def q_heavy_hitters_audit(spark, sf_dir):
     return sketches.heavy_hitter_audit(e, "user_id", "event_id", HH_THRESHOLD_FRAC)
 
 
+def q_bloom_prefilter_audit(spark, sf_dir):
+    """Bloom-filter PK prefilter for migration validation (operators/
+    bloom.py) — the runtime-filter pattern Spark's own InjectRuntimeFilter
+    applies to shuffle joins, made explicit and audited: build a packed
+    bloom over the target's PKs (distributed bit_or aggregate, <= m/64
+    words cross the wire), broadcast the word array, and flag origin keys
+    the filter rejects as DEFINITELY missing — zero join, zero shuffle on
+    the probe side. Emits exact counts plus the two contract booleans
+    (flagged ⊆ truly-missing; catch rate >= 0.9); the oracle recomputes
+    the exact side and asserts the booleans TRUE."""
+    from cassandra_data_migrator_spark.operators import bloom
+
+    origin = _t(spark, sf_dir, "orders")
+    target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
+    return bloom.bloom_prefilter_audit(origin, target, "o_orderkey")
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility audit: chars-per-whitespace-token
+    and BPE-ish-subtokens-per-whitespace-token — the coverage numbers that
+    decide whether a tokenizer under- or over-segments a language slice of
+    the training mix. One scan, one bounded groupBy(lang); the two token
+    counters are the SAME regex twins token_count already pins, so the
+    oracle restates them verbatim. Zero-token groups emit NULL ratios
+    (explicit nullif guard, identical both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    sum_chars = F.sum(F.length("text")).cast("bigint")
+    sum_ws = F.sum(F.size(tokens("text"))).cast("bigint")
+    sum_bpe = F.sum(token_count_bpe_ish("text")).cast("bigint")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        sum_chars.alias("sum_chars"),
+        sum_ws.alias("sum_ws"),
+        sum_bpe.alias("sum_bpe"),
+    )
+    ws_nz = F.nullif(F.col("sum_ws"), F.lit(0))
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws",
+        "sum_bpe",
+        F.round(F.col("sum_chars") / ws_nz, 4).alias("chars_per_token_r4"),
+        F.round(F.col("sum_bpe") / ws_nz, 4).alias("fertility_r4"),
+    )
+
+
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit Morton value
+ZORDER_SCALE = 1 << ZORDER_BITS
+ZORDER_BUCKETS = 16  # top-4 z bits -> a 4x4 grid over (x, y)
+ZORDER_BUCKET_DIV = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+ZORDER_LIN_DIV = ZORDER_SCALE // ZORDER_BUCKETS
+ZORDER_BOX_Y = (64, 127)  # bin-space query box: second y-quarter, full x
+
+
+def _zorder_sql(xs: str, ys: str, div: str) -> str:
+    """Bit-interleaved Morton value as PORTABLE integer arithmetic — the
+    same string runs in Spark SQL (div='div') and DuckDB (div='//'), so
+    the oracle is the identical formula, not a reimplementation."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xs}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({ys}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def q_zorder_prune_audit(spark, sf_dir):
+    """Z-order (Morton) clustered layout vs linear layout, measured by
+    bucket-level min/max pruning — the lakehouse data-clustering decision
+    quantified: bin (user_id, ts_us) to an 8-bit grid (equal-width, bounds
+    from a 1-row broadcast agg), interleave to a 16-bit z-value, and split
+    the table into 16 z-buckets vs 16 linear-by-x buckets. For a query box
+    covering one quarter of the time range across ALL users, count how
+    many buckets' (min,max) time stats overlap the box: the z layout
+    co-locates time ranges (touches ~4/16) while the x-linear layout
+    scatters them (touches ~16/16) — exactly the file-skipping delta a
+    z-ordered table write buys at 100 TB, where each bucket is a file and
+    'touched' is 'scanned'. All-integer binning (div, never float), so
+    the oracle computes bit-identical buckets."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts_us")
+    rng = e.agg(
+        F.min("user_id").alias("mnx"),
+        F.max("user_id").alias("mxx"),
+        F.min("ts_us").alias("mny"),
+        F.max("ts_us").alias("mxy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "n_rows",
+        F.expr(f"((user_id - mnx) * {ZORDER_SCALE}) div (mxx - mnx + 1)").alias("xs"),
+        F.expr(f"((ts_us - mny) * {ZORDER_SCALE}) div (mxy - mny + 1)").alias("ys"),
+    )
+    z = binned.withColumn("zv", F.expr(_zorder_sql("xs", "ys", "div")))
+    y_lo, y_hi = ZORDER_BOX_Y
+    touched = (F.max("ys") >= y_lo) & (F.min("ys") <= y_hi)
+    zt = (
+        z.groupBy(F.expr(f"zv div {ZORDER_BUCKET_DIV}").alias("bkt"))
+        .agg(touched.alias("hit"))
+        .agg(F.sum(F.col("hit").cast("int")).cast("bigint").alias("z_buckets_touched"))
+    )
+    lt = (
+        z.groupBy(F.expr(f"xs div {ZORDER_LIN_DIV}").alias("bkt"))
+        .agg(touched.alias("hit"))
+        .agg(F.sum(F.col("hit").cast("int")).cast("bigint").alias("lin_buckets_touched"))
+    )
+    n = z.agg(F.max("n_rows").alias("n_rows"))
+    return (
+        n.crossJoin(F.broadcast(zt))
+        .crossJoin(F.broadcast(lt))
+        .select(
+            "n_rows",
+            "z_buckets_touched",
+            "lin_buckets_touched",
+            F.round(
+                F.col("lin_buckets_touched") / F.col("z_buckets_touched"), 4
+            ).alias("prune_gain_r4"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4186,6 +4306,9 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r06 window head: new or behavior-changed this round ---
+        "bloom_prefilter_audit": q_bloom_prefilter_audit,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "zorder_prune_audit": q_zorder_prune_audit,
         "validate_diff_sampled": q_validate_diff_sampled,
         "validate_profile_drift": q_validate_profile_drift,
         "multimodal_resize": q_multimodal_resize,
@@ -4431,7 +4554,53 @@ def oracle_sql() -> dict[str, str]:
     tok_o = tok_sql("o_orderkey")
     wt = f"greatest({WRITETIME_VALUE_SQL}, {WRITETIME_PROPS_SQL})"
     stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    zx = f"((user_id - mnx) * {ZORDER_SCALE}) // (mxx - mnx + 1)"
+    zy = f"((epoch_us(ts) - mny) * {ZORDER_SCALE}) // (mxy - mny + 1)"
     return {
+        "bloom_prefilter_audit": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_origin,
+                   CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_missing_exact,
+                   TRUE AS flagged_subset_ok,
+                   TRUE AS catch_rate_ok
+            FROM orders
+        """,
+        "tokenizer_fertility": f"""
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS sum_ws,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                            + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) ) AS BIGINT)
+                       AS sum_bpe,
+                   ROUND(CAST(SUM(length(text)) AS DOUBLE)
+                         / NULLIF(SUM(len({TOKS_SQL})), 0), 4) AS chars_per_token_r4,
+                   ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                              + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) ) AS DOUBLE)
+                         / NULLIF(SUM(len({TOKS_SQL})), 0), 4) AS fertility_r4
+            FROM documents GROUP BY lang
+        """,
+        "zorder_prune_audit": f"""
+            WITH rng AS (SELECT MIN(user_id) AS mnx, MAX(user_id) AS mxx,
+                                MIN(epoch_us(ts)) AS mny, MAX(epoch_us(ts)) AS mxy,
+                                COUNT(*) AS n_rows
+                         FROM events),
+            b AS (SELECT n_rows, {zx} AS xs, {zy} AS ys FROM events, rng),
+            z AS (SELECT n_rows, xs, ys, {_zorder_sql('xs', 'ys', '//')} AS zv FROM b),
+            zt AS (SELECT COUNT(*) AS z_t FROM (
+                     SELECT zv // {ZORDER_BUCKET_DIV} AS bkt,
+                            MIN(ys) AS bmn, MAX(ys) AS bmx FROM z GROUP BY 1)
+                   WHERE bmx >= {ZORDER_BOX_Y[0]} AND bmn <= {ZORDER_BOX_Y[1]}),
+            lt AS (SELECT COUNT(*) AS l_t FROM (
+                     SELECT xs // {ZORDER_LIN_DIV} AS bkt,
+                            MIN(ys) AS bmn, MAX(ys) AS bmx FROM z GROUP BY 1)
+                   WHERE bmx >= {ZORDER_BOX_Y[0]} AND bmn <= {ZORDER_BOX_Y[1]})
+            SELECT CAST(rng.n_rows AS BIGINT) AS n_rows,
+                   CAST(z_t AS BIGINT) AS z_buckets_touched,
+                   CAST(l_t AS BIGINT) AS lin_buckets_touched,
+                   ROUND(CAST(l_t AS DOUBLE) / z_t, 4) AS prune_gain_r4
+            FROM rng, zt, lt
+        """,
         "scan_project": """
             SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
                    l_extendedprice AS price, l_returnflag AS flag

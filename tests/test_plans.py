@@ -387,6 +387,7 @@ BNLJ_KEYS = {
     "jsonl_quarantine": "total",  # two 1-row checksum aggs crossJoined
     "file_compaction": "total",  # three 1-row layout-stat aggs crossJoined
     "temperature_mix": "total",  # 1-row max-weight broadcast for rate normalization
+    "zorder_prune_audit": "total",  # 1-row range-bounds + two 1-row touch counts
 }
 
 
