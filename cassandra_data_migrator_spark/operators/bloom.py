@@ -87,14 +87,43 @@ def build_bloom(df: DataFrame, key_col: str, m: int, k: int = BLOOM_NUM_HASHES) 
     return packed
 
 
-def might_contain(key: Column, packed: list[int], m: int, k: int = BLOOM_NUM_HASHES) -> Column:
-    """JVM membership expression against the broadcast word array.
+def bloom_frame(spark, packed: list[int]) -> DataFrame:
+    """The packed filter as a ONE-ROW DataFrame carrying the word array.
 
-    ONE array literal (a single Literal node, not m/64 child expressions —
-    F.lit on a python list) shared by all k probes; each probe is
-    element_at + shift + mask. NULL keys return false (a NULL PK is never
-    'present')."""
-    words = F.lit(packed)  # array<bigint> literal, constant-folded once
+    The filter must reach executors as DATA (a broadcast row), never as an
+    expression: pyspark's ``F.lit(list)`` expands to a CreateArray with
+    m/64 child literal nodes, and at m = 2^22 the 65k-child expression
+    tree (x k probes) costs tens of seconds of analysis/codegen before a
+    single row flows (measured 38 s on the sf0.1 audit). A broadcast
+    1-row crossJoin is how Spark's own InjectRuntimeFilter ships bloom
+    bits (a subquery result, not a literal) — same shape here."""
+    return spark.createDataFrame([(packed,)], "__bloom_words ARRAY<BIGINT>")
+
+
+def with_bloom_flag(
+    df: DataFrame,
+    key_col: str,
+    packed: list[int],
+    m: int,
+    k: int = BLOOM_NUM_HASHES,
+    flag_col: str = "flagged",
+    negate: bool = True,
+) -> DataFrame:
+    """Attach the membership verdict to every row of ``df`` via the
+    broadcast 1-row word array (pinned BNLJ 'total' class). With
+    ``negate`` (default) the flag means DEFINITELY-ABSENT — the
+    prefilter's actionable signal."""
+    spark = df.sparkSession
+    out = df.crossJoin(F.broadcast(bloom_frame(spark, packed)))
+    hit = might_contain(F.col(key_col), F.col("__bloom_words"), m, k)
+    return out.withColumn(flag_col, ~hit if negate else hit).drop("__bloom_words")
+
+
+def might_contain(key: Column, words: Column, m: int, k: int = BLOOM_NUM_HASHES) -> Column:
+    """JVM membership expression against the broadcast word-array COLUMN
+    (from ``bloom_frame`` — see there for why a column, not a literal).
+    Each of the k probes is element_at + shift + mask; NULL keys return
+    false (a NULL PK is never 'present')."""
     tests = []
     for p in _positions(key, m, k):
         word = F.element_at(
@@ -140,9 +169,8 @@ def bloom_prefilter_audit(
     m = sized_bits(n_target)
     packed = build_bloom(target, pk_col, m)
     key = F.col(pk_col)
-    probed = origin.select(
-        key.alias("pk"),
-        (~might_contain(key, packed, m)).alias("flagged"),
+    probed = with_bloom_flag(
+        origin.select(key.alias("pk")), "pk", packed, m, flag_col="flagged"
     )
     exact_missing = (
         origin.select(key.alias("pk"))

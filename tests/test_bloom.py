@@ -28,7 +28,7 @@ def test_no_false_negatives(spark, built):
     law; a packing bug (wrong word index, lost sign bit, off-by-one shift)
     breaks this immediately."""
     target, m, packed = built
-    misses = target.filter(~bloom.might_contain(F.col("pk"), packed, m)).count()
+    misses = bloom.with_bloom_flag(target, "pk", packed, m).filter("flagged").count()
     assert misses == 0
 
 
@@ -39,7 +39,11 @@ def test_fp_rate_within_band(spark, built):
     read 100% here while still passing the no-false-negative test."""
     target, m, packed = built
     probe = spark.range(0, 5_000).select((F.col("id") * 3 + 1).alias("pk"))
-    fp = probe.filter(bloom.might_contain(F.col("pk"), packed, m)).count()
+    fp = (
+        bloom.with_bloom_flag(probe, "pk", packed, m, negate=False)
+        .filter("flagged")
+        .count()
+    )
     assert fp / 5_000 < 0.01, f"fp rate {fp / 5_000}"
 
 
@@ -64,8 +68,8 @@ def test_null_key_never_present(spark):
     probe = spark.createDataFrame([(None,), (5,)], "pk BIGINT")
     got = {
         r["pk"]: r["hit"]
-        for r in probe.select(
-            "pk", bloom.might_contain(F.col("pk"), packed, m).alias("hit")
+        for r in bloom.with_bloom_flag(
+            probe, "pk", packed, m, flag_col="hit", negate=False
         ).collect()
     }
     assert got[None] is False

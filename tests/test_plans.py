@@ -388,6 +388,7 @@ BNLJ_KEYS = {
     "file_compaction": "total",  # three 1-row layout-stat aggs crossJoined
     "temperature_mix": "total",  # 1-row max-weight broadcast for rate normalization
     "zorder_prune_audit": "total",  # 1-row range-bounds + two 1-row touch counts
+    "bloom_prefilter_audit": "total",  # 1-row broadcast bloom word array
 }
 
 
