@@ -4229,6 +4229,14 @@ def q_zorder_prune_audit(spark, sf_dir):
     'touched' is 'scanned'. All-integer binning (div, never float), so
     the oracle computes bit-identical buckets."""
     e = _t(spark, sf_dir, "events").select("user_id", "ts_us")
+    return zorder_prune_stats(e)
+
+
+def zorder_binned(e):
+    """(xs, ys, zv, n_rows) over any (user_id, ts_us) frame: all-integer
+    equal-width 8-bit binning (bounds via 1-row broadcast agg) + the
+    portable Morton interleave. Shared by the audit key, the scale-stress
+    harness, and the partitioned-write pruning test."""
     rng = e.agg(
         F.min("user_id").alias("mnx"),
         F.max("user_id").alias("mxx"),
@@ -4241,7 +4249,14 @@ def q_zorder_prune_audit(spark, sf_dir):
         F.expr(f"((user_id - mnx) * {ZORDER_SCALE}) div (mxx - mnx + 1)").alias("xs"),
         F.expr(f"((ts_us - mny) * {ZORDER_SCALE}) div (mxy - mny + 1)").alias("ys"),
     )
-    z = binned.withColumn("zv", F.expr(_zorder_sql("xs", "ys", "div")))
+    return binned.withColumn("zv", F.expr(_zorder_sql("xs", "ys", "div")))
+
+
+def zorder_prune_stats(e):
+    """The z-vs-linear bucket-prune measurement over any (user_id, ts_us)
+    frame — split out of q_zorder_prune_audit so tools/scale_stress.py can
+    drive it on the clone-union stress input."""
+    z = zorder_binned(e)
     y_lo, y_hi = ZORDER_BOX_Y
     touched = (F.max("ys") >= y_lo) & (F.min("ys") <= y_hi)
     zt = (

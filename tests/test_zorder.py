@@ -34,6 +34,49 @@ def test_zorder_sql_matches_python_interleave(spark):
         assert r["zv"] == _py_morton(r["xs"], r["ys"], q.ZORDER_BITS), (r["xs"], r["ys"])
 
 
+def test_zorder_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """The audit's claim executed for real: write events partitioned by
+    z-bucket, derive the touched-bucket list from the bucket-stats table,
+    and verify the time-band read (1) plans a partition filter and (2)
+    physically reads only the touched buckets' files — directory-listing
+    level pruning, the 100 TB 'bucket = file' payoff."""
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    z = q.zorder_binned(e).withColumn(
+        "bkt", F.expr(f"zv div {q.ZORDER_BUCKET_DIV}")
+    ).select("xs", "ys", "bkt")
+    path = str(tmp_path / "zclustered")
+    z.write.partitionBy("bkt").parquet(path)
+
+    r = spark.read.parquet(path)
+    y_lo, y_hi = q.ZORDER_BOX_Y
+    stats = r.groupBy("bkt").agg(F.min("ys").alias("mn"), F.max("ys").alias("mx"))
+    touched = sorted(
+        row["bkt"] for row in stats.filter(
+            (F.col("mx") >= y_lo) & (F.col("mn") <= y_hi)
+        ).collect()
+    )
+    total = stats.count()
+    assert len(touched) < total  # the layout actually prunes
+
+    pruned = r.filter(F.col("bkt").isin(touched)).filter(
+        (F.col("ys") >= y_lo) & (F.col("ys") <= y_hi)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkt" in plan
+    files_read = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    all_files = r.select(F.input_file_name().alias("f")).distinct().count()
+    assert files_read < all_files
+    # row-for-row identical to the unpruned filter (pruning loses nothing:
+    # bucket stats are conservative bounds)
+    assert pruned.count() == r.filter(
+        (F.col("ys") >= y_lo) & (F.col("ys") <= y_hi)
+    ).count()
+
+
 def test_zorder_prunes_on_fixture(spark, sf_dir):
     row = q.q_zorder_prune_audit(spark, sf_dir).collect()[0]
     assert row["z_buckets_touched"] <= row["lin_buckets_touched"]

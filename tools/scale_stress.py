@@ -35,11 +35,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from cassandra_data_migrator_spark.operators import (
+        bloom,
         dedup,
         interval,
         validation,
         windows,
     )
+    from cassandra_data_migrator_spark.queries import zorder_prune_stats
     from cassandra_data_migrator_spark.operators.asof import asof_join
     from cassandra_data_migrator_spark.operators.cluster import (
         assign_clusters_exact,
@@ -210,6 +212,20 @@ def main() -> None:
                     anchors, purchases, ["user_id"], "ts_us", "ts_us",
                     6 * 3600 * 1_000_000, ["value"],
                 )
+            ),
+            # r06 additions: the bloom build is a bit_or agg (<= m/64 rows
+            # shuffle) + bounded collect; the probe is scan-bound — the
+            # whole audit should scale ~linearly even though m grows with
+            # n (the collect grows, the per-row work does not)
+            "bloom_prefilter": lambda: noop(
+                bloom.bloom_prefilter_audit(
+                    events, events.filter(F.col("event_id") % 97 != 0), "event_id"
+                )
+            ),
+            # scan + two bounded (16-group) aggs; the crossJoined range
+            # bounds are 1-row broadcasts
+            "zorder_audit": lambda: noop(
+                zorder_prune_stats(events.select("user_id", "ts_us"))
             ),
         }
         if wanted:
