@@ -508,3 +508,25 @@ def test_ppm_box_pool_reference_properties(w, h, factor, seed):
                 assert min(block) <= v <= max(block)
     const = [123] * (w * h * 3)
     assert set(_pool_reference(w, h, const, factor)[2]) == {123}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_bloom_no_false_negatives_property(spark, keys):
+    """operators/bloom.py: for ANY key set (negatives, zero, wide range),
+    every built key tests present — the law the prefilter's 'definitely
+    missing' verdict rests on."""
+    from cassandra_data_migrator_spark.operators import bloom
+
+    df = spark.createDataFrame([(k,) for k in keys], "pk BIGINT")
+    m = bloom.sized_bits(len(keys))
+    packed = bloom.build_bloom(df, "pk", m)
+    missed = bloom.with_bloom_flag(df, "pk", packed, m).filter("flagged").count()
+    assert missed == 0
