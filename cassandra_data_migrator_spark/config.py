@@ -67,6 +67,12 @@ KNOWN_KEYS: dict[str, tuple[type, Any]] = {
     # never be null, and null-safe keys defeat bucket co-location — see
     # operators/validation.py diff docstring / tests/test_bucketing.py).
     "spark.cdm.validate.nullSafePk": (bool, True),
+    # validation cost tier (SCALE.md 'Tiered validation'): full | sampled
+    # (mod-N hash sample of BOTH sides pre-join) | prefilter (bloom
+    # definitely-missing scan, zero probe-side shuffle)
+    "spark.cdm.validate.tier": (str, "full"),
+    "spark.cdm.validate.sampleMod": (int, 10),
+    "spark.cdm.validate.sampleResidue": (int, 0),
     # guardrail
     "spark.cdm.feature.guardrail.colSizeInKB": (int, 0),
     # perfops. Rate limits: CDM's limiter is always-on (20k/40k defaults)

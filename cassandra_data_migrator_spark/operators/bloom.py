@@ -140,6 +140,32 @@ def might_contain(key: Column, words: Column, m: int, k: int = BLOOM_NUM_HASHES)
     return F.when(key.isNull(), F.lit(False)).otherwise(out)
 
 
+def prefilter_missing(
+    origin: DataFrame, target: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """Definitely-missing PK report — the bloom tier of the validation
+    ladder (plans/migrate.run_validate tier='prefilter').
+
+    Composite PKs collapse to one ``xxhash64(*pk)`` key on BOTH sides
+    before the filter; a hash collision can only turn a missing key into
+    'maybe present' (a missed catch — the safe direction), never invent a
+    missing row, so the output contract matches the bloom's: every
+    reported row IS missing from the target (status column matches the
+    diff report's vocabulary), some missing rows may go unreported
+    (caught by a later full/sampled tier). Probe side never shuffles."""
+    keyed = [F.col(c) for c in pk_cols]
+    tgt = target.select(F.xxhash64(*keyed).alias("__bk"))
+    m = sized_bits(tgt.count())
+    packed = build_bloom(tgt, "__bk", m)
+    probe = origin.select(*pk_cols, F.xxhash64(*keyed).alias("__bk"))
+    return (
+        with_bloom_flag(probe, "__bk", packed, m)
+        .filter("flagged")
+        .select(*pk_cols)
+        .withColumn("status", F.lit("missing"))
+    )
+
+
 def bloom_prefilter_audit(
     origin: DataFrame,
     target: DataFrame,

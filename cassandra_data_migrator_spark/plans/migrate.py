@@ -147,14 +147,39 @@ def run_migrate(spark: SparkSession, origin: DataFrame, cfg: MigrationConfig) ->
 def run_validate(
     spark: SparkSession, origin: DataFrame, target: DataFrame, cfg: MigrationConfig
 ) -> JobResult:
-    """DiffData: transformed origin vs target, full row compare + optional
-    autocorrect payloads."""
+    """DiffData: transformed origin vs target, row compare + optional
+    autocorrect payloads. ``spark.cdm.validate.tier`` selects the cost
+    tier a 100 TB validation actually climbs (SCALE.md 'Tiered
+    validation'):
+
+    - ``full``      — the CDM-semantics complete diff (default);
+    - ``sampled``   — the mod-N deterministic PK sample restricts BOTH
+      sides before the join (``sampleMod``/``sampleResidue``; hash-based,
+      so any PK type samples uniformly), co-partition shuffle moves 1/N;
+    - ``prefilter`` — the bloom tier: definitely-missing keys only, zero
+      probe-side shuffle (operators/bloom.prefilter_missing).
+    """
     piped = build_feature_pipeline(origin, cfg)
     pk = cfg.pk_columns()
     if not pk:
         raise ValueError(
             "validate requires spark.cdm.schema.pk (comma-separated PK columns)"
         )
+    tier = cfg.get("spark.cdm.validate.tier")
+    if tier not in ("full", "sampled", "prefilter"):
+        raise ValueError(
+            f"spark.cdm.validate.tier must be full|sampled|prefilter, got {tier!r}"
+        )
+    if tier == "prefilter":
+        from cassandra_data_migrator_spark.operators.bloom import prefilter_missing
+
+        return JobResult("validate", prefilter_missing(piped, target, pk))
+    if tier == "sampled":
+        mod = cfg.get("spark.cdm.validate.sampleMod")
+        residue = cfg.get("spark.cdm.validate.sampleResidue")
+        keep = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(mod)) == residue
+        piped = piped.filter(keep)
+        target = target.filter(keep)
     compare = [c for c in piped.columns if c not in pk and not c.startswith("__")]
     report = validation.diff(
         piped, target, pk, compare,

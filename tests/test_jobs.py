@@ -299,3 +299,78 @@ def test_profile_drift_flags_planted_damage(spark):
     assert rows["nd_o_orderstatus"].drift == 0  # status set survives
     for r in rows.values():
         assert (r.origin_v != r.target_v) == bool(r.drift)
+
+
+def test_validate_tier_prefilter_reports_only_true_missing(spark, sf_dir):
+    """The bloom tier: every reported row is a genuinely missing PK
+    (subset law), the catch rate is near-total at fixture sizing, and no
+    mismatch rows appear (the tier answers only the missing question)."""
+    origin = load_table(spark, sf_dir, "orders")
+    cfg = MigrationConfig(
+        {"spark.cdm.schema.pk": "o_orderkey", "spark.cdm.validate.tier": "prefilter"}
+    )
+    target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
+    report = run_job(spark, "validate", origin, cfg, target=target).output
+    got = {r.o_orderkey for r in report.collect()}
+    truly_missing = {
+        r.o_orderkey
+        for r in origin.filter(F.col("o_orderkey") % 97 == 0).collect()
+    }
+    assert got <= truly_missing
+    assert len(got) >= 0.9 * len(truly_missing)
+    assert {r.status for r in report.select("status").distinct().collect()} <= {"missing"}
+
+
+def test_validate_tier_sampled_matches_full_on_sample(spark, sf_dir):
+    """The sampled tier equals the full diff restricted to the hash-residue
+    class — deterministic, so a re-run audits the same rows."""
+    origin = load_table(spark, sf_dir, "orders")
+    target = validation.derived_target(origin, "o_orderkey", "o_orderstatus")
+    cfg_s = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "o_orderkey",
+            "spark.cdm.validate.tier": "sampled",
+            "spark.cdm.validate.sampleMod": 7,
+            "spark.cdm.validate.sampleResidue": 3,
+        }
+    )
+    sampled = run_job(spark, "validate", origin, cfg_s, target=target).output
+    cfg_f = MigrationConfig({"spark.cdm.schema.pk": "o_orderkey"})
+    keep = F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(7)) == 3
+    full = run_job(
+        spark, "validate", origin.filter(keep), cfg_f, target=target.filter(keep)
+    ).output
+    assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, full.collect()))
+    # determinism: same residue -> same rows
+    again = run_job(spark, "validate", origin, cfg_s, target=target).output
+    assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_validate_tier_unknown_aborts(spark, sf_dir):
+    origin = load_table(spark, sf_dir, "orders")
+    cfg = MigrationConfig(
+        {"spark.cdm.schema.pk": "o_orderkey", "spark.cdm.validate.tier": "bogus"}
+    )
+    with pytest.raises(ValueError, match="tier"):
+        run_job(spark, "validate", origin, cfg, target=origin)
+
+
+def test_validate_tier_prefilter_composite_pk(spark, sf_dir):
+    """Composite PKs collapse to one xxhash64 key on both sides; the
+    subset law must hold for lineitem's (orderkey, linenumber) PK too."""
+    origin = load_table(spark, sf_dir, "lineitem")
+    target = origin.filter(F.col("l_orderkey") % 53 != 0)
+    cfg = MigrationConfig(
+        {
+            "spark.cdm.schema.pk": "l_orderkey,l_linenumber",
+            "spark.cdm.validate.tier": "prefilter",
+        }
+    )
+    report = run_job(spark, "validate", origin, cfg, target=target).output
+    got = {(r.l_orderkey, r.l_linenumber) for r in report.collect()}
+    truly = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in origin.filter(F.col("l_orderkey") % 53 == 0).collect()
+    }
+    assert got <= truly
+    assert len(got) >= 0.9 * len(truly)
