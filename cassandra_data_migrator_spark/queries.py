@@ -4196,23 +4196,25 @@ def q_tokenizer_fertility(spark, sf_dir):
     )
 
 
-ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit Morton value
-ZORDER_SCALE = 1 << ZORDER_BITS
-ZORDER_BUCKETS = 16  # top-4 z bits -> a 4x4 grid over (x, y)
-ZORDER_BUCKET_DIV = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
-ZORDER_LIN_DIV = ZORDER_SCALE // ZORDER_BUCKETS
+# Morton/bucket math lives with the other layout levers (compaction, hive
+# partitioning, zorder_binned/write_zordered) in sources/layout.py; the
+# audit key and its DuckDB oracle below use the SAME formula string so
+# both engines compute bit-identical buckets.
+from cassandra_data_migrator_spark.sources.layout import (  # noqa: E402
+    ZORDER_BITS,
+    ZORDER_BUCKET_DIV,
+    ZORDER_BUCKETS,
+    ZORDER_LIN_DIV,
+    ZORDER_SCALE,
+)
+from cassandra_data_migrator_spark.sources.layout import (  # noqa: E402
+    zorder_binned as _layout_zorder_binned,
+)
+from cassandra_data_migrator_spark.sources.layout import (  # noqa: E402
+    zorder_sql as _zorder_sql,
+)
+
 ZORDER_BOX_Y = (64, 127)  # bin-space query box: second y-quarter, full x
-
-
-def _zorder_sql(xs: str, ys: str, div: str) -> str:
-    """Bit-interleaved Morton value as PORTABLE integer arithmetic — the
-    same string runs in Spark SQL (div='div') and DuckDB (div='//'), so
-    the oracle is the identical formula, not a reimplementation."""
-    terms = []
-    for i in range(ZORDER_BITS):
-        terms.append(f"((({xs}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
-        terms.append(f"((({ys}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
-    return " + ".join(terms)
 
 
 def q_zorder_prune_audit(spark, sf_dir):
@@ -4232,31 +4234,11 @@ def q_zorder_prune_audit(spark, sf_dir):
     return zorder_prune_stats(e)
 
 
-def zorder_binned(e):
-    """(xs, ys, zv, n_rows) over any (user_id, ts_us) frame: all-integer
-    equal-width 8-bit binning (bounds via 1-row broadcast agg) + the
-    portable Morton interleave. Shared by the audit key, the scale-stress
-    harness, and the partitioned-write pruning test."""
-    rng = e.agg(
-        F.min("user_id").alias("mnx"),
-        F.max("user_id").alias("mxx"),
-        F.min("ts_us").alias("mny"),
-        F.max("ts_us").alias("mxy"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
-    binned = e.crossJoin(F.broadcast(rng)).select(
-        "n_rows",
-        F.expr(f"((user_id - mnx) * {ZORDER_SCALE}) div (mxx - mnx + 1)").alias("xs"),
-        F.expr(f"((ts_us - mny) * {ZORDER_SCALE}) div (mxy - mny + 1)").alias("ys"),
-    )
-    return binned.withColumn("zv", F.expr(_zorder_sql("xs", "ys", "div")))
-
-
 def zorder_prune_stats(e):
     """The z-vs-linear bucket-prune measurement over any (user_id, ts_us)
     frame — split out of q_zorder_prune_audit so tools/scale_stress.py can
     drive it on the clone-union stress input."""
-    z = zorder_binned(e)
+    z = _layout_zorder_binned(e, "user_id", "ts_us")
     y_lo, y_hi = ZORDER_BOX_Y
     touched = (F.max("ys") >= y_lo) & (F.min("ys") <= y_hi)
     zt = (

@@ -52,3 +52,65 @@ def compact(
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     """Hive-layout write: one directory per ``partition_col`` value."""
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — the third layout lever after compaction and
+# hive partitioning: co-locate rows that are close in TWO dimensions so a
+# bucket's (min, max) stats prune multi-dimensional range queries. The
+# audit key queries.q_zorder_prune_audit quantifies the win; the pruning
+# payoff is executed for real in tests/test_zorder.py.
+
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit Morton value
+ZORDER_SCALE = 1 << ZORDER_BITS
+ZORDER_BUCKETS = 16  # top-4 z bits -> a 4x4 grid over (x, y)
+ZORDER_BUCKET_DIV = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+ZORDER_LIN_DIV = ZORDER_SCALE // ZORDER_BUCKETS
+
+
+def zorder_sql(xs: str, ys: str, div: str) -> str:
+    """Bit-interleaved Morton value as PORTABLE integer arithmetic — the
+    same string runs in Spark SQL (div='div') and DuckDB (div='//'), so
+    the audit oracle is the identical formula, not a reimplementation."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xs}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({ys}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_binned(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """(original columns +) xs, ys, zv, n_rows: all-integer equal-width
+    8-bit binning (bounds via ONE 1-row broadcast agg — no data-sized
+    shuffle) + the portable Morton interleave. Integer ``div`` binning,
+    never float, so an engine-independent recomputation lands in the
+    same bucket."""
+    rng = df.agg(
+        F.min(x_col).alias("__mnx"),
+        F.max(x_col).alias("__mxx"),
+        F.min(y_col).alias("__mny"),
+        F.max(y_col).alias("__mxy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        *df.columns,
+        "n_rows",
+        F.expr(
+            f"(({x_col} - __mnx) * {ZORDER_SCALE}) div (__mxx - __mnx + 1)"
+        ).alias("xs"),
+        F.expr(
+            f"(({y_col} - __mny) * {ZORDER_SCALE}) div (__mxy - __mny + 1)"
+        ).alias("ys"),
+    )
+    return binned.withColumn("zv", F.expr(zorder_sql("xs", "ys", "div")))
+
+
+def write_zordered(df: DataFrame, x_col: str, y_col: str, path: str) -> None:
+    """Z-clustered write: one directory per Morton bucket. Downstream
+    range queries on EITHER dimension derive their touched-bucket list
+    from the per-bucket stats and prune at directory-listing level
+    (tests/test_zorder.py executes this end-to-end)."""
+    z = zorder_binned(df, x_col, y_col).withColumn(
+        "bkt", F.expr(f"zv div {ZORDER_BUCKET_DIV}")
+    )
+    z.drop("n_rows", "zv").write.partitionBy("bkt").mode("overwrite").parquet(path)

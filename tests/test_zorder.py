@@ -1,15 +1,17 @@
-"""Z-order layout audit invariants (queries.q_zorder_prune_audit).
+"""Z-order layout operator + audit invariants (sources/layout.py,
+queries.q_zorder_prune_audit).
 
-The oracle pins exact values against DuckDB; these tests pin the two
+The oracle pins exact values against DuckDB; these tests pin the
 properties the oracle cannot express as a hash match: the Morton formula
-itself (vs a pure-python bit interleave) and the layout claim (the z
-layout never touches MORE buckets than the linear layout for the pinned
-time-band box, and actually prunes on the fixtures).
+itself (vs a pure-python bit interleave), the layout claim (z never
+touches MORE buckets than linear for the pinned time-band box), and the
+write path's actual directory-level pruning payoff.
 """
 
 from pyspark.sql import functions as F
 
 from cassandra_data_migrator_spark import queries as q
+from cassandra_data_migrator_spark.sources import layout
 
 
 def _py_morton(x: int, y: int, bits: int) -> int:
@@ -28,26 +30,25 @@ def test_zorder_sql_matches_python_interleave(spark):
     ]
     df = spark.createDataFrame(pts, "xs INT, ys INT")
     got = df.select(
-        "xs", "ys", F.expr(q._zorder_sql("xs", "ys", "div")).alias("zv")
+        "xs", "ys", F.expr(layout.zorder_sql("xs", "ys", "div")).alias("zv")
     ).collect()
     for r in got:
-        assert r["zv"] == _py_morton(r["xs"], r["ys"], q.ZORDER_BITS), (r["xs"], r["ys"])
+        assert r["zv"] == _py_morton(r["xs"], r["ys"], layout.ZORDER_BITS), (
+            r["xs"], r["ys"],
+        )
 
 
 def test_zorder_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
-    """The audit's claim executed for real: write events partitioned by
-    z-bucket, derive the touched-bucket list from the bucket-stats table,
-    and verify the time-band read (1) plans a partition filter and (2)
-    physically reads only the touched buckets' files — directory-listing
-    level pruning, the 100 TB 'bucket = file' payoff."""
+    """The audit's claim executed for real via the write operator: events
+    written with layout.write_zordered, touched-bucket list derived from
+    the bucket-stats table, and the time-band read (1) plans a partition
+    filter and (2) physically reads only the touched buckets' files —
+    directory-listing level pruning, the 100 TB 'bucket = file' payoff."""
     from cassandra_data_migrator_spark.sources.parquet import load_table
 
     e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
-    z = q.zorder_binned(e).withColumn(
-        "bkt", F.expr(f"zv div {q.ZORDER_BUCKET_DIV}")
-    ).select("xs", "ys", "bkt")
     path = str(tmp_path / "zclustered")
-    z.write.partitionBy("bkt").parquet(path)
+    layout.write_zordered(e, "user_id", "ts_us", path)
 
     r = spark.read.parquet(path)
     y_lo, y_hi = q.ZORDER_BOX_Y
@@ -77,10 +78,24 @@ def test_zorder_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     ).count()
 
 
+def test_zorder_write_preserves_rows(spark, sf_dir, tmp_path):
+    """write_zordered is a LAYOUT change only: every (user_id, ts_us) row
+    survives with its original values."""
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    path = str(tmp_path / "zroundtrip")
+    layout.write_zordered(e, "user_id", "ts_us", path)
+    back = spark.read.parquet(path).select("user_id", "ts_us")
+    assert back.count() == e.count()
+    assert back.exceptAll(e).count() == 0
+    assert e.exceptAll(back).count() == 0
+
+
 def test_zorder_prunes_on_fixture(spark, sf_dir):
     row = q.q_zorder_prune_audit(spark, sf_dir).collect()[0]
     assert row["z_buckets_touched"] <= row["lin_buckets_touched"]
     # the box covers 1/4 of the y range: the 4x4 z grid confines it to
     # one y-stripe (4 buckets) while the x-linear layout scatters it
-    assert row["z_buckets_touched"] <= q.ZORDER_BUCKETS // 2
+    assert row["z_buckets_touched"] <= layout.ZORDER_BUCKETS // 2
     assert row["prune_gain_r4"] >= 2.0
