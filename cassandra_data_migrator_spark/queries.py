@@ -4217,6 +4217,47 @@ from cassandra_data_migrator_spark.sources.layout import (  # noqa: E402
 ZORDER_BOX_Y = (64, 127)  # bin-space query box: second y-quarter, full x
 
 
+SUBSTR_DEDUP_LEN = 40  # Lee et al. 2022 use 50 BPE tokens; 40 chars here
+
+
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact substring-duplication profile — the unaligned complement to
+    chunk_dedup's stride-aligned chunks (a repeated span that straddles a
+    chunk boundary is invisible to stride hashing; every-position grams
+    catch it, the approach of Lee et al. 2022 'Deduplicating Training
+    Data Makes Language Models Better'). Every position's L-char gram is
+    counted corpus-wide (ONE partitioned window over the gram — no
+    self-join, no second explode), and each doc reports how much of it is
+    covered by text that occurs elsewhere (incl. within-doc repeats).
+
+    Scale: the explode is O(total chars) rows and the gram shuffle is the
+    documented cost of exact substring dedup (production runs hash the
+    gram to 8 bytes before the shuffle — same plan, 5x fewer bytes; kept
+    as the raw string here so the DuckDB oracle is hash-free). A
+    pathological hot gram is the same skew class the dedup family's
+    hot-bucket caps treat."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length("text") >= SUBSTR_DEDUP_LEN
+    )
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - SUBSTR_DEDUP_LEN + 1)
+        ).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id", F.expr(f"substr(text, p, {SUBSTR_DEDUP_LEN})").alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    tagged = pos.withColumn("cnt", F.count(F.lit(1)).over(w))
+    dup = F.sum((F.col("cnt") > 1).cast("bigint"))
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        dup.cast("bigint").alias("n_dup_grams"),
+        F.round(dup / F.count(F.lit(1)), 4).alias("dup_frac_r4"),
+    )
+
+
 def q_zorder_prune_audit(spark, sf_dir):
     """Z-order (Morton) clustered layout vs linear layout, measured by
     bucket-level min/max pruning — the lakehouse data-clustering decision
@@ -4306,6 +4347,7 @@ def queries() -> dict[str, QueryFn]:
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
+        "substring_dedup_spans": q_substring_dedup_spans,
         "validate_diff_sampled": q_validate_diff_sampled,
         "validate_profile_drift": q_validate_profile_drift,
         "multimodal_resize": q_multimodal_resize,
@@ -4576,6 +4618,26 @@ def oracle_sql() -> dict[str, str]:
                               + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) ) AS DOUBLE)
                          / NULLIF(SUM(len({TOKS_SQL})), 0), 4) AS fertility_r4
             FROM documents GROUP BY lang
+        """,
+        "substring_dedup_spans": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       substr(text, CAST(p AS INT), {SUBSTR_DEDUP_LEN}) AS gram
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(1, length(text) - {SUBSTR_DEDUP_LEN} + 2)) AS p
+                    FROM documents WHERE length(text) >= {SUBSTR_DEDUP_LEN}
+                )
+            ),
+            c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_grams,
+                   ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 4) AS dup_frac_r4
+            FROM g JOIN c USING (gram)
+            GROUP BY doc_id
         """,
         "zorder_prune_audit": f"""
             WITH rng AS (SELECT MIN(user_id) AS mnx, MAX(user_id) AS mxx,
