@@ -374,12 +374,18 @@ def dedup_fuzzy(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH fuzzy dedup end-to-end: candidate pairs with estimated
-    Jaccard ≥ threshold (rows-only checked — hash family is engine-specific)."""
+    Jaccard ≥ threshold (rows-only checked — hash family is engine-specific).
+
+    ``sigs``: pass a precomputed/materialized signature table (e.g. the
+    session-shared standing artifact queries._minhash_sigs maintains) to
+    skip the shingle+hash pass entirely; it must match num_hashes."""
     # signatures feed three downstream plans (banding, two sides of the
     # similarity join) — cache them so the shingle+hash pass runs once
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes).persist()
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands)
     return minhash_similarity(sigs, pairs, id_col).filter(
         F.col("est_jaccard") >= threshold
