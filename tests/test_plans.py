@@ -47,8 +47,26 @@ def test_sentiment_lexicon_broadcasts_small_dim(spark, sf_dir):
 
 
 def test_topk_similarity_broadcasts_queries(spark, sf_dir):
-    p = _plan(spark, sf_dir, "topk_similarity")
+    """The declared key reads the session-shared ground-truth table back
+    from parquet (one build per session feeds the exact key and both recall
+    audits), so the broadcast pin targets the BUILDER plan — the compute
+    that actually materializes the artifact."""
+    from cassandra_data_migrator_spark.operators import similarity
+    from cassandra_data_migrator_spark import queries as qq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = similarity.brute_force_topk(
+        emb, emb.filter(qq.TOPK_QUERY_PRED), k=qq.TOPK_K
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "Broadcast" in p, "query vectors must broadcast (corpus never shuffles)"
+    # and the declared key itself must be a plain artifact scan — no
+    # recompute of the BNLJ per consumer
+    key_plan = _plan(spark, sf_dir, "topk_similarity")
+    assert "NestedLoop" not in key_plan and "CartesianProduct" not in key_plan
 
 
 def test_group_agg_partial_aggregation(spark, sf_dir):
