@@ -201,6 +201,10 @@ def bloom_prefilter_audit(
     exact_missing = (
         origin.select(key.alias("pk"))
         .join(target.select(key.alias("pk")).distinct(), "pk", "left_anti")
+        # distinct so a duplicate-PK origin cannot multiply rows through
+        # the left join below — each probed row picks up at most one
+        # __miss marker, keeping n_origin == count(origin) by construction
+        .distinct()
         .select("pk", F.lit(1).alias("__miss"))
     )
     joined = probed.join(exact_missing, "pk", "left")

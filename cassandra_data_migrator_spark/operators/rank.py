@@ -83,3 +83,52 @@ def global_rank(
         .withColumn(pos_col, F.col("__cum_before") + F.row_number().over(w_in) - 1)
         .drop("__cum_before")
     )
+
+
+def global_index(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    pos_col: str = "pos",
+    total_col: str = "n_total",
+    bucket_chars: int = 4,
+) -> DataFrame:
+    """Contiguous 0-based global index over ``(key_col, tiebreak_col)`` —
+    zipWithIndex as a DataFrame op, for keys where ``global_rank``'s
+    value-cardinality bound fails (an all-distinct shuffle key makes the
+    value histogram as big as the table).
+
+    ``key_col`` must be a lowercase-hex string (md5/sha output), so its
+    ``bucket_chars``-character prefix both preserves key order AND
+    distributes uniformly. Phases:
+
+    1. bucket histogram — one count per prefix bucket (≤ 16^bucket_chars
+       rows BY CONSTRUCTION, 65 536 at the default); the only
+       unpartitioned window cumulates offsets over THIS table, never rows;
+    2. broadcast the bucket offsets back and rank only WITHIN each bucket
+       (partitioned window — the single full-data shuffle in the plan).
+
+    Output is bit-identical to ``row_number() over (order by key_col,
+    tiebreak_col) - 1`` because the bucket is a prefix of the key.
+    ``total_col`` carries the grand total on every row (same single
+    WindowExec as the offsets — unbounded-frame sum over the histogram)."""
+    rows = df.withColumn("__bkt", F.substring(F.col(key_col), 1, bucket_chars))
+    hist = rows.groupBy("__bkt").agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    w_cum = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = hist.select(
+        "__bkt",
+        (F.sum("__cnt").over(w_cum) - F.col("__cnt")).alias("__off"),
+        F.sum("__cnt").over(w_all).alias(total_col),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(key_col, tiebreak_col)
+    return (
+        rows.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            pos_col,
+            (F.col("__off") + F.row_number().over(w_in) - 1).cast("bigint"),
+        )
+        .drop("__bkt", "__off")
+    )

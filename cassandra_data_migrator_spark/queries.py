@@ -88,6 +88,10 @@ SENTIMENT_LEXICON = {"fast": 1, "slow": -1, "big": 1, "small": -1, "good": 2, "b
 # ('cd' ≈ 205/256 → ~80% train, 'e6' ≈ 230/256 → ~10% val, rest test)
 SPLIT_TRAIN_LT = "cd"
 SPLIT_VAL_LT = "e6"
+# training-order shuffle: seeded key so re-runs reproduce the epoch order,
+# contiguous position ranges map to output shards
+TRAIN_SHUFFLE_SEED = "epoch0:"
+TRAIN_SHUFFLE_SHARDS = 8
 CHUNK_SIZE = 80
 CHUNK_STRIDE = 60
 # mixture weights for stratified sampling (percent kept per language)
@@ -1274,6 +1278,44 @@ def q_hash_split(spark, sf_dir):
         .when(prefix < SPLIT_VAL_LT, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+def q_training_order_shuffle(spark, sf_dir):
+    """Deterministic full-corpus training-order shuffle with contiguous
+    shard assignment — the 'global shuffle before sharding' step every
+    LLM training-data pipeline runs after curation (examples must reach
+    the trainer in a reproducible pseudorandom order, and each output
+    shard must be a CONTIGUOUS position range so shard files stream
+    sequentially).
+
+    Order key = seeded md5 of the doc id (content-independent, epoch
+    re-keyable via TRAIN_SHUFFLE_SEED); position = contiguous 0-based
+    global index via operators/rank.global_index — zipWithIndex as a
+    DataFrame op. A naive ``row_number() over (order by key)`` funnels
+    100 TB through ONE reducer; global_index instead cumulates offsets
+    over the ≤ 65 536-row key-prefix histogram (the only unpartitioned
+    window) and ranks within prefix buckets (the single full-data
+    shuffle). Shard = pos * k DIV n_total — exact integer math, identical
+    in DuckDB."""
+    from cassandra_data_migrator_spark.operators import rank as rank_ops
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(TRAIN_SHUFFLE_SEED), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ).alias("skey"),
+    )
+    idx = rank_ops.global_index(keyed, "skey", "doc_id", pos_col="pos")
+    return idx.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"CAST((pos * {TRAIN_SHUFFLE_SHARDS}) DIV n_total AS INT)"
+        ).alias("shard"),
     )
 
 
@@ -4521,6 +4563,7 @@ def queries() -> dict[str, QueryFn]:
         "salted_group_agg": q_salted_group_agg,
         "running_total": q_running_total,
         "hash_split": q_hash_split,
+        "training_order_shuffle": q_training_order_shuffle,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
@@ -6246,6 +6289,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_LT}' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "training_order_shuffle": f"""
+            WITH k AS (
+                SELECT doc_id,
+                       md5('{TRAIN_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS skey
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+                       COUNT(*) OVER () AS n
+                FROM k
+            )
+            SELECT doc_id, pos, CAST((pos * {TRAIN_SHUFFLE_SHARDS}) // n AS INT) AS shard
+            FROM r
         """,
         "doc_chunking": f"""
             SELECT doc_id,

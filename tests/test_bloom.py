@@ -92,3 +92,19 @@ def test_build_is_bounded_aggregate(spark):
     m = 1 << 14  # deliberately small: 256 words << 50k keys
     packed = bloom.build_bloom(target, "pk", m)
     assert len(packed) == m // 64
+
+
+def test_duplicate_origin_pks_do_not_multiply(spark):
+    """A duplicate-PK origin (staging tables, CDC replays) must not
+    inflate n_origin through the audit's exact-side left join: each
+    probed row picks up at most one __miss marker, so n_origin stays
+    count(origin) and n_missing_exact counts missing ROWS."""
+    base = spark.range(0, 1_000).select(F.col("id").alias("pk"))
+    origin = base.union(base.filter(F.col("pk") < 100))  # 100 dup rows
+    target = base.filter(F.col("pk") % 10 != 0)
+    row = bloom.bloom_prefilter_audit(origin, target, "pk").collect()[0]
+    assert row["n_origin"] == 1_100
+    # 100 distinct missing pks; 10 of them (<100, %10==0) appear twice
+    assert row["n_missing_exact"] == 110
+    assert row["flagged_subset_ok"] is True
+    assert row["catch_rate_ok"] is True

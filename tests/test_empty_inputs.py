@@ -217,3 +217,13 @@ def test_profile_drift_flags_one_sided_null_aggregates(spark):
     for m in ("sum_v", "min_v", "max_v"):
         assert rows[m].target_v is None and rows[m].drift == 1
     assert rows["n_rows"].drift == 0 and rows["nd_s"].drift == 0
+
+
+def test_global_index_empty(empty_docs):
+    from cassandra_data_migrator_spark.operators.rank import global_index
+    from pyspark.sql import functions as F
+
+    keyed = empty_docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("k")
+    )
+    assert global_index(keyed, "k", "doc_id").count() == 0

@@ -530,3 +530,38 @@ def test_bloom_no_false_negatives_property(spark, keys):
     packed = bloom.build_bloom(df, "pk", m)
     missed = bloom.with_bloom_flag(df, "pk", packed, m).filter("flagged").count()
     assert missed == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=150, unique=True),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=3),
+)
+def test_global_index_matches_full_row_number(spark, ids, nparts, bucket_chars):
+    """operators/rank.global_index: for ANY input partitioning and ANY
+    prefix width, the bucketed index must be bit-identical to
+    row_number() over (order by key, id) - 1 — including md5-prefix
+    collisions (narrow bucket_chars force many keys per bucket, so the
+    within-bucket rank and the cross-bucket offsets both get exercised)."""
+    from pyspark.sql import Window
+
+    from cassandra_data_migrator_spark.operators.rank import global_index
+
+    df = (
+        spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+        .select("id", F.md5(F.col("id").cast("string").cast("binary")).alias("k"))
+        .repartition(nparts)
+    )
+    got = {
+        (r.id, r.pos, r.n_total)
+        for r in global_index(df, "k", "id", bucket_chars=bucket_chars).collect()
+    }
+    w = Window.orderBy("k", "id")
+    want = {
+        (r.id, r.pos, len(ids))
+        for r in df.withColumn(
+            "pos", (F.row_number().over(w) - 1).cast("bigint")
+        ).collect()
+    }
+    assert got == want
