@@ -48,7 +48,7 @@ def main() -> None:
         semdedup_pruned_ids,
     )
     from cassandra_data_migrator_spark.operators.graph import pagerank_pairs
-    from cassandra_data_migrator_spark.operators.rank import top_k_rows
+    from cassandra_data_migrator_spark.operators.rank import global_index, top_k_rows
     from cassandra_data_migrator_spark.functions.text import tokens
     from cassandra_data_migrator_spark.functions.vectors import as_double_array
     from cassandra_data_migrator_spark.session import get_spark
@@ -226,6 +226,25 @@ def main() -> None:
             # bounds are 1-row broadcasts
             "zorder_audit": lambda: noop(
                 zorder_prune_stats(events.select("user_id", "ts_us"))
+            ),
+            # r06 global index: one full-data shuffle (prefix-bucket window)
+            # + <=65536-row histogram cumsum + broadcast offsets — the
+            # clone-union stress scales the shuffled rows 10x while the
+            # histogram stays fixed-size, so a linear ratio demonstrates
+            # the zipWithIndex shape has no single-reducer residue
+            "training_shuffle_index": lambda: noop(
+                global_index(
+                    docs.select(
+                        "doc_id",
+                        F.md5(
+                            F.concat(
+                                F.lit("epoch0:"), F.col("doc_id").cast("string")
+                            ).cast("binary")
+                        ).alias("skey"),
+                    ),
+                    "skey",
+                    "doc_id",
+                )
             ),
         }
         if wanted:
