@@ -4410,6 +4410,7 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r06 window head: new or behavior-changed this round ---
+        "training_order_shuffle": q_training_order_shuffle,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
@@ -4563,7 +4564,6 @@ def queries() -> dict[str, QueryFn]:
         "salted_group_agg": q_salted_group_agg,
         "running_total": q_running_total,
         "hash_split": q_hash_split,
-        "training_order_shuffle": q_training_order_shuffle,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
