@@ -48,9 +48,11 @@ def streaming_migrate_merge(
 ):
     """Continuous UPSERT migrate: each micro-batch merges into the target by
     PK via foreachBatch (append mode cannot overwrite existing keys — the
-    true CDC sink needs the merge). Exactly-once across restarts comes from
-    the checkpoint: a re-run with the same checkpoint skips batches already
-    merged. At scale each batch's merge is one PK shuffle; with a lakehouse
+    true CDC sink needs the merge). Across restarts the checkpoint skips
+    batches already committed, and a batch replayed after a mid-batch
+    failure re-merges the SAME rows into the same PKs — the upsert's
+    idempotence, not the checkpoint alone, is what makes the sink
+    effectively exactly-once. At scale each batch's merge is one PK shuffle; with a lakehouse
     target the foreachBatch body becomes a MERGE INTO — the plan shape is
     identical (plans/upsert.py docstring)."""
     from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
@@ -86,10 +88,20 @@ def streaming_migrate_quarantine(
     reason plus the micro-batch id for replay. ``reason_expr`` is a SQL
     expression evaluating to the FIRST failing rule name or NULL (the batch
     operator's fixed-precedence contract), so stream and batch agree row
-    for row. foreachBatch keeps the split atomic per micro-batch: one
-    pipeline evaluation (persisted across the two appends), two
-    partition-local parquet writes — no shuffle, no state, append-only at
-    any scale."""
+    for row. foreachBatch evaluates the pipeline once per micro-batch
+    (persisted across the two appends), two partition-local parquet
+    writes — no shuffle, no state, append-only at any scale.
+
+    Delivery contract, stated precisely: a plain parquet append is NOT
+    transactional, so a failure between the two writes (or after writing
+    but before the checkpoint commit) replays the batch and can duplicate
+    appended rows — at-least-once, not exactly-once. Every quarantine row
+    carries ``quarantine_batch`` exactly so replays are detectable and
+    reconcilable downstream (keep max one copy per (batch, pk)); with a
+    transactional table format the same foreachBatch body becomes
+    exactly-once with no other change. (The merge sibling above IS
+    effectively exactly-once because the PK upsert is idempotent —
+    re-merging a replayed batch rewrites the same rows.)"""
     from pyspark.sql import functions as F
 
     piped = build_feature_pipeline(source, cfg)
