@@ -139,9 +139,20 @@ def main() -> None:
     # numbers plus as many per-query timings as fit under the budget,
     # slowest keys first (they carry the signal; BENCH_FULL.json has the
     # rest).
-    out_file = os.environ.get(
-        "BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    )
+    out_file = os.environ.get("BENCH_OUT")
+    if not out_file:
+        # BENCH_FULL.json is the sf0.1-protocol artifact (BASELINE.md); a
+        # verification run at another scale must not clobber it (one did,
+        # mid round 6) — off-protocol sweeps land in a scale-suffixed file
+        # unless BENCH_OUT says otherwise.
+        here = os.path.dirname(os.path.abspath(__file__))
+        on_protocol = (
+            isinstance(result["sf"], float) and abs(result["sf"] - 0.1) < 1e-9
+        )
+        name = (
+            "BENCH_FULL.json" if on_protocol else f"BENCH_FULL_sf{result['sf']}.json"
+        )
+        out_file = os.path.join(here, name)
     try:
         with open(out_file, "w") as fh:
             json.dump(result, fh, indent=1)
