@@ -294,3 +294,43 @@ def test_streaming_quarantine_restart_does_not_double_append(spark, tmp_path):
     assert set(got) == {2, 4} and got[4][0] == "error_event"
     # the two quarantined rows came from different micro-batches
     assert got[2][1] != got[4][1]
+
+
+def test_streaming_profile_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental tier-1 profile (streaming/profile.py): after an
+    availableNow drain over a MULTI-batch source, the one-row running
+    profile equals the batch aggregation of the same expressions exactly —
+    including the HLL distinct (register-max merge is commutative, so
+    stream and batch agree bit-for-bit at the same rsd), the decimal
+    sum/min/max, and the null counts."""
+    from cassandra_data_migrator_spark.streaming.profile import (
+        profile_aggs,
+        run_profile_available_now,
+        streaming_profile,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartition(4).write.parquet(src)  # >=4 files -> >=4 micro-batches
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prof = streaming_profile(
+        stream, null_cols=["user_id"], sum_col="value", distinct_col="event_type"
+    )
+    out = str(tmp_path / "profile")
+    run_profile_available_now(prof, out, str(tmp_path / "ckpt_p"))
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    want = events.agg(
+        *profile_aggs(["user_id"], "value", "event_type")
+    ).collect()[0]
+    g = got[0]
+    for f in want.asDict():
+        assert g[f] == want[f], f"{f}: stream {g[f]} != batch {want[f]}"
