@@ -69,6 +69,18 @@ def test_topk_similarity_broadcasts_queries(spark, sf_dir):
     assert "NestedLoop" not in key_plan and "CartesianProduct" not in key_plan
 
 
+def test_training_shuffle_offsets_broadcast(spark, sf_dir):
+    """global_index's bucket-offset table must reach the rows through a
+    BroadcastHashJoin — an SMJ here would shuffle the full corpus a second
+    time just to attach two bigints per row."""
+    p = _plan(spark, sf_dir, "training_order_shuffle")
+    assert "BroadcastHashJoin" in p, "bucket offsets must broadcast"
+    assert "SortMergeJoin" not in p
+    # the scan reads ONLY doc_id — the shuffle key is derived, not stored
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" not in read
+
+
 def test_group_agg_partial_aggregation(spark, sf_dir):
     # two HashAggregate nodes (partial + final) around one Exchange
     p = _plan(spark, sf_dir, "group_agg")
