@@ -3829,6 +3829,89 @@ def q_sql_frontend_q5(spark, sf_dir):
     return spark.sql(TPCH_Q5_SQL)
 
 
+TPCH_Q4_SQL = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+TPCH_Q13_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+"""
+
+TPCH_Q22_SQL = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,6)))
+                                   AS DECIMAL(18,6))
+                       FROM customer WHERE c_acctbal > 0.00)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+"""
+
+
+def q_sql_frontend_q4(spark, sf_dir):
+    """TPC-H Q4 shape as SQL text — the frontend's first CORRELATED
+    subquery: a per-order EXISTS that Catalyst must decorrelate into a
+    left-semi join (DuckDB does the same flattening). Predicate adapted to
+    the fixture's columns (lineitem carries no commit/receipt dates;
+    l_returnflag = 'R' stands in), the plan shape — date-range scan,
+    correlated existence test, bounded priority groupBy — is Q4's.
+    IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(TPCH_Q4_SQL)
+
+
+def q_sql_frontend_q13(spark, sf_dir):
+    """TPC-H Q13 shape as SQL text — customer order-count distribution:
+    LEFT OUTER join with an ON-side filter (customers with no surviving
+    orders must land in the c_count=0 bucket, which an inner join or a
+    WHERE-side filter would silently drop), two stacked aggregations.
+    Fixture adaptation: o_orderstatus <> 'F' stands in for the comment
+    NOT LIKE (no o_comment column). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(TPCH_Q13_SQL)
+
+
+def q_sql_frontend_q22(spark, sf_dir):
+    """TPC-H Q22 shape as SQL text — the frontend's scalar-subquery +
+    anti-join composition: an uncorrelated AVG subquery (evaluated once,
+    broadcast as a literal) gates the scan, NOT EXISTS decorrelates to a
+    left-anti join against orders. The DECIMAL-exact AVG converts to the
+    same nearest-double on both engines, so the > comparison is
+    bit-identical. Fixture adaptation: c_mktsegment stands in for the
+    phone country-code substring (no c_phone column), and the anti-join
+    excludes customers holding a PENDING order (every fixture customer
+    has some order, so Q22's bare no-orders test would be vacuously
+    empty — 22 survivors across all five segments keep the check
+    non-trivial). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(TPCH_Q22_SQL)
+
+
 LM_ADD_K = 0.5  # add-k smoothing constant of the bigram LM
 HH_THRESHOLD_FRAC = 0.0008  # heavy hitter = key with >= 0.08% of all events
 
@@ -4411,6 +4494,9 @@ def queries() -> dict[str, QueryFn]:
     return {
         # --- r06 window head: new or behavior-changed this round ---
         "training_order_shuffle": q_training_order_shuffle,
+        "sql_frontend_q4": q_sql_frontend_q4,
+        "sql_frontend_q13": q_sql_frontend_q13,
+        "sql_frontend_q22": q_sql_frontend_q22,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
@@ -5121,6 +5207,9 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "sql_frontend_q4": TPCH_Q4_SQL,
+        "sql_frontend_q13": TPCH_Q13_SQL,
+        "sql_frontend_q22": TPCH_Q22_SQL,
         "sql_frontend_q3": TPCH_Q3_SQL,
         "sql_frontend_q5": TPCH_Q5_SQL,
         "kmeans_assign": f"""
