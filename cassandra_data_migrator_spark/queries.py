@@ -1319,6 +1319,76 @@ def q_training_order_shuffle(spark, sf_dir):
     )
 
 
+LINE_TOKENS = 8  # tokens per derived line (fixture docs carry no newlines)
+LINE_DEDUP_MIN_CHARS = 25  # shorter lines pass through undeduped (C4 keeps
+# boilerplate handling separate; engine-side this ALSO kills the hot-key
+# skew a universal short line would put on the shuffle)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup with document REBUILD — the
+    transform `substring_dedup_spans` only profiles: every duplicated line
+    keeps its FIRST occurrence corpus-wide (min (doc_id, pos)), later
+    copies are dropped, and each document's text is reconstructed from its
+    surviving lines in order, with kept/dropped accounting. Lines are
+    derived as fixed 8-token segments of the pinned token twins (the
+    fixture's docs carry no newlines — same JVM-side derivation precedent
+    as the multimodal payload keys; on a real corpus pass split('\\n')
+    output straight in).
+
+    Scale shape: keep-first is ONE map-side-combinable aggregation —
+    groupBy(line).agg(min(struct(doc_id, pos))) — whose partial combine
+    absorbs hot duplicate lines BEFORE the shuffle (no window over a
+    skewed line partition, no self-join); short lines bypass the shuffle
+    entirely; the rebuild groups each doc's own lines (uniform key). The
+    oracle recomputes keep-first with a window — fine at oracle scale,
+    deliberately NOT the engine plan."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("ts")).filter(
+        F.size("ts") >= 1
+    )
+    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(LINE_TOKENS))
+    lines = base.select(
+        "doc_id", F.explode(starts).alias("p"), "ts"
+    ).select(
+        "doc_id",
+        ((F.col("p") - 1) / LINE_TOKENS).cast("bigint").alias("pos"),
+        F.array_join(F.slice("ts", F.col("p"), F.lit(LINE_TOKENS)), " ").alias("line"),
+    )
+    long_l = lines.filter(F.length("line") >= LINE_DEDUP_MIN_CHARS)
+    short_l = lines.filter(F.length("line") < LINE_DEDUP_MIN_CHARS)
+    firsts = long_l.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    kept = short_l.unionByName(
+        firsts.select(
+            F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"), "line"
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def q_doc_chunking(spark, sf_dir):
     """RAG-style overlapping chunker: fixed-size char windows with stride.
     One `sequence` + `explode` per doc — all JVM expressions, rows fan out
@@ -4497,6 +4567,7 @@ def queries() -> dict[str, QueryFn]:
         "sql_frontend_q4": q_sql_frontend_q4,
         "sql_frontend_q13": q_sql_frontend_q13,
         "sql_frontend_q22": q_sql_frontend_q22,
+        "line_dedup": q_line_dedup,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
@@ -5210,6 +5281,40 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
+        "line_dedup": f"""
+            WITH t AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents
+                       WHERE len({TOKS_SQL}) >= 1),
+            l AS (
+                SELECT doc_id, CAST((p - 1) // {LINE_TOKENS} AS BIGINT) AS pos,
+                       array_to_string(ts[p:p+{LINE_TOKENS}-1], ' ') AS line
+                FROM (SELECT doc_id, ts,
+                             unnest(range(1, len(ts) + 1, {LINE_TOKENS})) AS p
+                      FROM t)
+            ),
+            k AS (
+                SELECT doc_id, pos, line FROM l
+                WHERE length(line) < {LINE_DEDUP_MIN_CHARS}
+                UNION ALL
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id, pos, line,
+                           ROW_NUMBER() OVER (PARTITION BY line
+                                              ORDER BY doc_id, pos) AS rk
+                    FROM l WHERE length(line) >= {LINE_DEDUP_MIN_CHARS})
+                WHERE rk = 1
+            ),
+            kc AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+                FROM k GROUP BY doc_id
+            )
+            SELECT t2.doc_id, t2.n_lines,
+                   CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t2.n_lines - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_dropped,
+                   COALESCE(kc.text_dedup, '') AS text_dedup
+            FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                  FROM l GROUP BY doc_id) t2
+            LEFT JOIN kc USING (doc_id)
+        """,
         "sql_frontend_q3": TPCH_Q3_SQL,
         "sql_frontend_q5": TPCH_Q5_SQL,
         "kmeans_assign": f"""

@@ -1,0 +1,77 @@
+"""Corpus-wide line dedup (queries.q_line_dedup): keep-first semantics,
+short-line passthrough, lossless rebuild, and the map-side-combine plan."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark import queries as q
+
+
+def _run(spark, rows):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="line_dedup_fix_")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return {r["doc_id"]: r for r in q.q_line_dedup(spark, d).collect()}
+
+
+def test_keep_first_and_rebuild(spark):
+    # 8-token lines; doc 1 and doc 2 share their first line verbatim ->
+    # doc 1 (smaller doc_id) keeps it, doc 2 drops it
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight"
+    rows = [
+        (1, f"{dup} {uniq}", "en", "s", 0),
+        (2, f"{dup} nine ten eleven twelve thirteen fourteen fifteen sixteen", "en", "s", 0),
+    ]
+    got = _run(spark, rows)
+    assert got[1]["n_lines"] == 2 and got[1]["n_dropped"] == 0
+    assert got[1]["text_dedup"] == f"{dup}\n{uniq}"
+    assert got[2]["n_lines"] == 2 and got[2]["n_dropped"] == 1
+    assert got[2]["text_dedup"] == "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+
+
+def test_short_lines_never_deduped(spark):
+    # identical SHORT trailing lines (< 25 chars) survive in every doc
+    short = "tail end bit"
+    rows = [
+        (1, f"a b c d e f g h {short}", "en", "s", 0),
+        (2, f"p q r s t u v w {short}", "en", "s", 0),
+    ]
+    got = _run(spark, rows)
+    for i in (1, 2):
+        assert got[i]["n_dropped"] == 0
+        assert got[i]["text_dedup"].endswith(short)
+
+
+def test_lossless_when_no_duplicates(spark):
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    got = _run(spark, [(1, text, "en", "s", 0)])
+    assert got[1]["n_dropped"] == 0
+    # rebuild = the 8-token line + the 4-token remainder joined by newline
+    assert got[1]["text_dedup"].replace("\n", " ") == text
+
+
+def test_all_lines_dropped_doc_survives_empty(spark):
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, dup, "en", "s", 0), (2, dup, "en", "s", 0)]
+    got = _run(spark, rows)
+    assert got[2]["n_kept"] == 0 and got[2]["text_dedup"] == ""
+
+
+def test_keep_first_is_partial_aggregate(spark, sf_dir):
+    """The keep-first must be a map-side-combinable aggregation (two
+    HashAggregate/ObjectHashAggregate nodes around the line exchange), not
+    a window over skewed line partitions."""
+    df = q.q_line_dedup(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert p.count("HashAggregate") >= 2
+    assert "Window" not in p, "keep-first regressed to a window plan"
