@@ -593,3 +593,67 @@ def dedup_clusters(
         F.col("id").alias(id_col),
         F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
     )
+
+
+def line_dedup_rebuild(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 8,
+    min_chars: int = 25,
+) -> DataFrame:
+    """C4-style corpus-wide line dedup with document rebuild (the removal
+    transform the substring profile only measures): derive fixed
+    ``line_tokens``-token lines from the pinned tokenizer (a real corpus
+    passes newline-split lines straight through the same shape), keep each
+    duplicated long line's FIRST occurrence corpus-wide — min (id, pos) —
+    and reconstruct every document from its surviving lines in order.
+
+    Scale shape: keep-first is ONE map-side-combinable aggregation,
+    ``groupBy(line).agg(min(struct(id, pos)))`` — partial combine absorbs
+    hot duplicate lines BEFORE the shuffle (no window over a skewed line
+    partition, no self-join); lines shorter than ``min_chars`` bypass the
+    shuffle entirely (C4 keeps boilerplate handling separate, and a
+    universal short line would otherwise be the hot key); the rebuild
+    groups each doc's own lines (uniform key, doc-sized state)."""
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__ts")
+    ).filter(F.size("__ts") >= 1)
+    starts = F.sequence(F.lit(1), F.size("__ts"), F.lit(line_tokens))
+    lines = base.select(
+        id_col, F.explode(starts).alias("__p"), "__ts"
+    ).select(
+        id_col,
+        ((F.col("__p") - 1) / line_tokens).cast("bigint").alias("pos"),
+        F.array_join(F.slice("__ts", F.col("__p"), F.lit(line_tokens)), " ").alias("line"),
+    )
+    long_l = lines.filter(F.length("line") >= min_chars)
+    short_l = lines.filter(F.length("line") < min_chars)
+    firsts = long_l.groupBy("line").agg(F.min(F.struct(id_col, "pos")).alias("__f"))
+    kept = short_l.unionByName(
+        firsts.select(
+            F.col(f"__f.{id_col}").alias(id_col), F.col("__f.pos").alias("pos"), "line"
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

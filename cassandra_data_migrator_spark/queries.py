@@ -1327,65 +1327,19 @@ LINE_DEDUP_MIN_CHARS = 25  # shorter lines pass through undeduped (C4 keeps
 
 def q_line_dedup(spark, sf_dir):
     """C4-style corpus-wide line dedup with document REBUILD — the
-    transform `substring_dedup_spans` only profiles: every duplicated line
-    keeps its FIRST occurrence corpus-wide (min (doc_id, pos)), later
-    copies are dropped, and each document's text is reconstructed from its
-    surviving lines in order, with kept/dropped accounting. Lines are
-    derived as fixed 8-token segments of the pinned token twins (the
-    fixture's docs carry no newlines — same JVM-side derivation precedent
-    as the multimodal payload keys; on a real corpus pass split('\\n')
-    output straight in).
-
-    Scale shape: keep-first is ONE map-side-combinable aggregation —
-    groupBy(line).agg(min(struct(doc_id, pos))) — whose partial combine
-    absorbs hot duplicate lines BEFORE the shuffle (no window over a
-    skewed line partition, no self-join); short lines bypass the shuffle
-    entirely; the rebuild groups each doc's own lines (uniform key). The
-    oracle recomputes keep-first with a window — fine at oracle scale,
-    deliberately NOT the engine plan."""
+    transform `substring_dedup_spans` only profiles. Pipeline lives in
+    operators/dedup.line_dedup_rebuild (keep-first = ONE map-side-
+    combinable min-struct aggregation — partial combine absorbs hot
+    duplicate lines pre-shuffle; short lines bypass the shuffle; in-order
+    rebuild with kept/dropped accounting); lines derive as fixed 8-token
+    segments of the pinned token twins (fixture docs carry no newlines —
+    same JVM-side derivation precedent as the multimodal payload keys).
+    The oracle recomputes keep-first with a window — fine at oracle
+    scale, deliberately NOT the engine plan."""
     d = _t(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens("text").alias("ts")).filter(
-        F.size("ts") >= 1
-    )
-    starts = F.sequence(F.lit(1), F.size("ts"), F.lit(LINE_TOKENS))
-    lines = base.select(
-        "doc_id", F.explode(starts).alias("p"), "ts"
-    ).select(
-        "doc_id",
-        ((F.col("p") - 1) / LINE_TOKENS).cast("bigint").alias("pos"),
-        F.array_join(F.slice("ts", F.col("p"), F.lit(LINE_TOKENS)), " ").alias("line"),
-    )
-    long_l = lines.filter(F.length("line") >= LINE_DEDUP_MIN_CHARS)
-    short_l = lines.filter(F.length("line") < LINE_DEDUP_MIN_CHARS)
-    firsts = long_l.groupBy("line").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
-    )
-    kept = short_l.unionByName(
-        firsts.select(
-            F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"), "line"
-        )
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines")
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_lines",
-        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
-        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_dropped"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    return dedup.line_dedup_rebuild(
+        d, "text", "doc_id",
+        line_tokens=LINE_TOKENS, min_chars=LINE_DEDUP_MIN_CHARS,
     )
 
 

@@ -227,6 +227,10 @@ def main() -> None:
             "zorder_audit": lambda: noop(
                 zorder_prune_stats(events.select("user_id", "ts_us"))
             ),
+            # r06 line dedup: clone-union x10 makes EVERY long line 10x
+            # duplicated — keep-first's map-side partial combine must absorb
+            # the hot lines before the shuffle for this to stay ~linear
+            "line_dedup": lambda: noop(dedup.line_dedup_rebuild(docs)),
             # r06 global index: one full-data shuffle (prefix-bucket window)
             # + <=65536-row histogram cumsum + broadcast offsets — the
             # clone-union stress scales the shuffled rows 10x while the
