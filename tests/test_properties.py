@@ -565,3 +565,59 @@ def test_global_index_matches_full_row_number(spark, ids, nparts, bucket_chars):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd longword anotherlong".split()),
+                 min_size=1, max_size=40),
+        min_size=1, max_size=20,
+    ),
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=5, max_value=20),
+)
+def test_line_dedup_rebuild_matches_reference(spark, docs, line_tokens, min_chars):
+    """operators/dedup.line_dedup_rebuild vs a pure-Python reference on
+    generated corpora: identical keep-first winners, counts, and rebuilt
+    text for ANY line width / min-chars cut — including corpora where the
+    tiny vocabulary makes almost every line a duplicate (the hot-line
+    regime) and where every line is short (full passthrough)."""
+    from cassandra_data_migrator_spark.operators.dedup import line_dedup_rebuild
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_dropped"], r["text_dedup"])
+        for r in line_dedup_rebuild(
+            df, line_tokens=line_tokens, min_chars=min_chars
+        ).collect()
+    }
+
+    # reference: same derivation, dict-ordered first-wins
+    lines = {}  # doc_id -> [(pos, line)]
+    for i, words in enumerate(rows):
+        toks = rows[i][1].split()
+        lines[i] = [
+            (p // line_tokens, " ".join(toks[p : p + line_tokens]))
+            for p in range(0, len(toks), line_tokens)
+        ]
+    first = {}
+    for i in sorted(lines):
+        for pos, line in lines[i]:
+            if len(line) >= min_chars and line not in first:
+                first[line] = (i, pos)
+    want = {}
+    for i in sorted(lines):
+        kept = [
+            (pos, line)
+            for pos, line in lines[i]
+            if len(line) < min_chars or first[line] == (i, pos)
+        ]
+        want[i] = (
+            len(lines[i]),
+            len(kept),
+            len(lines[i]) - len(kept),
+            "\n".join(l for _, l in sorted(kept)),
+        )
+    assert got == want
