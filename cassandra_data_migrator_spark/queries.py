@@ -1319,6 +1319,52 @@ def q_training_order_shuffle(spark, sf_dir):
     )
 
 
+TOKEN_BUDGET = 12_000  # tokens — the corpus-selection budget (~44% of the
+# sf0.01 corpus, ~4% of sf0.1, so every fixture scale selects a real prefix)
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Token-budget-constrained corpus selection — greedy by quality: take
+    documents in (quality DESC, doc_id) order while the running token
+    total stays within TOKEN_BUDGET. The standard move when a training
+    mix must hit a token target from a larger curated pool (quality-
+    thresholding to a budget rather than a fixed score cut).
+
+    The running prefix-sum is DISTRIBUTED, never a single-reducer window
+    over the corpus: quality rounds to 4dp in [-0.25, 1], so the
+    per-quality token histogram is ≤ ~12.5k rows BY CONSTRUCTION — the
+    only unpartitioned window cumulates token totals over that bounded
+    table (global_rank's histogram pattern, with SUM(tokens) instead of
+    COUNT); broadcast the per-quality offsets back and run the within-
+    quality token sum as a partitioned window. Selected = offset +
+    within-run ≤ budget — row-identical to
+    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) ≤ budget."""
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_features(d).select("doc_id", "n_tokens", "quality")
+    hist = qf.groupBy("quality").agg(F.sum("n_tokens").alias("__qtok"))
+    w_cum = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offsets = hist.select(
+        "quality",
+        (F.sum("__qtok").over(w_cum) - F.col("__qtok")).alias("__cum_before"),
+    )
+    w_in = (
+        Window.partitionBy("quality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        qf.join(F.broadcast(offsets), "quality")
+        .withColumn(
+            "cum_tokens",
+            (F.col("__cum_before") + F.sum("n_tokens").over(w_in)).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
 LINE_TOKENS = 8  # tokens per derived line (fixture docs carry no newlines)
 LINE_DEDUP_MIN_CHARS = 25  # shorter lines pass through undeduped (C4 keeps
 # boilerplate handling separate; engine-side this ALSO kills the hot-key
@@ -4522,6 +4568,7 @@ def queries() -> dict[str, QueryFn]:
         "sql_frontend_q13": q_sql_frontend_q13,
         "sql_frontend_q22": q_sql_frontend_q22,
         "line_dedup": q_line_dedup,
+        "token_budget_select": q_token_budget_select,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
@@ -5235,6 +5282,26 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
+        "token_budget_select": f"""
+            WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       ROUND(least(1.0, len(toks) / 100.0) * 0.5
+                             + (CASE WHEN len(toks) > 0
+                                     THEN CAST(len(list_filter(toks, x -> x IN ({stop_in}))) AS DOUBLE) / len(toks)
+                                     ELSE 0.0 END) * 0.5
+                             - least(1.0, len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / 50.0) * 0.25,
+                             4) AS quality
+                FROM t
+            )
+            SELECT doc_id, quality, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM (SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  FROM s)
+            WHERE cum_tokens <= {TOKEN_BUDGET}
+        """,
         "line_dedup": f"""
             WITH t AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents
                        WHERE len({TOKS_SQL}) >= 1),

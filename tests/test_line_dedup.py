@@ -75,3 +75,32 @@ def test_keep_first_is_partial_aggregate(spark, sf_dir):
     p = buf.getvalue()
     assert p.count("HashAggregate") >= 2
     assert "Window" not in p, "keep-first regressed to a window plan"
+
+
+def test_token_budget_select_prefix_and_budget(spark, sf_dir):
+    """Budget selection invariants on the fixture: the selected set is the
+    EXACT prefix of (quality DESC, doc_id) order, its token total is the
+    max prefix within budget (adding the next doc would exceed it), and
+    cum_tokens is strictly increasing along the prefix."""
+    rows = q.q_token_budget_select(spark, sf_dir).collect()
+    assert rows, "budget selects nothing — fixture/budget mismatch"
+    sel = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+    # cum_tokens strictly increasing iff every selected doc has tokens
+    cums = [r["cum_tokens"] for r in sel]
+    assert cums == sorted(cums)
+    assert cums[-1] <= q.TOKEN_BUDGET
+    # exact-prefix check against a driver-side recomputation of the order
+    from cassandra_data_migrator_spark.functions.text import quality_features
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    all_rows = quality_features(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality"
+    ).collect()
+    order = sorted(all_rows, key=lambda r: (-r["quality"], r["doc_id"]))
+    run, want = 0, []
+    for r in order:
+        run += r["n_tokens"]
+        if run > q.TOKEN_BUDGET:
+            break
+        want.append((r["doc_id"], run))
+    assert [(r["doc_id"], r["cum_tokens"]) for r in sel] == want

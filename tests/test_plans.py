@@ -180,6 +180,7 @@ GLOBAL_WINDOW_KEYS = {
     "decile_assign": "histogram",  # rank.global_rank cumsum
     "vocab_zipf_slope": "histogram",  # rank.global_rank over count histogram
     "training_order_shuffle": "histogram",  # rank.global_index prefix-bucket cumsum
+    "token_budget_select": "histogram",  # per-quality token-histogram cumsum (4dp-bounded)
     "label_balance": "histogram",  # share over per-label agg (≤ #classes)
     "part_brand_share": "histogram",  # share over per-brand agg (≤ #brands)
     "vocab_topk": "pruned",  # rank.top_k_rows
