@@ -579,6 +579,30 @@ def q_sentiment_lexicon(spark, sf_dir):
     )
 
 
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID quality audit as a confusion matrix: gold label (the
+    fixture's lang column) × the marker-argmax classifier's prediction,
+    per-cell doc counts plus each cell's share of its gold row — the
+    standard QA table before trusting a heuristic classifier to stratify
+    a training mix (an off-diagonal hot cell says which language pair the
+    marker set confuses). One scan, one bounded groupBy (≤ |langs|·
+    (|langs|+1) cells); the share window is partitioned over that bounded
+    cell table."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("lang", lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("row_share_r"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(F.col("doc_id"), lang_id("text").alias("pred_lang"))
@@ -4569,6 +4593,7 @@ def queries() -> dict[str, QueryFn]:
         "sql_frontend_q22": q_sql_frontend_q22,
         "line_dedup": q_line_dedup,
         "token_budget_select": q_token_budget_select,
+        "lang_id_confusion": q_lang_id_confusion,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
@@ -5282,6 +5307,17 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
+        "lang_id_confusion": f"""
+            WITH c AS (
+                SELECT lang, {lang_id_sql('text')} AS pred_lang,
+                       COUNT(*) AS n
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
+                   ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang), 4)
+                       AS row_share_r
+            FROM c
+        """,
         "token_budget_select": f"""
             WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
             s AS (
