@@ -657,3 +657,30 @@ def line_dedup_rebuild(
         .alias("n_dropped"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
+
+
+def cap_shingle_df(
+    index: DataFrame, max_df: int, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Document-frequency cap on an inverted shingle index — the n-gram
+    family's control #4 (SCALE.md): drop shingles appearing in MORE than
+    ``max_df`` docs before any pair generation. A boilerplate shingle
+    shared by f docs contributes f(f-1)/2 candidate pairs and near-zero
+    discriminative signal; capping removes the quadratic term, costing
+    recall only for pairs whose entire overlap is ultra-common shingles
+    (standard MinHashLSH practice). Downstream similarity is then over
+    the capped representation on BOTH sides — sizes and intersections
+    must come from the same filtered index.
+
+    Plan: one map-side-combinable df count, then a broadcast LEFT ANTI
+    join against the HOT list only — by Zipf the shingles over any useful
+    cap are a tiny head (the common case is a handful of boilerplate
+    strings), so the broadcast stays small while the index itself never
+    shuffles for the filter."""
+    hot = (
+        index.groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select(shingle_col)
+    )
+    return index.join(F.broadcast(hot), shingle_col, "left_anti")

@@ -163,3 +163,37 @@ def test_incremental_pairs_match_all_pairs_restriction(spark, sf_dir):
         elif b_b and not a_b:
             expected.add((r.id_b, r.id_a, r.jaccard))
     assert inc == expected
+
+
+def test_cap_shingle_df_removes_hot_shingles_only(spark):
+    """cap_shingle_df: shingles over the cap vanish, everything else
+    survives untouched, and the pair set computed from the capped index
+    loses exactly the pairs whose overlap was boilerplate-only."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators import dedup
+
+    # boilerplate shingle 'bp' in every doc; 'ab' shared by docs 1+2 only
+    rows = [
+        (1, [("bp",), ("ab",)]),
+        (2, [("bp",), ("ab",)]),
+        (3, [("bp",), ("xx",)]),
+        (4, [("bp",), ("yy",)]),
+    ]
+    data = [(i, s[0]) for i, sh in rows for s in sh]
+    idx = spark.createDataFrame(data, "doc_id BIGINT, shingle STRING")
+    capped = dedup.cap_shingle_df(idx, max_df=3)
+    kept = {(r["doc_id"], r["shingle"]) for r in capped.collect()}
+    assert all(s != "bp" for _, s in kept), "hot shingle survived the cap"
+    assert {(1, "ab"), (2, "ab"), (3, "xx"), (4, "yy")} == kept
+    # plan: the filter is a broadcast anti-join, never an index shuffle
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        capped.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin LeftAnti" in p or (
+        "LeftAnti" in p and "Broadcast" in p
+    )
