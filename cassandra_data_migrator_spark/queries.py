@@ -2622,6 +2622,70 @@ PPM_W = 4  # fixture image width (pixels); 3 bytes/pixel
 PPM_MAX_H = 8  # fixture image height cap
 
 
+def q_binaryfile_ingest(spark, sf_dir):
+    """Multimodal FILE ingest through Spark's ``binaryFile`` source — the
+    missing first step of every real image/audio pipeline (files on
+    storage, not payloads in a table): the fixture's PPM payloads are
+    materialized as one .ppm FILE each (executor-side foreachPartition
+    write — on a cluster the same writer targets shared object storage;
+    the single-node fixture uses local tmp), then read back via
+    ``format("binaryFile")`` with a path glob, media id recovered from
+    the file path, and the contract pinned byte-for-byte: per-file length
+    and content md5 must equal the oracle's recomputation of the same
+    payload from the documents table. A lost file, a truncated write, a
+    path-id mix-up, or any corruption through the source turns the key
+    red. Writes are deterministic and idempotent (same bytes, same
+    names), so re-runs are safe."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = PPM_W * 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__h"),
+    ).filter(F.col("__h") >= 1)
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+        F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
+    ).cast("binary")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"cdm_binfile_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows):
+        # self-contained closure (stdlib only): executors write their own
+        # partitions' files — no payload bytes ever reach the driver
+        import os as _os
+
+        for r in rows:
+            path = _os.path.join(out_dir, f"{r['media_id']}.ppm")
+            with open(path, "wb") as fh:
+                fh.write(bytes(r["payload"]))
+
+    media.select("media_id", payload.alias("payload")).foreachPartition(_write)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(out_dir)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("length").cast("bigint").alias("file_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode under the DRIVER check (round-5 verdict #5 — the
     PIL stub retired for one format): documents become binary PPM (P6)
@@ -4594,6 +4658,7 @@ def queries() -> dict[str, QueryFn]:
         "line_dedup": q_line_dedup,
         "token_budget_select": q_token_budget_select,
         "lang_id_confusion": q_lang_id_confusion,
+        "binaryfile_ingest": q_binaryfile_ingest,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
@@ -5307,6 +5372,25 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
+        "binaryfile_ingest": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({PPM_MAX_H},
+                                 CAST(LENGTH(s) // {PPM_W * 3} AS INT)) AS h
+                    FROM san),
+            ok AS (SELECT doc_id, s, h FROM dim WHERE h >= 1),
+            pl AS (SELECT doc_id,
+                          'P6' || chr(10) || '{PPM_W} ' || h || chr(10)
+                          || '255' || chr(10)
+                          || substr(s, 1, h * {PPM_W * 3}) AS payload
+                   FROM ok)
+            SELECT doc_id AS media_id,
+                   CAST(strlen(payload) AS BIGINT) AS file_bytes,
+                   md5(payload) AS content_md5
+            FROM pl
+        """,
         "lang_id_confusion": f"""
             WITH c AS (
                 SELECT lang, {lang_id_sql('text')} AS pred_lang,
