@@ -463,3 +463,13 @@ def test_extract_features_real_path_decodes_ppm(spark):
     )
     with pytest.raises(Exception, match="PIL"):
         extract_features(png).collect()
+
+
+def test_binaryfile_ingest_idempotent_across_runs(spark, sf_dir):
+    """Re-running the ingest key must be byte-stable: same files, same
+    lengths, same digests (writes are deterministic overwrites)."""
+    from cassandra_data_migrator_spark import queries as q
+
+    a = sorted(map(tuple, q.q_binaryfile_ingest(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.q_binaryfile_ingest(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
