@@ -104,3 +104,62 @@ def test_token_budget_select_prefix_and_budget(spark, sf_dir):
             break
         want.append((r["doc_id"], run))
     assert [(r["doc_id"], r["cum_tokens"]) for r in sel] == want
+
+
+def test_full_curation_pipeline_composes(spark, sf_dir):
+    """The r06 training-data story as ONE composed DataFrame chain:
+    corpus-wide line dedup -> quality scoring of the REBUILT text ->
+    token-budget selection over it -> deterministic epoch shuffle with
+    contiguous shards. Asserts the cross-stage invariants a training
+    manifest needs: selected docs are a budget-bounded subset of the
+    deduped corpus, every selected doc gets exactly one position, and
+    shard ranges partition the positions contiguously."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.text import quality_features
+    from cassandra_data_migrator_spark.operators.dedup import line_dedup_rebuild
+    from cassandra_data_migrator_spark.operators.rank import global_index
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = line_dedup_rebuild(docs).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    scored = quality_features(deduped).select("doc_id", "n_tokens", "quality")
+    # budget selection inline (the q_token_budget_select shape)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    budget = 8_000
+    # oracle-shaped here (test scale): single running sum is fine in a test
+    sel = (
+        scored.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .select("doc_id")
+    )
+    keyed = sel.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("e0:"), F.col("doc_id").cast("string")).cast("binary")).alias("k"),
+    )
+    manifest = global_index(keyed, "k", "doc_id", pos_col="pos").withColumn(
+        "shard", F.expr("CAST((pos * 4) DIV n_total AS INT)")
+    )
+    rows = manifest.collect()
+    n = len(rows)
+    assert n > 0
+    # every selected doc exactly once, positions are 0..n-1
+    assert sorted(r["pos"] for r in rows) == list(range(n))
+    assert len({r["doc_id"] for r in rows}) == n
+    # shards partition the position space contiguously
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    spans = sorted((min(v), max(v)) for v in by_shard.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi + 1 == b_lo
+    assert spans[0][0] == 0 and spans[-1][1] == n - 1
+    # the selection respected the budget over the DEDUPED corpus
+    tok = {r["doc_id"]: r["n_tokens"] for r in scored.collect()}
+    assert sum(tok[r["doc_id"]] for r in rows) <= budget
