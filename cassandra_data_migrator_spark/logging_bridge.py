@@ -60,7 +60,18 @@ def configure_logging_from_env(
     for var, raw in sorted(env.items()):
         if not var.startswith(LOGGING_ENV_PREFIX):
             continue
-        conf_key = var[len(LOGGING_ENV_PREFIX):].lower().replace("_", ".")
+        # wrapper-faithful '_'→'.' mapping, PLUS an escape the wrapper
+        # lacks: '__' maps to a literal '_' so loggers whose names contain
+        # underscores (this package's own submodules, e.g.
+        # cassandra_data_migrator_spark.sources) are addressable at all —
+        # without it per-module level control silently cannot work
+        conf_key = (
+            var[len(LOGGING_ENV_PREFIX):]
+            .lower()
+            .replace("__", "\x00")
+            .replace("_", ".")
+            .replace("\x00", "_")
+        )
         # "log.level" itself ends with ".level", so one check covers both
         # the package-logger shorthand and dotted logger paths
         if not conf_key.endswith(".level"):

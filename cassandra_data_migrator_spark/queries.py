@@ -473,7 +473,8 @@ def q_topk_similarity_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K, num_planes=4)
 
 
-# Per-session memo of trained IVF centroids keyed by sf_dir (the same
+# Per-session memo of trained IVF centroids keyed by (applicationId,
+# sf_dir) (the same
 # shared-derivation precedent as the graph keys' localCheckpoint reuse):
 # the trainer is deterministic — pinned smallest-id init + DECIMAL mean
 # sums (operators/cluster.lloyd_kmeans) — so memoization changes cost,
@@ -488,13 +489,17 @@ def _ivf_centroids(spark, sf_dir):
     sample. Returns [(cell_id, centroid_vector)] for similarity.ivf_topk."""
     from cassandra_data_migrator_spark.operators.cluster import lloyd_kmeans
 
-    if sf_dir not in _IVF_CENTROIDS_CACHE:
+    # keyed by (applicationId, sf_dir) for parity with _session_artifact —
+    # a NEW session over regenerated fixture data at the same path must
+    # retrain, never reuse another application's centroids
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CENTROIDS_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         _, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
-        _IVF_CENTROIDS_CACHE[sf_dir] = [
+        _IVF_CENTROIDS_CACHE[key] = [
             (i, [float(x) for x in c]) for i, c in enumerate(cents)
         ]
-    return _IVF_CENTROIDS_CACHE[sf_dir]
+    return _IVF_CENTROIDS_CACHE[key]
 
 
 def q_topk_similarity_ivf(spark, sf_dir):
@@ -2621,6 +2626,24 @@ def q_multimodal_extract(spark, sf_dir):
 PPM_W = 4  # fixture image width (pixels); 3 bytes/pixel
 PPM_MAX_H = 8  # fixture image height cap
 
+# session-scoped binaryFile staging dirs, keyed by (applicationId, sf_dir)
+# like _SESSION_ARTIFACTS — mkdtemp (0700, unpredictable name) + atexit
+# cleanup, so nothing stale or attacker-planted is ever globbed back in
+_BINFILE_STAGE_DIRS: dict = {}
+
+
+def _binfile_stage_dir(spark, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BINFILE_STAGE_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="cdm_binfile_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _BINFILE_STAGE_DIRS[key] = path
+    return _BINFILE_STAGE_DIRS[key]
+
 
 def q_binaryfile_ingest(spark, sf_dir):
     """Multimodal FILE ingest through Spark's ``binaryFile`` source — the
@@ -2635,9 +2658,16 @@ def q_binaryfile_ingest(spark, sf_dir):
     payload from the documents table. A lost file, a truncated write, a
     path-id mix-up, or any corruption through the source turns the key
     red. Writes are deterministic and idempotent (same bytes, same
-    names), so re-runs are safe."""
-    import os
-    import tempfile
+    names), so re-runs are safe.
+
+    The staging dir is session-scoped and unpredictable — one mkdtemp
+    (0700) per (applicationId, sf_dir), atexit-cleaned — never a fixed
+    world-shared /tmp path, which would glob back phantom files from
+    prior runs over a different document set, collide across concurrent
+    fixtures, and invite tmp-squatting/symlink attacks on multi-user
+    hosts. The read-back is additionally restricted to the media ids
+    produced THIS run via a broadcast semi-join."""
+    out_dir = _binfile_stage_dir(spark, sf_dir)
 
     d = _t(spark, sf_dir, "documents")
     san = F.regexp_replace(F.col("text"), "[^ -~]", "")
@@ -2655,12 +2685,6 @@ def q_binaryfile_ingest(spark, sf_dir):
         F.lit("\n255\n"),
         F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
     ).cast("binary")
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"cdm_binfile_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    os.makedirs(out_dir, exist_ok=True)
-
     def _write(rows):
         # self-contained closure (stdlib only): executors write their own
         # partitions' files — no payload bytes ever reach the driver
@@ -2683,6 +2707,8 @@ def q_binaryfile_ingest(spark, sf_dir):
         .alias("media_id"),
         F.col("length").cast("bigint").alias("file_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
+    ).join(
+        F.broadcast(media.select("media_id")), "media_id", "semi"
     )
 
 

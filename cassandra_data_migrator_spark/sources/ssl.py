@@ -30,6 +30,10 @@ import subprocess
 # keeps working unchanged.
 SSL_SETTINGS_ENV = "CMD_SSL_STORE_SETTINGS_JSON"
 
+# env var used for keytool's -storepass:env indirection (keeps the
+# truststore password out of the world-readable process argv)
+STOREPASS_ENV = "CDM_KEYTOOL_STOREPASS"
+
 _REQUIRED_PROPS = ("alias", "file", "keystore", "storepass")
 
 
@@ -66,7 +70,12 @@ def load_ssl_store_settings(path: str) -> dict[str, dict[str, str]]:
 
 def keytool_import_args(props: dict[str, str]) -> list[str]:
     """The exact keytool invocation for one certificate set (isolated so
-    the argument contract is unit-testable without running keytool)."""
+    the argument contract is unit-testable without running keytool). The
+    password travels via keytool's documented ``-storepass:env`` option
+    modifier, never as an argv literal — argv is world-readable in the
+    process list for the life of the keytool run (the reference wrapper
+    passes it inline; that flaw is not worth reproducing). Pair with
+    :func:`keytool_env` for the subprocess environment."""
     return [
         "keytool",
         "-import",
@@ -75,8 +84,17 @@ def keytool_import_args(props: dict[str, str]) -> list[str]:
         "-noprompt",
         "-file", props["file"],
         "-keystore", props["keystore"],
-        "-storepass", props["storepass"],
+        "-storepass:env", STOREPASS_ENV,
     ]
+
+
+def keytool_env(props: dict[str, str]) -> dict[str, str]:
+    """Subprocess environment carrying the truststore password for the
+    ``-storepass:env`` indirection (environments are private to the
+    process, unlike argv)."""
+    env = dict(os.environ)
+    env[STOREPASS_ENV] = props["storepass"]
+    return env
 
 
 def _alias_present(props: dict[str, str]) -> bool:
@@ -91,8 +109,9 @@ def _alias_present(props: dict[str, str]) -> bool:
             "keytool", "-list",
             "-alias", props["alias"],
             "-keystore", props["keystore"],
-            "-storepass", props["storepass"],
+            "-storepass:env", STOREPASS_ENV,
         ],
+        env=keytool_env(props),
         capture_output=True,
         text=True,
     )
@@ -115,7 +134,10 @@ def import_ssl_certificates(settings_path: str | None = None) -> list[str]:
         if _alias_present(props):
             continue
         proc = subprocess.run(
-            keytool_import_args(props), capture_output=True, text=True
+            keytool_import_args(props),
+            env=keytool_env(props),
+            capture_output=True,
+            text=True,
         )
         if proc.returncode != 0:
             raise SslSettingsError(

@@ -31,6 +31,27 @@ def test_dotted_logger_key_translation_and_aliases():
     assert applied == {"x": "DEBUG"}
 
 
+def test_double_underscore_escapes_literal_underscore():
+    """'__' -> literal '_' so underscore-named loggers (this package's own
+    submodules) are individually addressable — without the escape the
+    wrapper-faithful mapping turns every '_' into '.' and per-module level
+    control silently cannot work."""
+    applied = configure_logging_from_env(
+        {
+            "CDM_LOGGING_CASSANDRA__DATA__MIGRATOR__SPARK_SOURCES_LEVEL":
+                "WARN"
+        }
+    )
+    assert applied == {"cassandra_data_migrator_spark.sources": "WARNING"}
+    assert (
+        logging.getLogger("cassandra_data_migrator_spark.sources").level
+        == logging.WARNING
+    )
+    logging.getLogger("cassandra_data_migrator_spark.sources").setLevel(
+        logging.NOTSET
+    )
+
+
 def test_env_indirection(monkeypatch):
     # indirection resolves against the SAME mapping that carries the
     # CDM_LOGGING_* entries — an injected env must be self-contained

@@ -101,13 +101,24 @@ def test_settings_validation(tmp_path):
 
 
 def test_keytool_args_and_connector_options():
-    props = {"alias": "a", "file": "f.cer", "keystore": "t.jks", "storepass": "p"}
+    from cassandra_data_migrator_spark.sources.ssl import (
+        STOREPASS_ENV,
+        keytool_env,
+    )
+
+    props = {"alias": "a", "file": "f.cer", "keystore": "t.jks",
+             "storepass": "sekret-p"}
     args = keytool_import_args(props)
     assert args[:3] == ["keytool", "-import", "-trustcacerts"]
     assert "-noprompt" in args
     for flag, val in (("-alias", "a"), ("-file", "f.cer"),
-                      ("-keystore", "t.jks"), ("-storepass", "p")):
+                      ("-keystore", "t.jks"),
+                      ("-storepass:env", STOREPASS_ENV)):
         assert args[args.index(flag) + 1] == val
+    # the password must NEVER appear in argv (process lists are
+    # world-readable); it travels only via the -storepass:env environment
+    assert "sekret-p" not in " ".join(args)
+    assert keytool_env(props)[STOREPASS_ENV] == "sekret-p"
     opts = connector_ssl_options("t.jks", "p", enabled_algorithms="TLS_RSA")
     assert opts["spark.cassandra.connection.ssl.enabled"] == "true"
     assert opts["spark.cassandra.connection.ssl.trustStore.path"] == "t.jks"
