@@ -72,12 +72,23 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 200,
     max_word_types: int = 50_000,
+    max_word_len: int = 64,
 ) -> list[tuple[str, str]]:
     """Train ``num_merges`` BPE merges over the corpus word-frequency table
     (top ``max_word_types`` types by (count desc, word) — the driver-state
-    cap). Returns the ordered merge list."""
+    cap). Returns the ordered merge list.
+
+    Driver-state bound: the collect is capped in BOTH dimensions —
+    ``max_word_types`` rows AND ``max_word_len`` chars per word (longer
+    "words" are unsegmentable junk — base64 blobs, URLs — that every
+    production subword trainer drops, cf. SentencePiece's
+    max_sentencepiece_length), so the collected bytes are
+    ≤ max_word_types × (4·max_word_len + 8) ≈ 13 MB at the defaults
+    regardless of corpus pathology — the same documented-bound discipline
+    as bloom.py (≤ m/64 rows) and cluster.py (k×dim centroids)."""
     rows = (
         word_counts(df, text_col)
+        .filter(F.length("word") <= max_word_len)
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(max_word_types)
         .collect()

@@ -110,19 +110,6 @@ def _bucket_sig(v, dim: int, num_planes: int, seed: int):
     return sig
 
 
-def random_projection_buckets(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    num_planes: int = 8,
-    seed: int = 7,
-) -> DataFrame:
-    """Append a BIGINT 'bucket' = sign-bit signature over num_planes fixed
-    hyperplanes. Pure expressions: dot product per plane via zip_with over a
-    literal array."""
-    return df.withColumn("bucket", _bucket_sig(as_double_array(vec_col), dim, num_planes, seed))
-
-
 def cosine_near_dup_bucketed(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -381,32 +368,7 @@ def lsh_topk_banded(
     )
 
 
-def lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    dim: int = 64,
-    num_planes: int = 8,
-) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates. The bucket join is
-    an equi-join (shuffle/broadcast by bucket), so scored pairs shrink by
-    ~2^num_planes vs brute force."""
-    cb = random_projection_buckets(corpus, vec_col, dim, num_planes).select(
-        F.col(id_col), F.col("bucket"), as_double_array(vec_col).alias("cvec")
-    )
-    qb = random_projection_buckets(queries, vec_col, dim, num_planes).select(
-        F.col(id_col).alias("query_id"), F.col("bucket"), as_double_array(vec_col).alias("qvec")
-    )
-    scored = cb.join(F.broadcast(qb), ["bucket"]).filter(F.col(id_col) != F.col("query_id")).select(
-        "query_id",
-        id_col,
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score_r"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score_r").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score_r", "rank")
-    )
+# NOTE: the single-probe `lsh_topk` (one plane set, no banding) was retired
+# in round 7 — `lsh_topk_banded` strictly dominates it (same join shape,
+# multi-band + multi-probe recall levers) and the banded variant carries the
+# oracled recall audit. See COVERAGE.md "retired keys".

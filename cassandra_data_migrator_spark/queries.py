@@ -467,12 +467,6 @@ def q_topk_similarity(spark, sf_dir):
     return _brute_topk(spark, sf_dir)
 
 
-def q_topk_similarity_lsh(spark, sf_dir):
-    """ANN scale path (rows-only check: bucket hashes are engine-specific)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K, num_planes=4)
-
-
 # Per-session memo of trained IVF centroids keyed by (applicationId,
 # sf_dir) (the same
 # shared-derivation precedent as the graph keys' localCheckpoint reuse):
@@ -4652,7 +4646,6 @@ ROWS_ONLY_KEYS = frozenset(
     {
         "dedup_fuzzy",
         "simhash_near_dup",
-        "topk_similarity_lsh",
         "topk_similarity_lsh_banded",
         "topk_similarity_ivf",
         "dedup_embedding_lsh",
@@ -4734,7 +4727,6 @@ def queries() -> dict[str, QueryFn]:
         "tfidf": q_tfidf,
         "token_count": q_token_count,
         "topk_similarity": q_topk_similarity,
-        "topk_similarity_lsh": q_topk_similarity_lsh,
         "value_histogram": q_value_histogram,
         # --- last verified r03 (window tail) ---
         "anomaly_zscore": q_anomaly_zscore,

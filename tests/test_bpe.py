@@ -56,6 +56,25 @@ def test_pipeline_matches_pure_python_reference(spark, sf_dir):
         assert got.get(r.doc_id, 0) == want, r.doc_id
 
 
+def test_train_excludes_pathological_long_words(spark):
+    """The word-table collect is bounded in BOTH dimensions: a base64-blob
+    'word' longer than max_word_len never reaches the driver, so collected
+    bytes stay ≤ max_word_types × O(max_word_len) on any corpus. The
+    legitimate words still train normally."""
+    blob = "x" * 500
+    df = spark.createDataFrame(
+        [(f"low low low lower {blob} {blob}",)], "text STRING"
+    )
+    merges = bpe.train_bpe(df, num_merges=2, max_word_len=64)
+    assert merges[0] == ("l", "o") and merges[1] == ("lo", "w")
+    # the blob-word's char pairs must contribute nothing: with the blob
+    # included, ('x','x') would dominate every count
+    assert ("x", "x") not in merges
+    # and an explicit tiny cap drops even 5-char words
+    short_only = bpe.train_bpe(df, num_merges=1, max_word_len=3)
+    assert short_only[0] == ("l", "o")  # trained on 'low' alone
+
+
 def test_train_deterministic(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(40)
     m1 = bpe.train_bpe(d, num_merges=30, max_word_types=2_000)
