@@ -11,7 +11,11 @@ file mutated by env vars (/root/reference/Dockerfile:60-61, entrypoint.sh
 - value indirection: a value of ``env:VAR`` resolves to ``$VAR``, mirroring
   entrypoint.sh:137-141;
 - job dispatch: migrate | validate/diffdata | guardrail/guardrailcheck,
-  unknown job → error, mirroring entrypoint.sh:230-243.
+  unknown job → error, mirroring entrypoint.sh:230-243;
+- credentials-file injection: ``CDM_CREDENTIALS_{ORIGIN,TARGET}_JSON`` names
+  a JSON file whose username/password become ``spark.cdm.connect.*``
+  properties, explicit env vars winning, missing file a hard error,
+  mirroring entrypoint.sh:52-86.
 """
 
 from __future__ import annotations
@@ -31,6 +35,12 @@ KNOWN_KEYS: dict[str, tuple[type, Any]] = {
     "spark.cdm.connect.origin.path": (str, ""),
     "spark.cdm.connect.target.format": (str, "parquet"),
     "spark.cdm.connect.target.path": (str, ""),
+    # connect credentials (injected by credentials_from_env or set
+    # directly via CDM_PROPERTY_SPARK_CDM_CONNECT_* — entrypoint.sh:52-86)
+    "spark.cdm.connect.origin.username": (str, ""),
+    "spark.cdm.connect.origin.password": (str, ""),
+    "spark.cdm.connect.target.username": (str, ""),
+    "spark.cdm.connect.target.password": (str, ""),
     # schema
     "spark.cdm.schema.origin.table": (str, ""),
     "spark.cdm.schema.target.table": (str, ""),
@@ -116,6 +126,75 @@ class ConfigValueError(ValueError):
     """A known key with an out-of-range value."""
 
 
+class CredentialsError(RuntimeError):
+    """Mirror of entrypoint.sh error_exit in set_cluster_role_credentials —
+    a configured credentials file that cannot be used is a hard abort."""
+
+
+# Credentials-file injection (reference entrypoint.sh:52-86,
+# set_cluster_role_credentials): env CDM_CREDENTIALS_{ORIGIN,TARGET}_JSON
+# names a JSON file whose "username"/"password" become
+# spark.cdm.connect.<role>.{username,password}, with an explicit
+# CDM_PROPERTY_SPARK_CDM_CONNECT_<role>_{USERNAME,PASSWORD} env var WINNING
+# over the file value (the wrapper skips the file write when the env var is
+# non-empty and lets the generic property pass apply it).
+_CRED_ROLES = ("TARGET", "ORIGIN")  # wrapper iteration order, entrypoint.sh:81
+_CRED_PROPS = ("username", "password")
+
+
+def credentials_from_env(environ: dict[str, str] | None = None) -> dict[str, str]:
+    """Resolve credentials-file injection to {config key: value}.
+
+    Wrapper-faithful semantics:
+    - env var unset/empty → that role is a silent no-op (the wrapper
+      ``return``s);
+    - env var set but file missing → hard error with the wrapper's message;
+    - per property, a non-empty CDM_PROPERTY_SPARK_CDM_CONNECT_* env var
+      wins over the file (the file value is not emitted for that property).
+
+    One deliberate deviation: the wrapper pipes the file through ``jq -r``,
+    so a *missing* JSON property would inject the literal string "null" as
+    the password; here that (and non-object JSON / parse errors) is a hard
+    CredentialsError — silently authenticating with the password "null" is
+    not behavior worth preserving."""
+    import json
+
+    env = os.environ if environ is None else environ
+    out: dict[str, str] = {}
+    for role in _CRED_ROLES:
+        env_name = f"CDM_CREDENTIALS_{role}_JSON"
+        path = env.get(env_name, "")
+        if not path:
+            continue
+        if not os.path.isfile(path):
+            raise CredentialsError(
+                f"Unable to find credentials file {path} specified in {env_name}"
+            )
+        with open(path) as fh:
+            try:
+                creds = json.load(fh)
+            except json.JSONDecodeError as exc:
+                raise CredentialsError(
+                    f"invalid JSON in credentials file {path}: {exc}"
+                ) from exc
+        if not isinstance(creds, dict):
+            raise CredentialsError(
+                f"credentials file {path} must hold a JSON object"
+            )
+        for prop in _CRED_PROPS:
+            override = env.get(
+                f"{ENV_PREFIX}SPARK_CDM_CONNECT_{role}_{prop.upper()}", ""
+            )
+            if override:
+                continue  # explicit env var wins; the generic pass applies it
+            if prop not in creds or creds[prop] is None:
+                raise CredentialsError(
+                    f"credentials file {path} is missing {prop!r} for {role}"
+                )
+            out[f"spark.cdm.connect.{role.lower()}.{prop}"] = str(creds[prop])
+    return out
+
+
 # Run tracking materializes one manifest row per slice on the driver
 # (plans/tracking.py record_slices) — bounded state ONLY because numParts is
 # bounded. 10^4 slices ≈ a few hundred KB of driver memory; beyond that the
@@ -182,11 +261,17 @@ class MigrationConfig:
     @classmethod
     def from_env(cls, environ: dict[str, str] | None = None) -> "MigrationConfig":
         env = os.environ if environ is None else environ
-        raw = {
-            env_var_to_key(name): value
-            for name, value in env.items()
-            if name.startswith(ENV_PREFIX)
-        }
+        # credentials-file values first, generic CDM_PROPERTY_* pass second —
+        # so an explicit env property overwrites the file value, mirroring
+        # the wrapper's precedence (entrypoint.sh:66-77)
+        raw: dict[str, Any] = dict(credentials_from_env(env))
+        raw.update(
+            {
+                env_var_to_key(name): value
+                for name, value in env.items()
+                if name.startswith(ENV_PREFIX)
+            }
+        )
         return cls(raw)
 
     def get(self, key: str) -> Any:

@@ -88,6 +88,25 @@ def writer_options(
     return out
 
 
+def connector_auth_options_from_config(cfg, role: str) -> dict[str, str]:
+    """Translate a role's connect credentials (set directly or injected from
+    a CDM_CREDENTIALS_<ROLE>_JSON file — config.credentials_from_env,
+    entrypoint.sh:52-86 analog) into the connector's auth options
+    (spark-cassandra-connector 3.5 public reference: doc/reference.md,
+    spark.cassandra.auth.username / .password). Empty credentials → empty
+    map (unauthenticated cluster)."""
+    if role not in ("origin", "target"):
+        raise ValueError(f"role must be 'origin' or 'target', got {role!r}")
+    user = cfg.get(f"spark.cdm.connect.{role}.username")
+    pw = cfg.get(f"spark.cdm.connect.{role}.password")
+    out: dict[str, str] = {}
+    if user:
+        out["spark.cassandra.auth.username"] = user
+    if pw:
+        out["spark.cassandra.auth.password"] = pw
+    return out
+
+
 def connector_write_options_from_config(cfg) -> dict[str, str]:
     """Translate the reference's perfops knobs into connector write options
     (the throughput knob is the connector-native rate-limit pass-through)."""

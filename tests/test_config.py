@@ -125,3 +125,116 @@ def test_num_parts_cap_enforced():
         MigrationConfig({"spark.cdm.perfops.numParts": 10_001})
     with pytest.raises(ConfigValueError):
         MigrationConfig({"spark.cdm.perfops.numParts": 0})
+
+
+# --- credentials-file injection (entrypoint.sh:52-86 analog) -------------
+
+
+def _cred_file(tmp_path, name, obj):
+    import json
+
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_credentials_file_read(tmp_path):
+    """Behavior 1: the file's username/password become connect properties
+    for that role; the other role stays untouched."""
+    from cassandra_data_migrator_spark.config import credentials_from_env
+
+    path = _cred_file(tmp_path, "o.json", {"username": "alice", "password": "s3cr3t"})
+    got = credentials_from_env({"CDM_CREDENTIALS_ORIGIN_JSON": path})
+    assert got == {
+        "spark.cdm.connect.origin.username": "alice",
+        "spark.cdm.connect.origin.password": "s3cr3t",
+    }
+    cfg = MigrationConfig.from_env({"CDM_CREDENTIALS_ORIGIN_JSON": path})
+    assert cfg.get("spark.cdm.connect.origin.username") == "alice"
+    assert cfg.get("spark.cdm.connect.origin.password") == "s3cr3t"
+    assert cfg.get("spark.cdm.connect.target.username") == ""
+
+
+def test_credentials_env_override_wins(tmp_path):
+    """Behavior 2: an explicit CDM_PROPERTY_SPARK_CDM_CONNECT_* env var wins
+    over the file value for that property only (entrypoint.sh:66-77)."""
+    path = _cred_file(
+        tmp_path, "t.json", {"username": "file-user", "password": "file-pass"}
+    )
+    cfg = MigrationConfig.from_env(
+        {
+            "CDM_CREDENTIALS_TARGET_JSON": path,
+            "CDM_PROPERTY_SPARK_CDM_CONNECT_TARGET_USERNAME": "env-user",
+        }
+    )
+    assert cfg.get("spark.cdm.connect.target.username") == "env-user"
+    assert cfg.get("spark.cdm.connect.target.password") == "file-pass"
+
+
+def test_credentials_missing_file_is_hard_error(tmp_path):
+    """Behavior 3: env var set but file absent aborts with the wrapper's
+    message; env var unset/empty is a silent no-op."""
+    from cassandra_data_migrator_spark.config import (
+        CredentialsError,
+        credentials_from_env,
+    )
+
+    with pytest.raises(CredentialsError, match="Unable to find credentials file"):
+        credentials_from_env(
+            {"CDM_CREDENTIALS_ORIGIN_JSON": str(tmp_path / "nope.json")}
+        )
+    assert credentials_from_env({}) == {}
+    assert credentials_from_env({"CDM_CREDENTIALS_ORIGIN_JSON": ""}) == {}
+
+
+def test_credentials_bad_content_is_hard_error(tmp_path):
+    """Deviation from the wrapper, documented in credentials_from_env: a
+    missing JSON property (where jq -r would inject the literal 'null') or
+    unparseable/non-object JSON is a hard error, never a silent 'null'
+    password."""
+    from cassandra_data_migrator_spark.config import (
+        CredentialsError,
+        credentials_from_env,
+    )
+
+    missing = _cred_file(tmp_path, "m.json", {"username": "only-user"})
+    with pytest.raises(CredentialsError, match="missing 'password'"):
+        credentials_from_env({"CDM_CREDENTIALS_ORIGIN_JSON": missing})
+    nullpw = _cred_file(tmp_path, "n.json", {"username": "u", "password": None})
+    with pytest.raises(CredentialsError, match="missing 'password'"):
+        credentials_from_env({"CDM_CREDENTIALS_ORIGIN_JSON": nullpw})
+    notobj = _cred_file(tmp_path, "a.json", ["u", "p"])
+    with pytest.raises(CredentialsError, match="JSON object"):
+        credentials_from_env({"CDM_CREDENTIALS_ORIGIN_JSON": notobj})
+    broken = tmp_path / "b.json"
+    broken.write_text("{nope")
+    with pytest.raises(CredentialsError, match="invalid JSON"):
+        credentials_from_env({"CDM_CREDENTIALS_ORIGIN_JSON": str(broken)})
+
+
+def test_credentials_both_roles(tmp_path):
+    o = _cred_file(tmp_path, "o.json", {"username": "ou", "password": "op"})
+    t = _cred_file(tmp_path, "t.json", {"username": "tu", "password": "tp"})
+    cfg = MigrationConfig.from_env(
+        {"CDM_CREDENTIALS_ORIGIN_JSON": o, "CDM_CREDENTIALS_TARGET_JSON": t}
+    )
+    assert cfg.get("spark.cdm.connect.origin.username") == "ou"
+    assert cfg.get("spark.cdm.connect.target.password") == "tp"
+
+
+def test_credentials_reach_connector_auth_options(tmp_path):
+    """End of the chain: file -> config -> connector auth option map
+    (spark.cassandra.auth.*), per role, empty -> unauthenticated."""
+    from cassandra_data_migrator_spark.sources.cassandra import (
+        connector_auth_options_from_config,
+    )
+
+    o = _cred_file(tmp_path, "o.json", {"username": "ou", "password": "op"})
+    cfg = MigrationConfig.from_env({"CDM_CREDENTIALS_ORIGIN_JSON": o})
+    assert connector_auth_options_from_config(cfg, "origin") == {
+        "spark.cassandra.auth.username": "ou",
+        "spark.cassandra.auth.password": "op",
+    }
+    assert connector_auth_options_from_config(cfg, "target") == {}
+    with pytest.raises(ValueError, match="role"):
+        connector_auth_options_from_config(cfg, "both")
