@@ -84,6 +84,18 @@ def main() -> None:
             rdd.unpersist()
 
     registry = q.queries()
+    # SPARK_GRAFT_KEYS=k1,k2 restricts the sweep to named keys — the
+    # isolated-session re-measure path (tools/bench_compare.py --isolate):
+    # a key flagged in a full contended sweep is re-timed alone in a fresh
+    # session before being declared a real regression (sub-second keys
+    # carry ±50% in-sweep noise, BASELINE.md r03/r04).
+    keys_env = os.environ.get("SPARK_GRAFT_KEYS", "")
+    if keys_env:
+        want = [k.strip() for k in keys_env.split(",") if k.strip()]
+        unknown = sorted(set(want) - set(registry))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_KEYS unknown keys: {unknown}")
+        registry = {k: registry[k] for k in want}
     # Untimed warm-up: the first timed key otherwise absorbs session JIT /
     # codegen / parquet-footer warm-up (measured ~2x inflation on whatever
     # key sits first in the registry). One scan+agg+join pass touches the
@@ -153,9 +165,12 @@ def main() -> None:
         on_protocol = (
             isinstance(result["sf"], float) and abs(result["sf"] - 0.1) < 1e-9
         )
-        name = (
-            "BENCH_FULL.json" if on_protocol else f"BENCH_FULL_sf{result['sf']}.json"
-        )
+        if keys_env:
+            name = "BENCH_SUBSET.json"  # isolated re-measures, never the sweep
+        elif on_protocol:
+            name = "BENCH_FULL.json"
+        else:
+            name = f"BENCH_FULL_sf{result['sf']}.json"
         out_file = os.path.join(here, name)
     try:
         with open(out_file, "w") as fh:

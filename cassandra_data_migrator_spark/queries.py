@@ -339,6 +339,57 @@ def q_partition_slices(spark, sf_dir):
     return slice_stats(o, "o_orderkey", NUM_SLICES)
 
 
+# run_tracking_resume fixture: 16 slices, planted outcomes. Slices 3 and 11
+# fail, slice 7 is never recorded (still pending), the rest pass — so resume
+# must re-scope exactly {3, 7, 11}.
+TRACK_SLICES = 16
+TRACK_FAILED = [3, 11]
+TRACK_PENDING = [7]
+
+
+def q_run_tracking_resume(spark, sf_dir):
+    """Run-tracking resume under the DRIVER check (§2a #6 was pytest-only —
+    round-6 verdict #6): a REAL RunTracker run (plans/tracking.py — manifest
+    parquet written, per-slice statuses recorded through record_slices, the
+    resume anti-join evaluated by resume_scope) with planted outcomes, then
+    one row per slice: its recorded status + how many origin rows the resume
+    pass would re-process. The oracle recomputes the planted status table and
+    the slice row counts from the orders table in SQL — a tracker that loses
+    a status update, resumes a passed slice, or skips a pending one turns
+    the key red. The tracking dir is session-scoped (same mkdtemp discipline
+    as the binaryFile staging dir)."""
+    from cassandra_data_migrator_spark.plans.tracking import (
+        STATUS_FAILED,
+        STATUS_PASSED,
+        RunTracker,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    tracker = RunTracker(spark, _binfile_stage_dir(spark, sf_dir + "#runs"))
+    run_id = tracker.start_run("migrate", num_slices=TRACK_SLICES)
+    passed = [
+        s
+        for s in range(TRACK_SLICES)
+        if s not in TRACK_FAILED and s not in TRACK_PENDING
+    ]
+    tracker.record_slices(run_id, passed, STATUS_PASSED)
+    tracker.record_slices(run_id, TRACK_FAILED, STATUS_FAILED)
+    details = spark.read.parquet(tracker._details_path(run_id)).select(
+        "slice_id", "status"
+    )
+    resumed = tracker.resume_scope(o, "o_orderkey", TRACK_SLICES, run_id)
+    rcnt = resumed.groupBy("slice_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("resume_rows")
+    )
+    return details.join(rcnt, "slice_id", "left").select(
+        "slice_id",
+        "status",
+        F.coalesce(F.col("resume_rows"), F.lit(0).cast("bigint")).alias(
+            "resume_rows"
+        ),
+    )
+
+
 def q_migrate_rowcount(spark, sf_dir):
     """End-to-end migrate: read → feature pipeline → parquet sink → re-read →
     count (SURVEY.md §2 #3; the e2e smoke of the migrate job)."""
@@ -4090,6 +4141,73 @@ def q_sql_frontend_q22(spark, sf_dir):
     return spark.sql(TPCH_Q22_SQL)
 
 
+TPCH_Q2_SQL = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           l_extendedprice AS min_supplycost
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND p_size <= 3
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE p_partkey = l2.l_partkey
+            AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+"""
+
+TPCH_Q17_SQL = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_sql_frontend_q2(spark, sf_dir):
+    """TPC-H Q2 shape as SQL text — the frontend's CORRELATED SCALAR
+    subquery with MIN: each part's suppliers survive only at the per-part
+    minimum supply cost, which Catalyst must decorrelate into an aggregate
+    + join on the correlation key (a different rewrite from q4's EXISTS
+    semi-join and q22's uncorrelated scalar). Fixture adaptation: lineitem
+    stands in for partsupp (l_extendedprice as supply cost), p_size band +
+    EUROPE region keep the result small. Double equality against the MIN is
+    safe: both engines compare the identical parquet double. IDENTICAL
+    text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(
+        spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"]
+    )
+    return spark.sql(TPCH_Q2_SQL)
+
+
+def q_sql_frontend_q17(spark, sf_dir):
+    """TPC-H Q17 shape as SQL text — the frontend's correlated AVG
+    subquery in a comparison: small-quantity orders below 20% of their
+    part's average quantity, decorrelated into a per-part aggregate joined
+    back (the Q17 rewrite Catalyst and DuckDB both perform). The AVG is
+    exact in double (integral quantities, sums far below 2^53) so the <
+    gate is bit-identical on both engines; the revenue sum goes through
+    DECIMAL(18,4) per the repo-wide discipline. IDENTICAL text runs on
+    DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(TPCH_Q17_SQL)
+
+
 LM_ADD_K = 0.5  # add-k smoothing constant of the bigram LM
 HH_THRESHOLD_FRAC = 0.0008  # heavy hitter = key with >= 0.08% of all events
 
@@ -4669,7 +4787,11 @@ def queries() -> dict[str, QueryFn]:
     COVERAGE.md for the per-key verified-in-round ledger.
     """
     return {
-        # --- r06 window head: new or behavior-changed this round ---
+        # --- r07 window head: new or behavior-changed this round ---
+        "run_tracking_resume": q_run_tracking_resume,
+        "sql_frontend_q2": q_sql_frontend_q2,
+        "sql_frontend_q17": q_sql_frontend_q17,
+        # --- r06 window head ---
         "training_order_shuffle": q_training_order_shuffle,
         "sql_frontend_q4": q_sql_frontend_q4,
         "sql_frontend_q13": q_sql_frontend_q13,
@@ -5387,6 +5509,8 @@ def oracle_sql() -> dict[str, str]:
                   + octet_length(encode(source)) + 16 > {GUARDRAIL_ROW_BYTES}
         """,
         "sql_frontend_q1": TPCH_Q1_SQL,
+        "sql_frontend_q2": TPCH_Q2_SQL,
+        "sql_frontend_q17": TPCH_Q17_SQL,
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
@@ -6358,6 +6482,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "migrate_rowcount": f"""
             SELECT COUNT(*) AS written_cnt FROM orders WHERE {MIGRATE_FILTER}
+        """,
+        "run_tracking_resume": f"""
+            WITH st AS (
+                SELECT CAST(range AS BIGINT) AS slice_id,
+                       CASE WHEN range IN ({", ".join(map(str, TRACK_FAILED))}) THEN 'failed'
+                            WHEN range IN ({", ".join(map(str, TRACK_PENDING))}) THEN 'pending'
+                            ELSE 'passed' END AS status
+                FROM range({TRACK_SLICES})
+            ),
+            o AS (
+                SELECT {slice_id_sql('token', TRACK_SLICES)} AS slice_id, COUNT(*) AS cnt
+                FROM (SELECT {tok_sql("o_orderkey")} AS token FROM orders)
+                GROUP BY 1
+            )
+            SELECT st.slice_id, st.status,
+                   CAST(CASE WHEN st.status <> 'passed' THEN COALESCE(o.cnt, 0)
+                        ELSE 0 END AS BIGINT) AS resume_rows
+            FROM st LEFT JOIN o USING (slice_id)
         """,
         "dedup_exact": """
             SELECT doc_id, md5(text) AS content_hash,

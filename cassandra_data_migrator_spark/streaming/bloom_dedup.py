@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -41,6 +42,23 @@ OUTPUT_SCHEMA = StructType(
     [
         StructField("content_hash", StringType()),
         StructField("doc_id", LongType()),
+    ]
+)
+
+# fp-accounting mode: one row per (shard, micro-batch) — the operator's
+# loss contract made observable. A bloom false positive drops a NOVEL
+# document forever; the expected probability of that, for the NEXT probe,
+# is fill_ratio**k (all k positions already set), computable exactly from
+# the state. DoubleType fields are exact: bits_set/m_bits is a ratio of
+# small ints.
+FP_STATS_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("batch_rows", LongType()),
+        StructField("batch_admitted", LongType()),
+        StructField("bits_set", LongType()),
+        StructField("fill_ratio", DoubleType()),
+        StructField("expected_fp_rate", DoubleType()),
     ]
 )
 
@@ -61,14 +79,25 @@ def streaming_dedup_bloom(
     num_shards: int = NUM_SHARDS,
     m_bits: int = SHARD_BITS,
     k: int = NUM_HASHES,
+    emit: str = "admissions",
 ) -> DataFrame:
     """(content_hash, doc_id of first admission) — at most one output row
     per distinct hash across the whole stream (bloom no-false-negative
     law), with a fixed-size state store. A false positive silently drops
     a novel hash; size ``m_bits`` for the expected per-shard cardinality
-    (defaults carry ~50k keys/shard at <1% fp)."""
+    (defaults carry ~50k keys/shard at <1% fp).
 
+    ``emit="fp_stats"`` switches the output to the operator's LOSS
+    ACCOUNTING: one row per (shard, micro-batch) with the shard's exact
+    bit fill ratio and the expected false-positive probability for the
+    next probe, fill_ratio**k — a bloom fp drops a NON-duplicate forever,
+    so the rate must be observable, not folklore. Identical admit/state
+    logic either way (same words, same positions, same keep-first)."""
+
+    if emit not in ("admissions", "fp_stats"):
+        raise ValueError(f"emit must be 'admissions' or 'fp_stats', got {emit!r}")
     word_bits = WORD_BITS  # local: the closure must not reference module globals
+    emit_stats = emit == "fp_stats"
 
     def _admit_unseen(key, pdfs, state: GroupState):
         import hashlib
@@ -88,11 +117,13 @@ def streaming_dedup_bloom(
             return out
 
         rows_h, rows_d = [], []
+        n_rows = 0
         pending = []
         for pdf in pdfs:
             pending.append(pdf[["content_hash", "doc_id"]])
         if pending:
             batch = pd.concat(pending).sort_values("doc_id")
+            n_rows = len(batch)
             for h, d in zip(batch["content_hash"], batch["doc_id"]):
                 pos = positions(h)
                 if all((words[p // word_bits] >> (p % word_bits)) & 1 for p in pos):
@@ -102,7 +133,20 @@ def streaming_dedup_bloom(
                 rows_h.append(h)
                 rows_d.append(int(d))
         state.update((words,))
-        if rows_h:
+        if emit_stats:
+            bits_set = sum(bin(w).count("1") for w in words)
+            fill = bits_set / m_bits
+            yield pd.DataFrame(
+                {
+                    "shard": [int(key[0])],
+                    "batch_rows": [n_rows],
+                    "batch_admitted": [len(rows_h)],
+                    "bits_set": [bits_set],
+                    "fill_ratio": [fill],
+                    "expected_fp_rate": [fill**k],
+                }
+            )
+        elif rows_h:
             yield pd.DataFrame({"content_hash": rows_h, "doc_id": rows_d})
 
     hashed = docs_stream.select(
@@ -114,7 +158,7 @@ def streaming_dedup_bloom(
         hashed.groupBy("shard")
         .applyInPandasWithState(
             _admit_unseen,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=FP_STATS_SCHEMA if emit_stats else OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

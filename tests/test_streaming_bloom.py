@@ -74,3 +74,99 @@ def test_streaming_bloom_state_is_fixed_size():
     words_len = SHARD_BITS // WORD_BITS + 1
     assert words_len * 8 < 200_000  # <200 KB per shard at the default size
     assert NUM_HASHES >= 3
+
+
+def test_fp_stats_match_analytic_recomputation(spark, sf_dir, tmp_path):
+    """emit='fp_stats' loss accounting: every emitted row must satisfy
+    expected_fp_rate == fill_ratio**k and fill_ratio == bits_set/m_bits
+    EXACTLY, and the final per-shard bits_set/admitted counts must equal a
+    pure-Python recomputation of the same bloom (same md5 positions, same
+    doc_id probe order) — plus the textbook (1-e^{-kn/m})^k approximation
+    must sit near the emitted exact rate."""
+    import hashlib
+    import math
+
+    m_bits, k, num_shards = 1 << 12, 5, 4
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    rows = docs.collect()
+    half = len(rows) // 2
+    stage = tmp_path / "stream_in"
+    stage.mkdir()
+    spark.createDataFrame(rows[:half], docs.schema).coalesce(1).write.parquet(
+        str(stage / "b1.parquet")
+    )
+    spark.createDataFrame(rows[half:], docs.schema).coalesce(1).write.parquet(
+        str(stage / "b2.parquet")
+    )
+
+    static = spark.read.parquet(str(stage / "b1.parquet"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*.parquet")
+    )
+    out = str(tmp_path / "stats_out")
+    q = (
+        streaming_dedup_bloom(
+            stream, num_shards=num_shards, m_bits=m_bits, k=k, emit="fp_stats"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stats = spark.read.parquet(out).collect()
+    assert stats, "no fp-stats rows emitted"
+
+    # internal consistency: exact, not approximate
+    for r in stats:
+        assert r.fill_ratio == r.bits_set / m_bits
+        assert r.expected_fp_rate == r.fill_ratio**k
+
+    # analytic recomputation: same shard routing (from the same Spark expr),
+    # same positions (stdlib md5), same doc_id probe order
+    hashed = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .withColumn("shard", F.pmod(F.xxhash64("h"), F.lit(num_shards)))
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    def positions(h):
+        return [
+            int.from_bytes(hashlib.md5(f"{i}:{h}".encode()).digest()[:8], "big")
+            % m_bits
+            for i in range(k)
+        ]
+
+    sim_bits = {s: set() for s in range(num_shards)}
+    sim_admitted = {s: 0 for s in range(num_shards)}
+    for r in hashed:
+        pos = positions(r.h)
+        if all(p in sim_bits[r.shard] for p in pos):
+            continue
+        sim_bits[r.shard].update(pos)
+        sim_admitted[r.shard] += 1
+
+    for s in range(num_shards):
+        shard_rows = [r for r in stats if r.shard == s]
+        if not shard_rows:
+            assert sim_admitted[s] == 0
+            continue
+        final = max(shard_rows, key=lambda r: r.bits_set)
+        assert final.bits_set == len(sim_bits[s]), f"shard {s} bits"
+        assert sum(r.batch_admitted for r in shard_rows) == sim_admitted[s]
+        # textbook bound: (1 - e^{-kn/m})^k tracks the exact emitted rate
+        n = sim_admitted[s]
+        approx = (1.0 - math.exp(-k * n / m_bits)) ** k
+        assert abs(final.expected_fp_rate - approx) <= 0.35 * max(
+            approx, final.expected_fp_rate
+        ), f"shard {s}: emitted {final.expected_fp_rate} vs approx {approx}"
