@@ -30,6 +30,17 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--families", default="", help="comma list; empty = all")
+    ap.add_argument(
+        "--edges-linear",
+        action="store_true",
+        help=(
+            "scale the graph edge list LINEARLY (k shifted copies of the 1x "
+            "edge list) instead of re-deriving pairs over the cloned corpus. "
+            "At large k the clone cliques make re-derived edges grow ~k^2 "
+            "(output growth, not operator cost); this flag keeps the "
+            "CC/PageRank stress an honest k-times-the-edges measurement."
+        ),
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -73,6 +84,21 @@ def main() -> None:
         fn()
         return time.time() - t0
 
+    wanted_pre = [f for f in args.families.split(",") if f]
+    needs_pairs_pre = not wanted_pre or bool(
+        {"dedup_clusters", "pagerank"} & set(wanted_pre)
+    )
+    base_pairs_ckpt = None
+    if args.edges_linear and needs_pairs_pre:
+        base_pairs_ckpt = (
+            dedup.ngram_jaccard_pairs(
+                load_table(spark, args.sf, "documents"), n=3, threshold=0.2
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        print(f"[base] edge list: {base_pairs_ckpt.count()} pairs", flush=True)
+
     results: dict[int, dict[str, float]] = {}
     for k in (1, args.k):
         docs = scaled("documents", "doc_id", k)
@@ -95,7 +121,19 @@ def main() -> None:
             {"dedup_clusters", "pagerank"} & set(wanted)
         )
         pairs_ckpt = None
-        if needs_pairs:
+        if needs_pairs and args.edges_linear:
+            out = base_pairs_ckpt
+            for i in range(1, k):
+                shift = F.lit(i * 100_000_000)
+                out = out.unionByName(
+                    base_pairs_ckpt.select(
+                        (F.col("id_a") + shift).alias("id_a"),
+                        (F.col("id_b") + shift).alias("id_b"),
+                    )
+                )
+            pairs_ckpt = out.localCheckpoint()
+            print(f"[x{k}] edge list (linear): {pairs_ckpt.count()} pairs", flush=True)
+        elif needs_pairs:
             pairs_ckpt = (
                 dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
                 .select("id_a", "id_b")
