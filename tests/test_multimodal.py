@@ -473,3 +473,187 @@ def test_binaryfile_ingest_idempotent_across_runs(spark, sf_dir):
     a = sorted(map(tuple, q.q_binaryfile_ingest(spark, sf_dir).collect()))
     b = sorted(map(tuple, q.q_binaryfile_ingest(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+# --- PNG (round-7: the compressed-codec stub retired, verdict #2) ---
+
+
+def _png_filter0(width, height, rgb):
+    """Independent minimal PNG builder used ONLY by tests: filter-0
+    scanlines, one IDAT — shares no code with encode_png, so a matched
+    encoder/decoder filter-math bug cannot hide behind the roundtrip."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_paeth_predictor_hand_vectors():
+    """Spec-defined selection: nearest of left/up/upper-left to
+    p = a + b - c, tie order a, b, c (RFC 2083 §6.6)."""
+    from cassandra_data_migrator_spark.operators.multimodal import paeth_predictor
+
+    assert paeth_predictor(0, 0, 0) == 0
+    assert paeth_predictor(10, 20, 15) == 15   # p=15: pc=0 wins
+    assert paeth_predictor(100, 50, 25) == 100  # p=125: pa=25 wins
+    assert paeth_predictor(5, 10, 5) == 10      # p=10: pb=0 wins
+    assert paeth_predictor(7, 7, 7) == 7        # full tie -> a
+    assert paeth_predictor(3, 9, 6) == 6        # p==c exactly -> c
+    assert paeth_predictor(5, 5, 9) == 5        # pa==pb==4 tie -> a
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles all five filter types (row % 5); decode must
+    reconstruct every one exactly, for heights that cover the cycle."""
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(42)
+    for w, h in [(1, 1), (1, 7), (4, 5), (6, 10), (3, 13), (16, 16)]:
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payload = encode_png(w, h, rgb)
+        assert decode_png(payload) == (w, h, 8, rgb)
+
+
+def test_decode_png_independent_filter0_builder():
+    """Decode a PNG built by the test-local filter-0 builder (no shared
+    code with encode_png): catches a matched encode/decode bug the
+    roundtrip test cannot."""
+    from cassandra_data_migrator_spark.operators.multimodal import decode_png
+
+    rgb = bytes(range(2 * 3 * 3))
+    assert decode_png(_png_filter0(2, 3, rgb)) == (2, 3, 8, rgb)
+
+
+def test_decode_png_rejects_malformed():
+    import struct
+    import zlib
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(4, 6, bytes(range(72)))
+    # wrong signature
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x88PNG\r\n\x1a\n" + good[8:])
+    # flipped byte inside a chunk -> CRC mismatch
+    bad = bytearray(good)
+    bad[30] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # truncation and trailing garbage
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-5])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_png(good + b"x")
+    # unsupported profile: grayscale color type 0
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG profile"):
+        decode_png(gray)
+    # inflated stream too short for the declared dimensions
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(6)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflated"):
+        decode_png(short)
+
+
+def test_decode_image_dispatches_png_and_still_stubs_jpeg():
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rgb = bytes(range(12))
+    assert decode_image(encode_png(2, 2, rgb)) == (2, 2, 8, rgb)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_png_kernels_match_reference(spark):
+    """The inlined mapInPandas closures must agree BYTE-identically with
+    encode_png / decode_png, the module-level references — one pin per
+    kernel, same discipline as the PPM/WAV kernels."""
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        png_encode_rgb,
+        png_stats,
+    )
+
+    rng = random.Random(7)
+    width = 4
+    rgbs = [
+        bytes(rng.randrange(256) for _ in range(width * 3 * h))
+        for h in (1, 5, 10, 3)
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rgbs)], "media_id LONG, rgb BINARY"
+    )
+    encoded = {r.media_id: bytes(r.payload) for r in png_encode_rgb(df, width).collect()}
+    for i, rgb in enumerate(rgbs):
+        assert encoded[i] == encode_png(width, len(rgb) // (width * 3), rgb)
+
+    pdf = spark.createDataFrame(
+        sorted(encoded.items()), "media_id LONG, payload BINARY"
+    )
+    got = {r.media_id: r for r in png_stats(pdf).collect()}
+    for i, rgb in enumerate(rgbs):
+        w, h, d, px = decode_png(encoded[i])
+        r = got[i]
+        assert (r.width, r.height, r.depth, r.n_pix) == (w, h, d, w * h)
+        assert (r.r_sum, r.g_sum, r.b_sum) == (
+            sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+        )
+        assert px == rgb
+
+
+def test_png_stats_kernel_fails_loudly_on_corrupt_payload(spark):
+    """A corrupt PNG must abort the job, never emit garbage stats."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        encode_png,
+        png_stats,
+    )
+
+    bad = bytearray(encode_png(2, 2, bytes(range(12))))
+    bad[30] ^= 1
+    df = spark.createDataFrame([(0, bytes(bad))], "media_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="CRC"):
+        png_stats(df).collect()
