@@ -3843,6 +3843,134 @@ def q_ivf_recall_audit(spark, sf_dir):
     )
 
 
+# Clustered-embedding recall fixture (round-6 verdict next-round #4): the
+# uniform synthetic embeddings are LSH-hostile (near-orthogonal everywhere),
+# which forced the uniform audits' floors down to 0.25-0.5. Real embedding
+# corpora are CLUSTERED, so these twins re-measure the same two ANN paths on
+# a mixture-of-Gaussians table derived IN-PLAN from the fixture: component
+# g = vec_id % G, center = deterministic sin-hash of (g, dim), vector =
+# center + eps*original (the original vector IS the per-point noise — no RNG,
+# both engines see identical data). Measured recall at eps=0.5: banded-LSH
+# per-query 1.0 / aggregate 1.0, IVF 1.0, at ALL of sf0.001/0.01/0.1 — so the
+# floors below (0.8 per-query, 0.9 aggregate) are tight enough to catch a
+# real recall regression, not just collapse. The uniform audits keep their
+# hostile-case floors as the documented worst-case bound.
+ANN_CLUSTER_G = 16
+ANN_CLUSTER_EPS = 0.5
+ANN_CLUSTERED_RECALL_MIN = 0.8      # per-query; measured 1.0 at all scales
+ANN_CLUSTERED_RECALL_AGG_MIN = 0.9  # aggregate; measured 1.0 at all scales
+IVF_CLUSTERED_RECALL_MIN = 0.9      # aggregate; measured 1.0 at all scales
+
+
+def _clustered_emb(spark, sf_dir):
+    """Session-shared clustered embedding table (disk-backed): the
+    mixture-of-Gaussians fixture both clustered recall audits and the
+    clustered ground truth read."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = (F.col("vec_id") % ANN_CLUSTER_G).cast("double")
+
+    def center(j):
+        s = F.sin(g * F.lit(127.1) + j.cast("double") * F.lit(311.7)) * F.lit(
+            43758.5453
+        )
+        return (s - F.floor(s)) * 2.0 - 1.0
+
+    return _session_artifact(
+        spark,
+        f"clustered_emb|{sf_dir}",
+        lambda: emb.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: center(j) + F.lit(ANN_CLUSTER_EPS) * x.cast("double"),
+            ).alias("embedding"),
+        ),
+    )
+
+
+def _brute_topk_clustered(spark, sf_dir):
+    """Session-shared exact top-k ground truth over the clustered table
+    (one probe-bounded BNLJ pass feeding both clustered audits)."""
+    emb = _clustered_emb(spark, sf_dir)
+    return _session_artifact(
+        spark,
+        f"brute_topk_clustered|{sf_dir}",
+        lambda: similarity.brute_force_topk(
+            emb, emb.filter(TOPK_QUERY_PRED), k=TOPK_K
+        ),
+    )
+
+
+def q_ann_recall_clustered(spark, sf_dir):
+    """Banded-LSH recall contract on the CLUSTERED fixture — the floors a
+    production corpus would be held to (per-query ≥ 0.8, aggregate ≥ 0.9;
+    measured 1.0/1.0 at sf0.001/0.01/0.1, eps=0.5). Same hit-join shape as
+    ann_recall_audit; the oracle pins every boolean TRUE and the exact
+    ground-truth counts."""
+    emb = _clustered_emb(spark, sf_dir)
+    qs = emb.filter(TOPK_QUERY_PRED)
+    brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
+    lsh = similarity.lsh_topk_banded(emb, qs, k=TOPK_K, num_bands=8).select(
+        "query_id", "vec_id"
+    )
+    hits = brute.join(lsh, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = brute.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brute")
+    )
+    joined = (
+        per_q.join(hits, "query_id", "left").fillna(0, ["n_hits"]).localCheckpoint()
+    )
+    agg = joined.agg(
+        (F.sum("n_hits") / F.sum("n_brute") >= ANN_CLUSTERED_RECALL_AGG_MIN).alias(
+            "agg_recall_ok"
+        )
+    )
+    return joined.crossJoin(F.broadcast(agg)).select(
+        "query_id",
+        "n_brute",
+        (F.col("n_hits") / F.col("n_brute") >= ANN_CLUSTERED_RECALL_MIN).alias(
+            "recall_ok"
+        ),
+        "agg_recall_ok",
+    )
+
+
+def q_ivf_recall_clustered(spark, sf_dir):
+    """IVF recall contract on the CLUSTERED fixture (aggregate ≥ 0.9;
+    measured 1.0 at all scales): lloyd-trains the coarse quantizer on the
+    clustered table itself (memoized per (applicationId, sf_dir) alongside
+    the uniform cells), then probes nprobe=2 — the full train → assign →
+    probe path under a floor that reflects clustered-corpus reality."""
+    emb = _clustered_emb(spark, sf_dir)
+    qs = emb.filter(TOPK_QUERY_PRED)
+    key = (spark.sparkContext.applicationId, sf_dir, "clustered")
+    if key not in _IVF_CENTROIDS_CACHE:
+        from cassandra_data_migrator_spark.operators.cluster import lloyd_kmeans
+
+        _, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
+        _IVF_CENTROIDS_CACHE[key] = [
+            (i, [float(x) for x in c]) for i, c in enumerate(cents)
+        ]
+    cents = _IVF_CENTROIDS_CACHE[key]
+    brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
+    ivf = similarity.ivf_topk(emb, qs, cents, k=TOPK_K, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
+    n_hit = brute.join(ivf, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return n_brute.crossJoin(F.broadcast(n_hit)).select(
+        "n_brute",
+        (
+            (F.col("n_brute") == 0)
+            | (F.col("n_hit") / F.col("n_brute") >= IVF_CLUSTERED_RECALL_MIN)
+        ).alias("recall_ok"),
+    )
+
+
 def q_simhash_recall_audit(spark, sf_dir):
     """SimHash quality contract: recall of the hamming≤8 pigeonhole-banded
     pair generator against the EXACT n-gram Jaccard pair set at threshold
@@ -4866,6 +4994,8 @@ def queries() -> dict[str, QueryFn]:
         "oov_rate": q_oov_rate,
         "vocab_zipf_slope": q_vocab_zipf_slope,
         "ivf_recall_audit": q_ivf_recall_audit,
+        "ann_recall_clustered": q_ann_recall_clustered,
+        "ivf_recall_clustered": q_ivf_recall_clustered,
         "topk_similarity_ivf": q_topk_similarity_ivf,
         "kmeans_clusters": q_kmeans_clusters,
         "dedup_clusters": q_dedup_clusters,
@@ -5784,6 +5914,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "ivf_recall_audit": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED}) AS n_brute,
+                   TRUE AS recall_ok
+        """,
+        "ann_recall_clustered": f"""
+            SELECT vec_id AS query_id, CAST({TOPK_K} AS BIGINT) AS n_brute,
+                   TRUE AS recall_ok, TRUE AS agg_recall_ok
+            FROM embeddings WHERE {TOPK_QUERY_PRED}
+        """,
+        "ivf_recall_clustered": f"""
             SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
                                                WHERE {TOPK_QUERY_PRED}) AS n_brute,
                    TRUE AS recall_ok

@@ -367,6 +367,7 @@ def test_sql_frontend_q5_no_cartesian(spark, sf_dir):
 ARROW_PYTHON_KEYS = {
     "topk_similarity_lsh_banded",
     "ann_recall_audit",
+    "ann_recall_clustered",  # banded-LSH Arrow GEMM signatures on the clustered fixture
     "multimodal_extract",
     "kmeans_clusters",  # assignment kernel (cluster.assign_clusters_arrow)
     "semantic_dedup",  # per-cluster GEMM (cluster.semdedup_pruned_ids)
@@ -410,6 +411,8 @@ BNLJ_KEYS = {
     "dedup_embedding": "probe",  # cosine_near_dup exact pair path
     "ann_recall_audit": "probe",  # audits run the exact path by design
     "ivf_recall_audit": "probe",
+    "ann_recall_clustered": "probe",  # clustered twins: same exact ground-truth path
+    "ivf_recall_clustered": "probe",
     "simhash_recall_audit": "probe",
     "minhash_recall_audit": "probe",
     "bigram_pmi": "total",  # unigram/bigram grand totals
