@@ -1,0 +1,96 @@
+"""URL canonicalization for web-corpus dedup (north-star extension: the
+CCNet / RefinedWeb-style pipelines dedup fetched pages by canonical URL
+before any content-level pass — cheap, exact, and removes the dominant
+refetch/tracking-param duplicate class).
+
+Pure JVM expressions end to end (regexp + higher-order array functions) —
+the canonicalizer runs inside whole-stage codegen on a 100 TB crawl scan;
+no Python, no UDF. Rules (the conservative, widely-agreed subset):
+
+- scheme and host lowercase;
+- scheme-default port stripped (``http:80``, ``https:443``), any other
+  explicit port kept;
+- fragment dropped;
+- tracking query params dropped (``utm_*``, ``fbclid*``, ``gclid*``);
+- remaining query params sorted (byte order of the full ``k=v`` token);
+- trailing slashes stripped from the path (root collapses to ``/``).
+
+Deliberately NOT done (they change semantics on real servers): percent-
+decoding, case-folding of path/query, ``www.`` stripping, param-VALUE
+normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+_SCHEME_AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL as one JVM expression.
+
+    Assumes a well-formed absolute URL (scheme://host[:port][/path]
+    [?query][#fragment]); a literal '?' inside the query is treated as the
+    query separator (only the first one splits)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.substring_index(authority, ":", 1)
+    port = F.when(
+        authority.contains(":"), F.substring_index(authority, ":", -1)
+    ).otherwise(F.lit(""))
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    canon_port = F.when((port == "") | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    # everything after the authority, fragment dropped
+    tail = F.substring_index(
+        F.regexp_replace(url, _SCHEME_AUTHORITY, ""), "#", 1
+    )
+    parts = F.split(tail, r"\?", 2)
+    # F.get (not getItem): a URL without '?' yields a 1-element split and
+    # ANSI mode makes an out-of-bounds getItem a hard error, not NULL
+    path = F.get(parts, 0)
+    canon_path = F.regexp_replace(path, r"/+$", "")
+    canon_path = F.when(canon_path == "", F.lit("/")).otherwise(canon_path)
+    query = F.coalesce(F.get(parts, 1), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~_any_prefix(p, TRACKING_PREFIXES),
+        )
+    )
+    canon_query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, canon_port, canon_path, canon_query)
+
+
+def _any_prefix(col: Column, prefixes: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | col.startswith(p)
+    return out
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Exact URL-level dedup: canonicalize, then keep-first per canonical
+    URL (smallest id = representative — deterministic, order-free). ONE
+    hash shuffle on the canonical URL; group size rides the same window,
+    so observability (how duplicated is the crawl?) costs nothing extra."""
+    w = Window.partitionBy("canon_url")
+    canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+    return canon.select(
+        id_col,
+        "canon_url",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_dups"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_rep"),
+    )

@@ -416,6 +416,42 @@ def q_migrate_rowcount(spark, sf_dir):
 # 2b north-star extension queries
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level crawl dedup (functions/urls.py) under the DRIVER check:
+    documents gain a deterministic raw URL whose NOISE varies on doc_id % 7
+    (scheme/host case, default :80 port, 0-2 trailing slashes, fragment,
+    utm_/gclid tracking params, param order) while the canonical identity
+    varies on doc_id % 12 (path) and % 9 (kept param) — 7 is coprime with
+    36, so every canonical group contains every noise variant. The oracle
+    computes the EXPECTED canonical form analytically from the same mods
+    (it never parses a URL), so each of the six canonicalization rules must
+    fire correctly for Spark's parsed output to match — same oracle shape
+    as the multimodal byte re-slicing. Keep-first + group size ride one
+    window (one hash shuffle on canon_url)."""
+    from cassandra_data_migrator_spark.functions.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    m12 = (F.col("doc_id") % 12).cast("string")
+    m9 = (F.col("doc_id") % 9).cast("string")
+    v = F.col("doc_id") % 7
+    scheme = F.when(v.isin(0, 2, 4), F.lit("HTTP")).otherwise(F.lit("http"))
+    host = F.when(v < 3, F.lit("WWW.CRAWL.EXAMPLE.COM")).otherwise(
+        F.lit("www.Crawl.Example.com")
+    )
+    port = F.when(v == 1, F.lit(":80")).otherwise(F.lit(""))
+    trail = F.when(v == 2, F.lit("//")).when(v == 3, F.lit("/")).otherwise(F.lit(""))
+    qq = F.when(
+        v % 2 == 0, F.concat(F.lit("?a="), m9, F.lit("&utm_source=feed&z=9"))
+    ).otherwise(F.concat(F.lit("?z=9&a="), m9, F.lit("&gclid=g1")))
+    frag = F.when(v >= 5, F.concat(F.lit("#sec"), v.cast("string"))).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        scheme, F.lit("://"), host, port, F.lit("/Docs/Page-"), m12, trail, qq, frag
+    )
+    return url_dedup(d.withColumn("url", url), "url", "doc_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -5083,6 +5119,7 @@ def queries() -> dict[str, QueryFn]:
         "partition_slices": q_partition_slices,
         "migrate_rowcount": q_migrate_rowcount,
         "dedup_exact": q_dedup_exact,
+        "url_dedup": q_url_dedup,
         "dedup_ngram": q_dedup_ngram,
         "dedup_fuzzy": q_dedup_fuzzy,
         "simhash_near_dup": q_simhash_near_dup,
@@ -6722,6 +6759,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN st.status <> 'passed' THEN COALESCE(o.cnt, 0)
                         ELSE 0 END AS BIGINT) AS resume_rows
             FROM st LEFT JOIN o USING (slice_id)
+        """,
+        "url_dedup": """
+            WITH u AS (SELECT doc_id,
+                              'http://www.crawl.example.com/Docs/Page-'
+                              || (doc_id % 12)
+                              || '?a=' || (doc_id % 9) || '&z=9' AS canon_url
+                       FROM documents)
+            SELECT doc_id, canon_url,
+                   CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+                       AS n_dups,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS is_rep
+            FROM u
         """,
         "dedup_exact": """
             SELECT doc_id, md5(text) AS content_hash,

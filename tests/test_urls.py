@@ -1,0 +1,83 @@
+"""URL canonicalization edge cases (functions/urls.py) — the rule-by-rule
+contract the url_dedup driver key exercises in bulk."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions.urls import canonicalize_url, url_dedup
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    rows = df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    return [r.c for r in rows]
+
+
+CASES = [
+    # scheme + host lowercase
+    ("HTTP://WWW.Example.COM/A", "http://www.example.com/A"),
+    # default ports stripped, non-default kept
+    ("http://ex.com:80/x", "http://ex.com/x"),
+    ("https://ex.com:443/x", "https://ex.com/x"),
+    ("http://ex.com:443/x", "http://ex.com:443/x"),
+    ("https://ex.com:8080/x", "https://ex.com:8080/x"),
+    # trailing slashes collapse; root path survives as '/'
+    ("http://ex.com/a/b///", "http://ex.com/a/b"),
+    ("http://ex.com/", "http://ex.com/"),
+    ("http://ex.com", "http://ex.com/"),
+    # fragment dropped
+    ("http://ex.com/p#frag", "http://ex.com/p"),
+    ("http://ex.com/p?a=1#frag", "http://ex.com/p?a=1"),
+    # tracking params dropped, remainder sorted; tracking-only -> no '?'
+    ("http://ex.com/p?z=2&utm_source=f&a=1", "http://ex.com/p?a=1&z=2"),
+    ("http://ex.com/p?fbclid=x&gclid=y&utm_campaign=c", "http://ex.com/p"),
+    ("http://ex.com/p?b=2&a=1&a=0", "http://ex.com/p?a=0&a=1&b=2"),
+    # path/query case NOT folded (semantics-preserving subset)
+    ("http://ex.com/CaseSensitive?Q=V", "http://ex.com/CaseSensitive?Q=V"),
+    # empty query string -> no '?'
+    ("http://ex.com/p?", "http://ex.com/p"),
+]
+
+
+def test_canonicalize_url_rules(spark):
+    got = _canon(spark, [u for u, _ in CASES])
+    for (u, want), g in zip(CASES, got):
+        assert g == want, f"{u!r}: got {g!r}, want {want!r}"
+
+
+def test_canonicalize_is_idempotent(spark):
+    once = _canon(spark, [u for u, _ in CASES])
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_url_dedup_keep_first_and_group_size(spark):
+    rows = [
+        (1, "HTTP://A.com/x?utm_source=s&k=1"),
+        (2, "http://a.COM:80/x/?k=1#f"),
+        (3, "http://a.com/x?k=1"),
+        (4, "http://a.com/y?k=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {r.doc_id: (r.canon_url, r.n_dups, r.is_rep) for r in url_dedup(df).collect()}
+    assert got[1] == ("http://a.com/x?k=1", 3, True)
+    assert got[2] == ("http://a.com/x?k=1", 3, False)
+    assert got[3] == ("http://a.com/x?k=1", 3, False)
+    assert got[4] == ("http://a.com/y?k=1", 1, True)
+
+
+def test_url_dedup_single_exchange(spark, sf_dir):
+    """Keep-first + group size must ride ONE hash shuffle on canon_url."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cassandra_data_migrator_spark import queries as q
+
+    df = q.queries()["url_dedup"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert p.count("Exchange") == 1, f"expected exactly 1 exchange:\n{p}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
