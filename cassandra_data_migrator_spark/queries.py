@@ -4384,6 +4384,42 @@ TPCH_Q17_SQL = """
 """
 
 
+TPCH_Q20_SQL = """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 60
+    )
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_5'
+    ORDER BY s_name
+"""
+
+TPCH_Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT * FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT * FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
 def q_sql_frontend_q2(spark, sf_dir):
     """TPC-H Q2 shape as SQL text — the frontend's CORRELATED SCALAR
     subquery with MIN: each part's suppliers survive only at the per-part
@@ -4418,6 +4454,39 @@ def q_sql_frontend_q17(spark, sf_dir):
     register_tables(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(TPCH_Q17_SQL)
 
+
+def q_sql_frontend_q20(spark, sf_dir):
+    """TPC-H Q20 shape as SQL text — NESTED IN subqueries with a correlated
+    grouped HAVING inside: suppliers whose shipped quantity of any
+    name-matched part exceeds a threshold. Catalyst rewrites the inner IN
+    to a semi-join under the aggregate and the outer IN to a semi-join on
+    s_suppkey — the nesting depth q2/q4/q13/q17/q22 don't cover. Fixture
+    adaptation: lineitem stands in for partsupp (SUM(l_quantity) as
+    availability), fixture nation/part-name literals. IDENTICAL text runs
+    on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["supplier", "nation", "lineitem", "part"])
+    return spark.sql(TPCH_Q20_SQL)
+
+
+def q_sql_frontend_q21(spark, sf_dir):
+    """TPC-H Q21 shape as SQL text — the EXISTS + NOT EXISTS pair correlated
+    to the SAME table (multi-supplier order where only this supplier was
+    late): Catalyst must plan a left-semi AND a left-anti against lineitem
+    with the inequality riding the correlation — the one decorrelation
+    shape the q2-q22 family still lacked. Fixture adaptation: no
+    receipt/commit dates exist, so 'late' := l_returnflag = 'R' (the
+    semi/anti structure, not the date arithmetic, is the contract).
+    ORDER BY numwait DESC, s_name is a total order (s_name unique per
+    group), so the LIMIT boundary is deterministic on both engines.
+    IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return spark.sql(TPCH_Q21_SQL)
 
 LM_ADD_K = 0.5  # add-k smoothing constant of the bigram LM
 HH_THRESHOLD_FRAC = 0.0008  # heavy hitter = key with >= 0.08% of all events
@@ -5002,6 +5071,8 @@ def queries() -> dict[str, QueryFn]:
         "run_tracking_resume": q_run_tracking_resume,
         "sql_frontend_q2": q_sql_frontend_q2,
         "sql_frontend_q17": q_sql_frontend_q17,
+        "sql_frontend_q20": q_sql_frontend_q20,
+        "sql_frontend_q21": q_sql_frontend_q21,
         # --- r06 window head ---
         "training_order_shuffle": q_training_order_shuffle,
         "sql_frontend_q4": q_sql_frontend_q4,
@@ -5726,6 +5797,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q1": TPCH_Q1_SQL,
         "sql_frontend_q2": TPCH_Q2_SQL,
         "sql_frontend_q17": TPCH_Q17_SQL,
+        "sql_frontend_q20": TPCH_Q20_SQL,
+        "sql_frontend_q21": TPCH_Q21_SQL,
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
