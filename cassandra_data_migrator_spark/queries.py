@@ -1429,6 +1429,44 @@ def q_training_order_shuffle(spark, sf_dir):
     )
 
 
+SHARD_BALANCE_N = 8  # output shards of the token-balanced sharding key
+
+
+def q_shard_balance(spark, sf_dir):
+    """Token-balanced corpus sharding — the OTHER sharding policy a
+    training pipeline needs (training_order_shuffle gives contiguous
+    pseudorandom shards; this gives shards of near-EQUAL TOKEN MASS for
+    heterogeneous-length corpora, the longest-processing-time greedy
+    collapsed to round-robin-by-size-rank). Plan: per-doc token counts
+    (one scan), then operators/rank.global_rank on the NEGATED count
+    (value histogram bounded by distinct lengths — the only unpartitioned
+    window reads the histogram, never rows), shard = rank % N. Output is
+    the per-shard manifest (doc count, token mass, share of corpus) the
+    trainer's data loader reads. The oracle recomputes the full
+    ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) assignment."""
+    from cassandra_data_migrator_spark.operators import rank as rank_ops
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    ).withColumn("__neg", -F.col("n_tok"))
+    ranked = rank_ops.global_rank(base, "__neg", "doc_id", pos_col="pos")
+    shards = ranked.select(
+        "n_tok", (F.col("pos") % SHARD_BALANCE_N).cast("bigint").alias("shard")
+    )
+    per = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+    )
+    total = per.agg(F.sum("sum_tok").cast("bigint").alias("__tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "sum_tok",
+        F.round(F.col("sum_tok") / F.col("__tot"), 4).alias("share_r"),
+    )
+
+
 TOKEN_BUDGET = 12_000  # tokens — the corpus-selection budget (~44% of the
 # sf0.01 corpus, ~4% of sf0.1, so every fixture scale selects a real prefix)
 
@@ -5075,6 +5113,7 @@ def queries() -> dict[str, QueryFn]:
         "sql_frontend_q21": q_sql_frontend_q21,
         # --- r06 window head ---
         "training_order_shuffle": q_training_order_shuffle,
+        "shard_balance": q_shard_balance,
         "sql_frontend_q4": q_sql_frontend_q4,
         "sql_frontend_q13": q_sql_frontend_q13,
         "sql_frontend_q22": q_sql_frontend_q22,
@@ -7128,6 +7167,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_LT}' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "shard_balance": f"""
+            WITH nt AS (SELECT doc_id, len({TOKS_SQL}) AS n_tok
+                        FROM documents),
+            r AS (SELECT doc_id, n_tok,
+                         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1
+                             AS pos
+                  FROM nt),
+            s AS (SELECT pos % {SHARD_BALANCE_N} AS shard, n_tok FROM r)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   ROUND(SUM(n_tok) * 1.0 / (SELECT SUM(n_tok) FROM nt), 4)
+                       AS share_r
+            FROM s GROUP BY shard
         """,
         "training_order_shuffle": f"""
             WITH k AS (
