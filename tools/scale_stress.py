@@ -59,7 +59,12 @@ def main() -> None:
         semdedup_pruned_ids,
     )
     from cassandra_data_migrator_spark.operators.graph import pagerank_pairs
-    from cassandra_data_migrator_spark.operators.rank import global_index, top_k_rows
+    from cassandra_data_migrator_spark.operators.rank import (
+        global_index,
+        global_rank,
+        top_k_rows,
+    )
+    from cassandra_data_migrator_spark.functions.urls import url_dedup
     from cassandra_data_migrator_spark.functions.text import tokens
     from cassandra_data_migrator_spark.functions.vectors import as_double_array
     from cassandra_data_migrator_spark.session import get_spark
@@ -285,6 +290,36 @@ def main() -> None:
                         ).alias("skey"),
                     ),
                     "skey",
+                    "doc_id",
+                )
+            ),
+            # r07 URL dedup: canonicalize (scan-bound JVM expressions) + one
+            # window shuffle on canon_url; the clone-union multiplies every
+            # canonical group k-times, so keep-first must absorb hot groups
+            "url_dedup": lambda: noop(
+                url_dedup(
+                    docs.withColumn(
+                        "url",
+                        F.concat(
+                            F.lit("HTTP://Ex.COM:80/p/"),
+                            (F.col("doc_id") % 1000).cast("string"),
+                            F.lit("/?utm_source=f&b=2&a="),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit("#s"),
+                        ),
+                    )
+                )
+            ),
+            # r07 token-balanced sharding: one scan + histogram-bounded
+            # global rank (the clone-union scales the ranked rows k-times
+            # while the distinct-length histogram stays fixed)
+            "shard_balance": lambda: noop(
+                global_rank(
+                    docs.select(
+                        "doc_id",
+                        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+                    ).withColumn("__neg", -F.col("n_tok")),
+                    "__neg",
                     "doc_id",
                 )
             ),
