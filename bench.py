@@ -129,12 +129,18 @@ def main() -> None:
         timings[key] = round(statistics.median(samples), 4)
         _drop_cached_blocks()
 
-    # migrate throughput: end-to-end rows/sec of the migrate pipeline at this sf
-    from cassandra_data_migrator_spark.sources.parquet import load_table
+    # migrate throughput: end-to-end rows/sec of the migrate pipeline at this
+    # sf — only meaningful when migrate_rowcount was actually timed (a
+    # SPARK_GRAFT_KEYS subset without it must not emit a 1e-9-denominator
+    # garbage metric, nor pay the orders count() scan)
+    mig = timings.get("migrate_rowcount")
+    if mig:
+        from cassandra_data_migrator_spark.sources.parquet import load_table
 
-    n_rows = load_table(spark, sf, "orders").count()
-    mig = timings.get("migrate_rowcount") or 1e-9
-    rows_per_sec = round(n_rows / mig, 1)
+        n_rows = load_table(spark, sf, "orders").count()
+        rows_per_sec = round(n_rows / mig, 1)
+    else:
+        rows_per_sec = None
 
     result = {
         "metric": "total_query_sec",

@@ -41,10 +41,20 @@ def canonicalize_url(url: Column) -> Column:
     authority = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
-    host = F.substring_index(authority, ":", 1)
+    # IPv6 literals carry colons INSIDE the bracketed host ('[::1]:8080') —
+    # a bare substring_index(':') split would collapse distinct v6 hosts
+    # into one canonical form and silently merge their documents
+    bracketed = authority.startswith("[")
+    host = F.when(
+        bracketed, F.regexp_extract(authority, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.substring_index(authority, ":", 1))
     port = F.when(
-        authority.contains(":"), F.substring_index(authority, ":", -1)
-    ).otherwise(F.lit(""))
+        bracketed, F.regexp_extract(authority, r"^\[[^\]]*\]:([0-9]+)$", 1)
+    ).otherwise(
+        F.when(
+            authority.contains(":"), F.substring_index(authority, ":", -1)
+        ).otherwise(F.lit(""))
+    )
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
@@ -85,9 +95,19 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     """Exact URL-level dedup: canonicalize, then keep-first per canonical
     URL (smallest id = representative — deterministic, order-free). ONE
     hash shuffle on the canonical URL; group size rides the same window,
-    so observability (how duplicated is the crawl?) costs nothing extra."""
-    w = Window.partitionBy("canon_url")
+    so observability (how duplicated is the crawl?) costs nothing extra.
+
+    Rows with a NULL url pass through ungrouped (n_dups=1, is_rep=true):
+    a missing URL is absent provenance, not a shared identity — grouping
+    NULLs together would mark unrelated documents as duplicates of each
+    other and a keep-only-reps consumer would silently drop them."""
+    # NULL-safe grouping key: each NULL-url row gets its own singleton
+    # group keyed by its id (ids never collide with canonical URLs)
     canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+    grp = F.coalesce(
+        F.col("canon_url"), F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(grp)
     return canon.select(
         id_col,
         "canon_url",

@@ -377,13 +377,18 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     idat = b"".join(d for t, d in chunks if t == b"IDAT")
     if not idat:
         raise ValueError("PNG contains no IDAT data")
-    raw = zlib.decompress(idat)
     bpp = 3
     stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: cap the output at expected+1 bytes BEFORE allocating
+    # (a crafted 1x1 IHDR with a gigabyte-inflating IDAT must fail in the
+    # size check, not OOM the worker — untrusted-payload discipline)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, expected + 1)
+    if len(raw) != expected or not dec.eof or dec.unused_data:
         raise ValueError(
-            f"inflated PNG stream is {len(raw)} bytes, "
-            f"expected {(stride + 1) * height}"
+            f"inflated PNG stream is {'>' if len(raw) > expected else ''}"
+            f"{len(raw)} bytes, expected {expected}"
         )
     out = bytearray(stride * height)
     prev_off = -stride
@@ -859,13 +864,15 @@ def png_stats(df: DataFrame) -> DataFrame:
             idat = b"".join(d for t, d in chunks if t == b"IDAT")
             if not idat:
                 raise ValueError("PNG contains no IDAT data")
-            raw = zlib.decompress(idat)
             bpp = 3
             stride = width * bpp
-            if len(raw) != (stride + 1) * height:
+            expected = (stride + 1) * height
+            dec = zlib.decompressobj()
+            raw = dec.decompress(idat, expected + 1)
+            if len(raw) != expected or not dec.eof or dec.unused_data:
                 raise ValueError(
-                    f"inflated PNG stream is {len(raw)} bytes, "
-                    f"expected {(stride + 1) * height}"
+                    f"inflated PNG stream is {'>' if len(raw) > expected else ''}"
+                    f"{len(raw)} bytes, expected {expected}"
                 )
             out = bytearray(stride * height)
             prev_off = -stride

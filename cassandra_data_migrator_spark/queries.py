@@ -564,18 +564,21 @@ def q_topk_similarity(spark, sf_dir):
 _IVF_CENTROIDS_CACHE: dict = {}
 
 
-def _ivf_centroids(spark, sf_dir):
+def _ivf_centroids(spark, sf_dir, variant="uniform", emb_df=None):
     """Train the IVF coarse quantizer end-to-end (round-5 verdict #4): 8
     Lloyd cells over the embedding corpus instead of the old `vec_id % 97`
-    sample. Returns [(cell_id, centroid_vector)] for similarity.ivf_topk."""
+    sample. Returns [(cell_id, centroid_vector)] for similarity.ivf_topk.
+    ``variant``/``emb_df`` select an alternate training table (the r07
+    clustered fixture) under its own memo slot — one memoization, every
+    quantizer."""
     from cassandra_data_migrator_spark.operators.cluster import lloyd_kmeans
 
     # keyed by (applicationId, sf_dir) for parity with _session_artifact —
     # a NEW session over regenerated fixture data at the same path must
     # retrain, never reuse another application's centroids
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key not in _IVF_CENTROIDS_CACHE:
-        emb = _t(spark, sf_dir, "embeddings")
+        emb = emb_df if emb_df is not None else _t(spark, sf_dir, "embeddings")
         _, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
         _IVF_CENTROIDS_CACHE[key] = [
             (i, [float(x) for x in c]) for i, c in enumerate(cents)
@@ -4019,15 +4022,7 @@ def q_ivf_recall_clustered(spark, sf_dir):
     probe path under a floor that reflects clustered-corpus reality."""
     emb = _clustered_emb(spark, sf_dir)
     qs = emb.filter(TOPK_QUERY_PRED)
-    key = (spark.sparkContext.applicationId, sf_dir, "clustered")
-    if key not in _IVF_CENTROIDS_CACHE:
-        from cassandra_data_migrator_spark.operators.cluster import lloyd_kmeans
-
-        _, cents = lloyd_kmeans(emb, "embedding", "vec_id", k=KMEANS_K, iters=KMEANS_ITERS)
-        _IVF_CENTROIDS_CACHE[key] = [
-            (i, [float(x) for x in c]) for i, c in enumerate(cents)
-        ]
-    cents = _IVF_CENTROIDS_CACHE[key]
+    cents = _ivf_centroids(spark, sf_dir, variant="clustered", emb_df=emb)
     brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
     ivf = similarity.ivf_topk(emb, qs, cents, k=TOPK_K, nprobe=2).select(
         "query_id", "vec_id"

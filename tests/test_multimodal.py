@@ -1,7 +1,7 @@
 """Multimodal plumbing: binary columns + Arrow-batched feature extraction.
-PPM images, WAV audio, and Y4M video decode for REAL (pure-Python parsers,
-pinned here against references and corrupt payloads); compressed codecs
-(PNG/JPEG) still refuse honestly. Plus the real Spark machinery: schema,
+PPM images, WAV audio, Y4M video, and (since r07) PNG decode for REAL
+(pure-Python parsers, pinned here against references and corrupt payloads);
+JPEG still refuses honestly. Plus the real Spark machinery: schema,
 mapInPandas batch shape, determinism, metadata ops staying JVM-side."""
 
 import pytest
@@ -26,6 +26,10 @@ def media_df(spark):
 
 
 def test_decode_is_stubbed():
+    # JPEG has no pure-Python decoder; a PARTIAL PNG signature is not a PNG
+    # either — both must refuse, not guess
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
 
@@ -105,7 +109,7 @@ def test_decode_ppm_rejects_malformed():
 
     assert decode_image(good)[0] == 2
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG....")
+        decode_image(b"\x89PNG....")  # partial signature is not a PNG
 
 
 def test_ppm_stats_kernel_matches_reference(spark):
@@ -657,3 +661,37 @@ def test_png_stats_kernel_fails_loudly_on_corrupt_payload(spark):
     df = spark.createDataFrame([(0, bytes(bad))], "media_id LONG, payload BINARY")
     with pytest.raises(Exception, match="CRC"):
         png_stats(df).collect()
+
+
+def test_decode_png_bounds_decompression_bombs():
+    """A 1x1 IHDR with an IDAT that inflates to megabytes must fail in the
+    size check without materializing the inflated stream (review r07)."""
+    import struct
+    import zlib
+
+    from cassandra_data_migrator_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflated"):
+        decode_png(bomb)
+    # and a truncated deflate stream (right length so far, no terminator)
+    full = zlib.compress(b"\x00\x01\x02\x03")
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", full[:-2])
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(trunc)

@@ -81,3 +81,30 @@ def test_url_dedup_single_exchange(spark, sf_dir):
     p = buf.getvalue()
     assert p.count("Exchange") == 1, f"expected exactly 1 exchange:\n{p}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_canonicalize_ipv6_hosts_stay_distinct(spark):
+    """IPv6 literals carry colons inside the bracketed host; the
+    authority split must not collapse distinct v6 hosts (review r07)."""
+    got = _canon(spark, [
+        "http://[::1]:8080/x",
+        "http://[::2]:8080/x",
+        "HTTP://[2001:DB8::1]/x",
+        "http://[::1]:80/x",
+    ])
+    assert got[0] == "http://[::1]:8080/x"
+    assert got[1] == "http://[::2]:8080/x"
+    assert got[0] != got[1]
+    assert got[2] == "http://[2001:db8::1]/x"
+    assert got[3] == "http://[::1]/x"  # default port strips for v6 too
+
+
+def test_url_dedup_null_urls_pass_through_ungrouped(spark):
+    """Missing URL = absent provenance, not shared identity: NULL-url rows
+    must come out as singletons, never duplicates of each other."""
+    rows = [(1, None), (2, None), (3, "http://a.com/x")]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {r.doc_id: (r.canon_url, r.n_dups, r.is_rep) for r in url_dedup(df).collect()}
+    assert got[1] == (None, 1, True)
+    assert got[2] == (None, 1, True)
+    assert got[3] == ("http://a.com/x", 1, True)

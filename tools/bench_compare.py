@@ -32,6 +32,13 @@ import sys
 import tempfile
 
 
+# bench.py's measured in-sweep-vs-isolated inflation (~+27%): a full
+# contended sweep reads hotter than a fresh single-key session. Used by
+# --isolate to put the OLD (in-sweep) number and the NEW (isolated)
+# re-measure on the same footing.
+INSWEEP_INFLATION = 1.27
+
+
 def _queries(path: str) -> dict[str, float]:
     with open(path) as fh:
         d = json.load(fh)
@@ -118,18 +125,25 @@ def main() -> int:
     for ratio, k in sorted(tripped, reverse=True):
         if args.isolate:
             iso = _isolated_timing(k, args.sf_dir)
+            # the OLD number comes from a CONTENDED full sweep (~1.27x
+            # inflated vs isolated, bench.py's own measurement), while iso
+            # is uncontended — deflate old accordingly or a true isolated
+            # regression up to threshold*1.27x reads as "noise"
+            old_iso_est = old[k] / INSWEEP_INFLATION
             if iso is None:
                 confirmed.append((ratio, k, new[k]))  # unmeasurable: keep flag
                 print(f"REGRESSION {k}: {old[k]:.2f}s -> {new[k]:.2f}s = "
                       f"{ratio:.2f}x (isolation failed — flag stands)")
-            elif iso > args.threshold * old[k]:
-                confirmed.append((iso / old[k], k, iso))
+            elif iso > args.threshold * old_iso_est:
+                confirmed.append((iso / old_iso_est, k, iso))
                 print(f"REGRESSION {k}: {old[k]:.2f}s -> {new[k]:.2f}s in-sweep, "
-                      f"{iso:.2f}s ISOLATED = {iso / old[k]:.2f}x — confirmed")
+                      f"{iso:.2f}s ISOLATED vs ~{old_iso_est:.2f}s est. isolated "
+                      f"old = {iso / old_iso_est:.2f}x — confirmed")
             else:
                 print(f"noise {k}: {old[k]:.2f}s -> {new[k]:.2f}s in-sweep "
-                      f"({ratio:.2f}x) but {iso:.2f}s isolated "
-                      f"({iso / old[k]:.2f}x) — in-sweep noise, not a regression")
+                      f"({ratio:.2f}x) but {iso:.2f}s isolated vs "
+                      f"~{old_iso_est:.2f}s est. isolated old "
+                      f"({iso / old_iso_est:.2f}x) — in-sweep noise, not a regression")
         else:
             confirmed.append((ratio, k, new[k]))
             print(f"REGRESSION {k}: {old[k]:.2f}s -> {new[k]:.2f}s = {ratio:.2f}x")
