@@ -4525,6 +4525,54 @@ LM_ADD_K = 0.5  # add-k smoothing constant of the bigram LM
 HH_THRESHOLD_FRAC = 0.0008  # heavy hitter = key with >= 0.08% of all events
 
 
+def q_ccnet_bucket_mix(spark, sf_dir):
+    """CCNet's defining move as a named recipe: bucket documents into
+    perplexity TERCILES (head/middle/tail) under the self-trained bigram
+    LM and emit the per-bucket manifest (doc count, bigram mass, mean
+    nll) a mix builder keeps/downsamples/drops by. Composition, not new
+    machinery: q_lm_perplexity's per-doc nll (4dp DECIMAL-rounded — the
+    value domain is bounded, so global_rank's histogram stays bounded at
+    any corpus size) → operators/rank.global_rank → tercile =
+    floor(rank·3 / n). The oracle recomputes the LM from scratch (the
+    shared lm_perplexity CTE text) and the terciles via ROW_NUMBER."""
+    from cassandra_data_migrator_spark.operators import rank as rank_ops
+
+    scored = q_lm_perplexity(spark, sf_dir)
+    ranked = rank_ops.global_rank(scored, "nll", "doc_id", pos_col="pos")
+    b = ranked.withColumn(
+        "bucket", F.floor(F.col("pos") * 3 / F.col("n_total")).cast("bigint")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+
+
+LM_PERPLEXITY_ORACLE_BODY = f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM uni),
+            bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                         FROM toks WHERE len(ts) >= 2)),
+            dc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM bg GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, SUM(n_occ) AS c12 FROM dc GROUP BY 1, 2),
+            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+            pr AS (SELECT b.w1, b.w2,
+                          CAST(ROUND(ln((b.c12 + {LM_ADD_K})
+                               / (c.c1 + {LM_ADD_K} * voc.v)), 6)
+                               AS DECIMAL(18,6)) AS logp6
+                   FROM c12 b JOIN c1 c ON c.w1 = b.w1 CROSS JOIN voc)
+            SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+                   ROUND(-(CAST(SUM(d.n_occ * p.logp6) AS DOUBLE)
+                         / CAST(SUM(d.n_occ) AS DOUBLE)), 4) + 0.0 AS nll
+            FROM dc d JOIN pr p ON p.w1 = d.w1 AND p.w2 = d.w2
+            GROUP BY d.doc_id
+        """
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained bigram-LM quality score (the CCNet-style 'perplexity
     filter' of LLM data pipelines, self-trained so no external model is
@@ -5194,6 +5242,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_recall_audit": q_ann_recall_audit,
         "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_bucket_mix": q_ccnet_bucket_mix,
         "hll_distinct_audit": q_hll_distinct_audit,
         "quantile_sketch_audit": q_quantile_sketch_audit,
         "heavy_hitters_audit": q_heavy_hitters_audit,
@@ -6299,28 +6348,22 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recall_ok, TRUE AS agg_recall_ok
             FROM embeddings WHERE {TOPK_QUERY_PRED}
         """,
-        "lm_perplexity": f"""
-            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
-            uni AS (SELECT unnest(ts) AS w FROM toks),
-            voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM uni),
-            bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
-                         FROM toks WHERE len(ts) >= 2)),
-            dc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
-                   FROM bg GROUP BY 1, 2, 3),
-            c12 AS (SELECT w1, w2, SUM(n_occ) AS c12 FROM dc GROUP BY 1, 2),
-            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
-            pr AS (SELECT b.w1, b.w2,
-                          CAST(ROUND(ln((b.c12 + {LM_ADD_K})
-                               / (c.c1 + {LM_ADD_K} * voc.v)), 6)
-                               AS DECIMAL(18,6)) AS logp6
-                   FROM c12 b JOIN c1 c ON c.w1 = b.w1 CROSS JOIN voc)
-            SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
-                   ROUND(-(CAST(SUM(d.n_occ * p.logp6) AS DOUBLE)
-                         / CAST(SUM(d.n_occ) AS DOUBLE)), 4) + 0.0 AS nll
-            FROM dc d JOIN pr p ON p.w1 = d.w1 AND p.w2 = d.w2
-            GROUP BY d.doc_id
-        """,
+        "lm_perplexity": LM_PERPLEXITY_ORACLE_BODY,
+        "ccnet_bucket_mix": f"""
+            WITH lm AS ({{LM}}),
+            r AS (SELECT doc_id, n_bigrams, nll,
+                         ROW_NUMBER() OVER (ORDER BY nll, doc_id) - 1 AS pos,
+                         COUNT(*) OVER () AS n_total
+                  FROM lm),
+            b AS (SELECT CAST(FLOOR(pos * 3.0 / n_total) AS BIGINT) AS bucket,
+                         n_bigrams, nll
+                  FROM r)
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+                   ROUND(AVG(nll), 4) AS avg_nll
+            FROM b GROUP BY bucket
+        """.replace("{LM}", LM_PERPLEXITY_ORACLE_BODY),
         "jsonl_quarantine": f"""
             SELECT
               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents

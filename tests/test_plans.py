@@ -184,6 +184,7 @@ GLOBAL_WINDOW_KEYS = {
     "label_balance": "histogram",  # share over per-label agg (≤ #classes)
     "part_brand_share": "histogram",  # share over per-brand agg (≤ #brands)
     "shard_balance": "histogram",  # rank.global_rank cumsum over the length histogram
+    "ccnet_bucket_mix": "histogram",  # rank.global_rank over the 4dp-bounded nll histogram
     "vocab_topk": "pruned",  # rank.top_k_rows
     "bm25_topk": "pruned",  # rank.top_k_rows
     "oov_rate": "pruned",  # rank.top_k_rows (vocab selection)
@@ -425,6 +426,7 @@ BNLJ_KEYS = {
     "unigram_logprob": "total",  # corpus token total
     "time_gap_fill": "total",  # global time bounds
     "lm_perplexity": "total",  # 1-row vocab-size broadcast
+    "ccnet_bucket_mix": "total",  # composes lm_perplexity (same 1-row vocab broadcast)
     "shard_balance": "total",  # 1-row corpus-token-total broadcast onto 8 shard rows
     "heavy_hitters_audit": "total",  # 1-row corpus-count broadcast
     "jsonl_quarantine": "total",  # two 1-row checksum aggs crossJoined
