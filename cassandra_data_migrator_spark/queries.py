@@ -4878,6 +4878,44 @@ COMPACT_FRAGMENT_FILES = 64  # deliberately fragmented staging layout
 COMPACT_TARGET_ROWS = 4096  # compaction target rows per file
 
 
+BACKFILL_DROP_MOD = 3  # the re-processed partition drops mod-3 event ids
+
+
+def q_backfill_overwrite(spark, sf_dir):
+    """Dynamic-partition-overwrite backfill e2e (sources/layout.py
+    overwrite_partitions): events land hive-partitioned by event_type,
+    then ONE partition ('purchase') is re-processed with a planted
+    transform (mod-3 ids dropped) and overwritten dynamically. The
+    read-back per-partition counts prove the contract both ways — the
+    re-processed partition shows the transformed rows, every OTHER
+    partition is byte-untouched (static overwrite mode would have deleted
+    them). The oracle recomputes the expected post-backfill table
+    analytically from the raw events."""
+    import os
+    import tempfile
+
+    from cassandra_data_migrator_spark.sources import layout
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cdm_spark_backfill",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    path = os.path.join(base, "tbl")
+    layout.write_partitioned(e, path, "event_type")
+    batch = e.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("event_id") % BACKFILL_DROP_MOD != 0)
+    )
+    layout.overwrite_partitions(batch, path, "event_type")
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
+
+
 def q_file_compaction(spark, sf_dir):
     """Small-file compaction e2e (sources/layout.py): events are staged as
     64 deliberately tiny files (the shape an incremental sink accretes),
@@ -5248,6 +5286,7 @@ def queries() -> dict[str, QueryFn]:
         "heavy_hitters_audit": q_heavy_hitters_audit,
         "jsonl_quarantine": q_jsonl_quarantine,
         "file_compaction": q_file_compaction,
+        "backfill_overwrite": q_backfill_overwrite,
         "length_bucketing": q_length_bucketing,
         "bpe_token_count": q_bpe_token_count,
         "temperature_mix": q_temperature_mix,
@@ -6679,6 +6718,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bucket * COUNT(*) AS BIGINT) AS capacity,
                    ROUND(1.0 - SUM(n_tok) / (bucket * COUNT(*)), 4) AS waste_r
             FROM b GROUP BY bucket
+        """,
+        "backfill_overwrite": f"""
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM events
+            WHERE event_type <> 'purchase'
+               OR event_id % {BACKFILL_DROP_MOD} <> 0
+            GROUP BY event_type
         """,
         "file_compaction": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -54,6 +54,24 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Incremental backfill: overwrite ONLY the hive partitions present in
+    ``df``, leaving every other partition untouched (Spark's dynamic
+    partitionOverwriteMode — the sink behavior that lets a 100 TB table
+    re-process one day/source without rewriting or losing the rest; static
+    mode would DELETE the untouched partitions). The session conf is set
+    for the write and restored after, so callers' own overwrites keep
+    their configured semantics."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) clustering — the third layout lever after compaction and
 # hive partitioning: co-locate rows that are close in TWO dimensions so a

@@ -71,3 +71,27 @@ def test_partitioned_write_scan_is_pruned(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert len({f.split("event_date=")[1].split("/")[0] for f in all_files}) > 1
+
+
+def test_overwrite_partitions_touches_only_batch_partitions(spark, tmp_path):
+    """Dynamic overwrite must replace ONLY the partitions in the batch;
+    static mode would delete the others (the backfill contract)."""
+    from cassandra_data_migrator_spark.sources.layout import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id LONG, p STRING"
+    )
+    write_partitioned(base, path, "p")
+    batch = spark.createDataFrame([(99, "b")], "id LONG, p STRING")
+    overwrite_partitions(batch, path, "p")
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "a"), (4, "c"), (99, "b")]
+    # and the session conf was restored (scoped, not leaked)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
