@@ -43,11 +43,15 @@ def canonicalize_url(url: Column) -> Column:
     )
     # IPv6 literals carry colons INSIDE the bracketed host ('[::1]:8080') —
     # a bare substring_index(':') split would collapse distinct v6 hosts
-    # into one canonical form and silently merge their documents
+    # into one canonical form and silently merge their documents. A
+    # MALFORMED bracketed authority (unclosed bracket, junk after the
+    # port) keeps its authority verbatim as the host: dropping the junk
+    # would merge a truncated crawl record into a legitimate group.
     bracketed = authority.startswith("[")
+    bracket_ok = authority.rlike(r"^\[[^\]]*\](:[0-9]+)?$")
     host = F.when(
-        bracketed, F.regexp_extract(authority, r"^(\[[^\]]*\])", 1)
-    ).otherwise(F.substring_index(authority, ":", 1))
+        bracketed & bracket_ok, F.regexp_extract(authority, r"^(\[[^\]]*\])", 1)
+    ).when(bracketed, authority).otherwise(F.substring_index(authority, ":", 1))
     port = F.when(
         bracketed, F.regexp_extract(authority, r"^\[[^\]]*\]:([0-9]+)$", 1)
     ).otherwise(
@@ -102,15 +106,30 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     NULLs together would mark unrelated documents as duplicates of each
     other and a keep-only-reps consumer would silently drop them."""
     # NULL-safe grouping key: each NULL-url row gets its own singleton
-    # group keyed by its id (ids never collide with canonical URLs)
+    # group keyed by its id (ids never collide with canonical URLs); a row
+    # missing BOTH url and id falls through to a per-row unique key so it
+    # can never be grouped with anything.
     canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
     grp = F.coalesce(
-        F.col("canon_url"), F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string"))
+        F.col("canon_url"),
+        F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
+        F.concat(
+            F.lit("\x00anon\x00"), F.monotonically_increasing_id().cast("string")
+        ),
     )
     w = Window.partitionBy(grp)
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    # singleton groups are their own representative even with a NULL id
+    # (NULL == min(NULL) would yield NULL, and a keep-reps filter treats
+    # NULL as false — silently dropping the row)
+    is_rep = F.coalesce(
+        F.when(n == 1, F.lit(True)),
+        F.col(id_col) == F.min(id_col).over(w),
+        F.lit(False),
+    )
     return canon.select(
         id_col,
         "canon_url",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_dups"),
-        (F.col(id_col) == F.min(id_col).over(w)).alias("is_rep"),
+        n.alias("n_dups"),
+        is_rep.alias("is_rep"),
     )

@@ -59,17 +59,17 @@ def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
     ``df``, leaving every other partition untouched (Spark's dynamic
     partitionOverwriteMode — the sink behavior that lets a 100 TB table
     re-process one day/source without rewriting or losing the rest; static
-    mode would DELETE the untouched partitions). The session conf is set
-    for the write and restored after, so callers' own overwrites keep
-    their configured semantics."""
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    mode would DELETE the untouched partitions). The mode rides the WRITE
+    as a per-writer option, never the session conf — a session-global
+    set/restore would race with concurrent writers on the same session
+    (one inheriting dynamic semantics it didn't ask for, or a mid-write
+    restore flipping a backfill to partition-deleting static)."""
+    (
+        df.write.partitionBy(partition_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,28 @@ def test_url_dedup_null_urls_pass_through_ungrouped(spark):
     assert got[1] == (None, 1, True)
     assert got[2] == (None, 1, True)
     assert got[3] == ("http://a.com/x", 1, True)
+
+
+def test_canonicalize_malformed_bracket_authorities_stay_distinct(spark):
+    """A junk port or unclosed bracket must NOT canonicalize into a
+    legitimate group (review r07 #2): malformed authorities keep their
+    authority text verbatim as the host."""
+    got = _canon(spark, [
+        "http://[::1]:8080abc/x",   # junk after port
+        "http://[::1]/x",           # the legit URL it must NOT merge with
+        "http://[::1/x",            # unclosed bracket (truncated record)
+        "http://[::2/x",
+    ])
+    assert got[0] != got[1]
+    assert got[2] != got[3]
+
+
+def test_url_dedup_null_url_and_null_id_rows_stay_singletons(spark):
+    """Rows missing BOTH url and id must not group together, and is_rep
+    must be a real boolean, never NULL (review r07 #1)."""
+    rows = [(None, None), (None, None), (5, "http://a.com/")]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    out = url_dedup(df).collect()
+    nulls = [r for r in out if r.doc_id is None]
+    assert len(nulls) == 2
+    assert all(r.n_dups == 1 and r.is_rep is True for r in nulls)

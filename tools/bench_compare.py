@@ -128,8 +128,12 @@ def main() -> int:
             # the OLD number comes from a CONTENDED full sweep (~1.27x
             # inflated vs isolated, bench.py's own measurement), while iso
             # is uncontended — deflate old accordingly or a true isolated
-            # regression up to threshold*1.27x reads as "noise"
-            old_iso_est = old[k] / INSWEEP_INFLATION
+            # regression up to threshold*1.27x reads as "noise". Only
+            # applies when OLD really is a full sweep: a small OLD file
+            # (BENCH_SUBSET.json, an isolated re-measure) is already
+            # uncontended and deflating it would manufacture regressions.
+            old_is_sweep = len(old) >= 50
+            old_iso_est = old[k] / INSWEEP_INFLATION if old_is_sweep else old[k]
             if iso is None:
                 confirmed.append((ratio, k, new[k]))  # unmeasurable: keep flag
                 print(f"REGRESSION {k}: {old[k]:.2f}s -> {new[k]:.2f}s = "
