@@ -1377,6 +1377,70 @@ def q_running_total(spark, sf_dir):
     )
 
 
+DSIR_TARGET_MOD = 10  # docs with doc_id % 10 == 0 form the "target" sample
+DSIR_BUCKETS = 256  # hashed-feature space: md5(word) first 2 hex chars
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): score every document
+    by how much its hashed-n-gram feature distribution looks like a
+    curated TARGET sample vs the raw corpus — the published recipe for
+    steering a 100 TB crawl toward a quality domain without a trained
+    classifier. Features = word unigrams hashed into 256 buckets (md5 hex
+    prefix — the repo's pinned cross-engine hash twin); per-bucket
+    log-ratio = ln((c_t+1)/(N_t+B)) − ln((c_r+1)/(N_r+B)) with add-1
+    smoothing, rounded to 6dp DECIMAL so per-doc sums are exact and
+    order-free (the lm_perplexity discipline); per-doc weight = Σ
+    n_occ·ratio6. Plan: one token explode feeds the per-doc bucket counts
+    AND both corpus distributions (256-row aggregates, broadcast back);
+    keep = weight > 0 (the deterministic resampling gate). Everything
+    recomputed from scratch by the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    bucketed = d.select(
+        "doc_id",
+        F.explode(t).alias("w"),
+    ).select(
+        "doc_id",
+        F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("bkt"),
+    )
+    per_doc = bucketed.groupBy("doc_id", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    is_target = F.col("doc_id") % DSIR_TARGET_MOD == 0
+    raw = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+    tgt = (
+        bucketed.filter(is_target)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    # bucket table is ≤ 256 rows: totals ride an unbounded window over it
+    dist = raw.join(tgt, "bkt", "left").fillna(0, ["c_t"])
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist = dist.select(
+        "bkt", "c_t", "c_r",
+        F.sum("c_t").over(w_all).alias("n_t"),
+        F.sum("c_r").over(w_all).alias("n_r"),
+    )
+    ratio6 = F.round(
+        F.log((F.col("c_t") + 1) / (F.col("n_t") + DSIR_BUCKETS))
+        - F.log((F.col("c_r") + 1) / (F.col("n_r") + DSIR_BUCKETS)),
+        6,
+    ).cast("decimal(18,6)")
+    dist = dist.select("bkt", ratio6.alias("ratio6"))
+    scored = per_doc.join(F.broadcast(dist), "bkt").groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_feats"),
+        F.sum(F.col("n_occ") * F.col("ratio6")).alias("__w"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        (F.round(F.col("__w"), 4).cast("double") + F.lit(0.0)).alias("dsir_weight"),
+        (F.col("__w") > 0).alias("keep"),
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by content-independent key hash —
     the standard leakage-free dataset split for LLM training corpora. Pure
@@ -5360,6 +5424,7 @@ def queries() -> dict[str, QueryFn]:
         "salted_group_agg": q_salted_group_agg,
         "running_total": q_running_total,
         "hash_split": q_hash_split,
+        "dsir_importance": q_dsir_importance,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
@@ -7246,6 +7311,35 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "dsir_importance": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            b AS (SELECT doc_id,
+                         substr(md5(unnest(ts)), 1, 2) AS bkt
+                  FROM toks),
+            pd AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM b GROUP BY 1, 2),
+            raw AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_r
+                    FROM b GROUP BY 1),
+            tgt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_t
+                    FROM b WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY 1),
+            dist AS (SELECT raw.bkt,
+                            COALESCE(tgt.c_t, 0) AS c_t, raw.c_r,
+                            SUM(COALESCE(tgt.c_t, 0)) OVER () AS n_t,
+                            SUM(raw.c_r) OVER () AS n_r
+                     FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt),
+            r6 AS (SELECT bkt,
+                          CAST(ROUND(ln((c_t + 1.0) / (n_t + {DSIR_BUCKETS}))
+                               - ln((c_r + 1.0) / (n_r + {DSIR_BUCKETS})), 6)
+                               AS DECIMAL(18,6)) AS ratio6
+                   FROM dist)
+            SELECT pd.doc_id,
+                   CAST(SUM(pd.n_occ) AS BIGINT) AS n_feats,
+                   CAST(ROUND(SUM(pd.n_occ * r6.ratio6), 4) AS DOUBLE) + 0.0
+                       AS dsir_weight,
+                   SUM(pd.n_occ * r6.ratio6) > 0 AS keep
+            FROM pd JOIN r6 ON pd.bkt = r6.bkt
+            GROUP BY pd.doc_id
         """,
         "hash_split": f"""
             SELECT doc_id, lang,
