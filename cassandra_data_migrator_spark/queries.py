@@ -1377,6 +1377,44 @@ def q_running_total(spark, sf_dir):
     )
 
 
+def q_distinct_n_diversity(spark, sf_dir):
+    """Corpus diversity by distinct-n ratio (Li et al. 2016's distinct-1/
+    distinct-2, the standard collapse detector for generated or
+    over-deduplicated training mixes): per source, distinct unigrams /
+    total unigrams and distinct bigrams / total bigrams. One token
+    explode feeds both orders; COUNT(DISTINCT) shuffles the (source,
+    gram) pairs once each — grams are bounded by vocab (unigrams) and
+    observed adjacencies (bigrams), both far below row count at corpus
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    with_arr = d.select("source", t.alias("ts"))
+    uni = with_arr.select("source", F.explode("ts").alias("g"))
+    bi = with_arr.filter(F.size("ts") >= 2).select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.concat(a, F.lit("\x00"), b),
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uni"),
+        F.countDistinct("g").cast("bigint").alias("d_uni"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bi"),
+        F.countDistinct("g").cast("bigint").alias("d_bi"),
+    )
+    return u.join(b, "source").select(
+        "source", "n_uni", "d_uni", "n_bi", "d_bi",
+        F.round(F.col("d_uni") / F.col("n_uni"), 4).alias("distinct1_r"),
+        F.round(F.col("d_bi") / F.col("n_bi"), 4).alias("distinct2_r"),
+    )
+
+
 DSIR_TARGET_MOD = 10  # docs with doc_id % 10 == 0 form the "target" sample
 DSIR_BUCKETS = 256  # hashed-feature space: md5(word) first 2 hex chars
 
@@ -5425,6 +5463,7 @@ def queries() -> dict[str, QueryFn]:
         "running_total": q_running_total,
         "hash_split": q_hash_split,
         "dsir_importance": q_dsir_importance,
+        "distinct_n_diversity": q_distinct_n_diversity,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
@@ -7311,6 +7350,23 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "distinct_n_diversity": f"""
+            WITH toks AS (SELECT source, {TOKS_SQL} AS ts FROM documents),
+            uni AS (SELECT source, unnest(ts) AS g FROM toks),
+            bi AS (SELECT source, ts[i] || chr(0) || ts[i + 1] AS g
+                   FROM (SELECT source, ts, unnest(range(1, len(ts))) AS i
+                         FROM toks WHERE len(ts) >= 2)),
+            u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uni,
+                         CAST(COUNT(DISTINCT g) AS BIGINT) AS d_uni
+                  FROM uni GROUP BY source),
+            b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bi,
+                         CAST(COUNT(DISTINCT g) AS BIGINT) AS d_bi
+                  FROM bi GROUP BY source)
+            SELECT u.source, n_uni, d_uni, n_bi, d_bi,
+                   ROUND(d_uni * 1.0 / n_uni, 4) AS distinct1_r,
+                   ROUND(d_bi * 1.0 / n_bi, 4) AS distinct2_r
+            FROM u JOIN b ON u.source = b.source
         """,
         "dsir_importance": f"""
             WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
