@@ -1377,6 +1377,55 @@ def q_running_total(spark, sf_dir):
     )
 
 
+JS_DRIFT_SPLIT_MOD = 2  # snapshot A = even doc ids, snapshot B = odd
+
+
+def q_vocab_js_drift(spark, sf_dir):
+    """Text-level corpus drift between two snapshots as Jensen-Shannon
+    divergence over the hashed vocabulary — the monitoring metric that
+    catches a feed change (new boilerplate, language shift, scraper
+    regression) before it reaches training; profile_drift watches column
+    aggregates, this watches CONTENT. Snapshots = even/odd doc ids (the
+    planted-split convention); features = the same 256 md5-prefix buckets
+    as dsir_importance; per-bucket JS contribution computed add-1-smoothed
+    in double, rounded to 6dp DECIMAL so the total is an exact order-free
+    sum over ≤ 256 rows. Output: one row with both snapshot masses and
+    js_divergence (0 = identical, ln 2 = disjoint)."""
+    d = _t(spark, sf_dir, "documents")
+    bucketed = d.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).select(
+        (F.col("doc_id") % JS_DRIFT_SPLIT_MOD == 0).alias("is_a"),
+        F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("bkt"),
+    )
+    dist = bucketed.groupBy("bkt").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("c_a"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("c_b"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist = dist.select(
+        "c_a", "c_b",
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    p = (F.col("c_a") + 1) / (F.col("n_a") + DSIR_BUCKETS)
+    q = (F.col("c_b") + 1) / (F.col("n_b") + DSIR_BUCKETS)
+    m = (p + q) / 2
+    contrib = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) / 2, 6
+    ).cast("decimal(18,6)")
+    per_bucket = dist.select(
+        contrib.alias("js6"), F.col("n_a"), F.col("n_b")
+    )
+    return per_bucket.groupBy().agg(
+        F.max("n_a").cast("bigint").alias("n_tokens_a"),
+        F.max("n_b").cast("bigint").alias("n_tokens_b"),
+        (F.round(F.sum("js6"), 6).cast("double") + F.lit(0.0)).alias(
+            "js_divergence"
+        ),
+    )
+
+
 def q_distinct_n_diversity(spark, sf_dir):
     """Corpus diversity by distinct-n ratio (Li et al. 2016's distinct-1/
     distinct-2, the standard collapse detector for generated or
@@ -5464,6 +5513,7 @@ def queries() -> dict[str, QueryFn]:
         "hash_split": q_hash_split,
         "dsir_importance": q_dsir_importance,
         "distinct_n_diversity": q_distinct_n_diversity,
+        "vocab_js_drift": q_vocab_js_drift,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
@@ -7350,6 +7400,35 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "vocab_js_drift": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            b AS (SELECT doc_id % {JS_DRIFT_SPLIT_MOD} = 0 AS is_a,
+                         substr(md5(unnest(ts)), 1, 2) AS bkt
+                  FROM toks),
+            dist AS (SELECT bkt,
+                            CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+                            CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+                     FROM b GROUP BY bkt),
+            tot AS (SELECT c_a, c_b,
+                           SUM(c_a) OVER () AS n_a, SUM(c_b) OVER () AS n_b
+                    FROM dist),
+            js AS (SELECT n_a, n_b,
+                          CAST(ROUND((
+                              ((c_a + 1.0) / (n_a + {DSIR_BUCKETS}))
+                                  * ln(((c_a + 1.0) / (n_a + {DSIR_BUCKETS}))
+                                       / ((((c_a + 1.0) / (n_a + {DSIR_BUCKETS}))
+                                           + ((c_b + 1.0) / (n_b + {DSIR_BUCKETS}))) / 2))
+                              + ((c_b + 1.0) / (n_b + {DSIR_BUCKETS}))
+                                  * ln(((c_b + 1.0) / (n_b + {DSIR_BUCKETS}))
+                                       / ((((c_a + 1.0) / (n_a + {DSIR_BUCKETS}))
+                                           + ((c_b + 1.0) / (n_b + {DSIR_BUCKETS}))) / 2))
+                          ) / 2, 6) AS DECIMAL(18,6)) AS js6
+                   FROM tot)
+            SELECT CAST(MAX(n_a) AS BIGINT) AS n_tokens_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_tokens_b,
+                   CAST(ROUND(SUM(js6), 6) AS DOUBLE) + 0.0 AS js_divergence
+            FROM js
         """,
         "distinct_n_diversity": f"""
             WITH toks AS (SELECT source, {TOKS_SQL} AS ts FROM documents),

@@ -186,6 +186,7 @@ GLOBAL_WINDOW_KEYS = {
     "shard_balance": "histogram",  # rank.global_rank cumsum over the length histogram
     "ccnet_bucket_mix": "histogram",  # rank.global_rank over the 4dp-bounded nll histogram
     "dsir_importance": "histogram",  # totals over the <=256-row bucket distribution
+    "vocab_js_drift": "histogram",  # totals over the <=256-row bucket distribution
     "vocab_topk": "pruned",  # rank.top_k_rows
     "bm25_topk": "pruned",  # rank.top_k_rows
     "oov_rate": "pruned",  # rank.top_k_rows (vocab selection)
