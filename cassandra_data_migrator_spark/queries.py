@@ -4688,7 +4688,12 @@ def q_ccnet_bucket_mix(spark, sf_dir):
     shared lm_perplexity CTE text) and the terciles via ROW_NUMBER."""
     from cassandra_data_migrator_spark.operators import rank as rank_ops
 
-    scored = q_lm_perplexity(spark, sf_dir)
+    # session-shared LM score table (the _brute_topk precedent): the
+    # corpus-trained bigram LM builds once per session; this key reads the
+    # standing artifact instead of re-aggregating the whole token stream
+    scored = _session_artifact(
+        spark, f"lm_scored|{sf_dir}", lambda: q_lm_perplexity(spark, sf_dir)
+    )
     ranked = rank_ops.global_rank(scored, "nll", "doc_id", pos_col="pos")
     b = ranked.withColumn(
         "bucket", F.floor(F.col("pos") * 3 / F.col("n_total")).cast("bigint")
