@@ -5332,18 +5332,24 @@ def queries() -> dict[str, QueryFn]:
     """Declared surface, in DRIVER VERIFICATION ORDER.
 
     The driver's correctness check covers the first 50 entries of this dict
-    per round (observed r01-r05 behavior). r06 ordering: keys NEW or
-    BEHAVIOR-CHANGED this round come first (two-phase rank rewrites,
-    trained-IVF keys, shared-edge-list graph keys, the duration-guard codec
-    fix, the two new audit keys), then the keys whose last driver row is
-    OLDEST (r02 block, then r03) so the fleet-wide re-verification cadence
-    keeps rolling. Later keys retain local DuckDB parity coverage via
+    per round (observed r01-r05 behavior). r07 ordering: the fifteen keys
+    NEW or BEHAVIOR-CHANGED this round lead (run tracking, URL dedup, CCNet
+    buckets, backfill overwrite, DSIR, diversity/drift metrics, the TPC-H
+    decorrelation shapes, PNG, the clustered recall audits, shard balance),
+    then the r06 head, then the keys whose last driver row is OLDEST so the
+    fleet-wide re-verification cadence keeps rolling. Later keys retain local DuckDB parity coverage via
     tests/test_oracle_parity.py and tools/parity_check.py --all. See
     COVERAGE.md for the per-key verified-in-round ledger.
     """
     return {
         # --- r07 window head: new or behavior-changed this round ---
         "run_tracking_resume": q_run_tracking_resume,
+        "url_dedup": q_url_dedup,
+        "ccnet_bucket_mix": q_ccnet_bucket_mix,
+        "backfill_overwrite": q_backfill_overwrite,
+        "dsir_importance": q_dsir_importance,
+        "distinct_n_diversity": q_distinct_n_diversity,
+        "vocab_js_drift": q_vocab_js_drift,
         "sql_frontend_q2": q_sql_frontend_q2,
         "sql_frontend_q17": q_sql_frontend_q17,
         "sql_frontend_q20": q_sql_frontend_q20,
@@ -5436,13 +5442,11 @@ def queries() -> dict[str, QueryFn]:
         "ann_recall_audit": q_ann_recall_audit,
         "topk_similarity_lsh_banded": q_topk_similarity_lsh_banded,
         "lm_perplexity": q_lm_perplexity,
-        "ccnet_bucket_mix": q_ccnet_bucket_mix,
         "hll_distinct_audit": q_hll_distinct_audit,
         "quantile_sketch_audit": q_quantile_sketch_audit,
         "heavy_hitters_audit": q_heavy_hitters_audit,
         "jsonl_quarantine": q_jsonl_quarantine,
         "file_compaction": q_file_compaction,
-        "backfill_overwrite": q_backfill_overwrite,
         "length_bucketing": q_length_bucketing,
         "bpe_token_count": q_bpe_token_count,
         "temperature_mix": q_temperature_mix,
@@ -5468,7 +5472,6 @@ def queries() -> dict[str, QueryFn]:
         "partition_slices": q_partition_slices,
         "migrate_rowcount": q_migrate_rowcount,
         "dedup_exact": q_dedup_exact,
-        "url_dedup": q_url_dedup,
         "dedup_ngram": q_dedup_ngram,
         "dedup_fuzzy": q_dedup_fuzzy,
         "simhash_near_dup": q_simhash_near_dup,
@@ -5516,9 +5519,6 @@ def queries() -> dict[str, QueryFn]:
         "salted_group_agg": q_salted_group_agg,
         "running_total": q_running_total,
         "hash_split": q_hash_split,
-        "dsir_importance": q_dsir_importance,
-        "distinct_n_diversity": q_distinct_n_diversity,
-        "vocab_js_drift": q_vocab_js_drift,
         "doc_chunking": q_doc_chunking,
         "repetition_ratio": q_repetition_ratio,
         "stratified_sample": q_stratified_sample,
