@@ -163,3 +163,59 @@ def test_full_curation_pipeline_composes(spark, sf_dir):
     # the selection respected the budget over the DEDUPED corpus
     tok = {r["doc_id"]: r["n_tokens"] for r in scored.collect()}
     assert sum(tok[r["doc_id"]] for r in rows) <= budget
+
+
+def test_r07_crawl_curation_pipeline_composes(spark, sf_dir):
+    """The r07 crawl-curation story as ONE composed chain: URL-level dedup
+    (canonical keep-first) -> DSIR importance gate over the survivors ->
+    token-balanced sharding of the kept set. Asserts the cross-stage
+    invariants: URL reps are unique per canonical URL, the DSIR gate only
+    ever drops (never invents) documents, and the balanced shards
+    partition the kept set with near-equal token mass."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark import queries as q
+    from cassandra_data_migrator_spark.functions.text import tokens
+    from cassandra_data_migrator_spark.functions.urls import url_dedup
+    from cassandra_data_migrator_spark.operators.rank import global_rank
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic URL construction (the q_url_dedup fixture shape)
+    url = F.concat(
+        F.lit("http://crawl.example.com/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=f&a="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    deduped = url_dedup(docs.withColumn("url", url))
+    reps = deduped.filter("is_rep")
+    # one representative per canonical URL
+    assert reps.groupBy("canon_url").count().filter("count > 1").count() == 0
+    # DSIR gate over the representatives only
+    kept_ids = {r.doc_id for r in reps.select("doc_id").collect()}
+    dsir = q.q_dsir_importance(spark, sf_dir).filter("keep")
+    gated = dsir.join(reps.select("doc_id"), "doc_id")
+    gated_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert gated_ids <= kept_ids  # the gate only drops
+    if not gated_ids:
+        return  # fixture produced no positive-weight reps at this scale
+    # token-balanced sharding of the gated set (the q_shard_balance shape)
+    base = (
+        docs.join(gated.select("doc_id"), "doc_id")
+        .select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok"))
+        .withColumn("__neg", -F.col("n_tok"))
+    )
+    ranked = global_rank(base, "__neg", "doc_id", pos_col="pos")
+    shards = (
+        ranked.withColumn("shard", F.col("pos") % 4)
+        .groupBy("shard")
+        .agg(F.sum("n_tok").alias("mass"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    masses = [r.mass for r in shards]
+    assert sum(r.n for r in shards) == len(gated_ids)
+    # round-robin-by-size-rank keeps shard masses within a tight band
+    assert max(masses) - min(masses) <= max(
+        r.mass for r in shards
+    ) * 0.2 + 200  # slack for tiny fixtures
