@@ -53,3 +53,67 @@ def test_streaming_dedup_across_batches(spark, sf_dir, tmp_path):
         got.doc_id != expected.doc_id
     )
     assert mismatch.count() == 0
+
+
+def test_streaming_url_dedup_composes(spark, sf_dir, tmp_path):
+    """r07 composition: URL canonicalization is a pure JVM expression, so
+    it drops straight into the streaming dedup — canonicalize per
+    micro-batch, keyed state suppresses canonical re-fetches across
+    batches (the crawl-frontier dedup shape). Two staged batches carry
+    DIFFERENT raw noise (tracking param vs fragment + default port) for
+    the SAME canonical URLs; exactly one row per canonical URL survives."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    u1 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://c.example.com/p/"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("?utm_source=feed"),
+        ).alias("url"),
+    )
+    u2 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("HTTP://C.Example.COM:80/p/"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    import glob as _glob
+
+    stage = tmp_path / "urls_stream"
+    stage.mkdir()
+    # the file stream source wants FLAT files: stage each batch as a single
+    # parquet file (coalesce -> copy the part file), like the test above
+    for name, df in (("b1", u1), ("b2", u2)):
+        tmp_dir = tmp_path / f"__{name}"
+        df.coalesce(1).write.parquet(str(tmp_dir))
+        part = _glob.glob(str(tmp_dir / "part-*.parquet"))[0]
+        shutil.copy(part, stage / f"{name}.parquet")
+    static = spark.read.parquet(str(stage / "b1.parquet"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    canon = stream.withColumn("canon_url", canonicalize_url(F.col("url")))
+    deduped = streaming_dedup_exact(canon, text_col="canon_url")
+    out = str(tmp_path / "url_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "url_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # 25 canonical URLs total across both batches, despite 2x raw variants
+    assert got.count() == 25
+    # keep-first: every surviving doc_id comes from the FIRST batch
+    assert got.filter(F.col("doc_id") >= 1_000_000).count() == 0
