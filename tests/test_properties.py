@@ -621,3 +621,82 @@ def test_line_dedup_rebuild_matches_reference(spark, docs, line_tokens, min_char
             "\n".join(l for _, l in sorted(kept)),
         )
     assert got == want
+
+
+# --- URL canonicalization properties (r07) -------------------------------
+
+_LABEL = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+_URL_PARTS = st.fixed_dictionaries(
+    {
+        "scheme": st.sampled_from(["http", "HTTP", "https", "HTTPS", "Http"]),
+        "host": st.lists(_LABEL, min_size=1, max_size=3).map(".".join),
+        "hostcase": st.booleans(),
+        "port": st.sampled_from([None, 80, 443, 8080, 9042]),
+        "path": st.lists(_LABEL, min_size=0, max_size=3).map(
+            lambda xs: "".join("/" + x for x in xs)
+        ),
+        "trail": st.integers(min_value=0, max_value=3),
+        "params": st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "z", "utm_source", "fbclid", "gclid"]),
+                st.integers(min_value=0, max_value=99),
+            ),
+            max_size=4,
+        ),
+        "frag": st.sampled_from([None, "sec1", "x"]),
+    }
+)
+
+
+def _assemble(p) -> str:
+    host = p["host"].upper() if p["hostcase"] else p["host"]
+    url = f"{p['scheme']}://{host}"
+    if p["port"] is not None:
+        url += f":{p['port']}"
+    url += p["path"] + "/" * p["trail"]
+    if p["params"]:
+        url += "?" + "&".join(f"{k}={v}" for k, v in p["params"])
+    if p["frag"] is not None:
+        url += f"#{p['frag']}"
+    return url
+
+
+def _expected(p) -> str:
+    scheme = p["scheme"].lower()
+    out = f"{scheme}://{p['host']}"
+    if p["port"] is not None and not (
+        (scheme == "http" and p["port"] == 80)
+        or (scheme == "https" and p["port"] == 443)
+    ):
+        out += f":{p['port']}"
+    out += p["path"] or "/"
+    kept = sorted(
+        f"{k}={v}"
+        for k, v in p["params"]
+        if not k.startswith(("utm_", "fbclid", "gclid"))
+    )
+    if kept:
+        out += "?" + "&".join(kept)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_URL_PARTS, min_size=1, max_size=20))
+def test_url_canonicalization_matches_analytic_expectation(spark, parts):
+    """For randomized well-formed URLs, the parsed canonical form must
+    equal the analytically assembled expectation, and canonicalization
+    must be idempotent (canon(canon(u)) == canon(u))."""
+    from cassandra_data_migrator_spark.functions.urls import canonicalize_url
+
+    urls = [_assemble(p) for p in parts]
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = [
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    for p, g in zip(parts, got):
+        assert g == _expected(p), f"{_assemble(p)!r}: got {g!r}"
+    df2 = spark.createDataFrame([(u,) for u in got], "url STRING")
+    again = [
+        r.c for r in df2.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert again == got
