@@ -700,3 +700,22 @@ def test_url_canonicalization_matches_analytic_expectation(spark, parts):
         r.c for r in df2.select(canonicalize_url(F.col("url")).alias("c")).collect()
     ]
     assert again == got
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(w, h, rng):
+    """encode_png -> decode_png is the identity on raw RGB for arbitrary
+    dimensions (every filter type exercised whenever h >= 5), driver-side
+    (pure functions, no Spark job needed)."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, 8, rgb)
