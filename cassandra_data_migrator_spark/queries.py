@@ -3229,6 +3229,52 @@ def q_multimodal_png(spark, sf_dir):
     )
 
 
+JPEG_BW = 4  # fixture JPEG width in 8x8 blocks (image width = 32 px)
+JPEG_MAX_BH = 6  # fixture height cap in blocks
+
+
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode under the DRIVER check (the last
+    compressed-codec stub retired for the path this container can verify
+    end-to-end): documents become flat-block grayscale JPEGs (each
+    printable-ASCII text byte = one 8x8 block's gray level, encoded
+    through the FULL baseline machinery — DC huffman coding, byte
+    stuffing, Annex-K tables — in one Arrow kernel), and a second Arrow
+    kernel runs the complete decoder (marker walk, huffman DC/AC decode,
+    dequant, zigzag, float IDCT, level shift) back to pixels. Flat blocks
+    make the lossy pipeline EXACT (DC = 8·(v−128) quantized by the
+    DC step 8 stores v−128 verbatim), so the oracle never sees a JPEG:
+    it re-slices the ORIGINAL text bytes, and a single mis-decoded
+    huffman code, stuffed byte, or IDCT term turns the key red. (The AC
+    path — runs, ZRL, sign extension — is pinned against an
+    encoder-independent NumPy IDCT reference in pytest; color and
+    progressive JPEG refuse loudly.)"""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        jpeg_encode_gray,
+        jpeg_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(JPEG_MAX_BH), (F.length(san) / F.lit(JPEG_BW)).cast("int")
+        ).alias("__bh"),
+    ).filter(F.col("__bh") >= 1)
+    blocks = F.col("__s").substr(F.lit(1), F.col("__bh") * F.lit(JPEG_BW)).cast("binary")
+    encoded = jpeg_encode_gray(
+        media.select("media_id", blocks.alias("blocks")), block_width=JPEG_BW
+    )
+    stats = jpeg_stats(encoded)
+    return stats.select(
+        "media_id", "width", "height", "n_pix",
+        "px_sum", "px_min", "px_max",
+        F.round(F.col("px_sum") / F.col("n_pix"), 4).alias("px_mean"),
+    )
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
@@ -5373,6 +5419,7 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
         "gopher_rules": q_gopher_rules,
@@ -6809,6 +6856,34 @@ def oracle_sql() -> dict[str, str]:
         # The PNG roundtrip oracle: DuckDB re-slices the ORIGINAL text
         # bytes (never sees a PNG), so the Spark side's deflate → inflate
         # → all-five-filter reconstruction must be byte-exact to match.
+        # JPEG roundtrip oracle: DuckDB re-slices the ORIGINAL text bytes
+        # (never sees a JPEG); each byte is one flat 8x8 block, so pixel
+        # stats derive analytically (64 pixels per block at the byte value).
+        "multimodal_jpeg": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({JPEG_MAX_BH},
+                                 CAST(LENGTH(s) // {JPEG_BW} AS INT)) AS bh
+                    FROM san),
+            ok AS (SELECT doc_id, s, bh FROM dim WHERE bh >= 1),
+            b AS (SELECT doc_id, bh,
+                         ord(substr(s, CAST(i AS INT), 1)) AS val
+                  FROM (SELECT doc_id, bh, s,
+                               unnest(range(1, bh * {JPEG_BW} + 1)) AS i
+                        FROM ok))
+            SELECT doc_id AS media_id,
+                   CAST({JPEG_BW} * 8 AS INT) AS width,
+                   CAST(bh * 8 AS INT) AS height,
+                   CAST({JPEG_BW} * 8 * bh * 8 AS BIGINT) AS n_pix,
+                   CAST(64 * SUM(val) AS BIGINT) AS px_sum,
+                   CAST(MIN(val) AS INT) AS px_min,
+                   CAST(MAX(val) AS INT) AS px_max,
+                   ROUND(64.0 * SUM(val) / ({JPEG_BW} * 8 * bh * 8), 4)
+                       AS px_mean
+            FROM b GROUP BY doc_id, bh
+        """,
         "multimodal_png": f"""
             WITH san AS (SELECT doc_id,
                                 regexp_replace(text, '[^ -~]', '', 'g') AS s

@@ -26,12 +26,15 @@ def media_df(spark):
 
 
 def test_decode_is_stubbed():
-    # JPEG has no pure-Python decoder; a PARTIAL PNG signature is not a PNG
-    # either — both must refuse, not guess
+    # formats without a pure-Python decoder (GIF/WebP) refuse via the
+    # dispatch; a PARTIAL PNG signature is not a PNG either; a corrupt
+    # JPEG now reaches the real decoder and fails ITS validation
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")
+        decode_image(b"GIF89a......")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_metadata_stays_jvm_side(media_df):
@@ -597,7 +600,7 @@ def test_decode_png_rejects_malformed():
         decode_png(short)
 
 
-def test_decode_image_dispatches_png_and_still_stubs_jpeg():
+def test_decode_image_dispatches_png_and_validates_jpeg():
     from cassandra_data_migrator_spark.operators.multimodal import (
         decode_image,
         encode_png,
@@ -605,7 +608,7 @@ def test_decode_image_dispatches_png_and_still_stubs_jpeg():
 
     rgb = bytes(range(12))
     assert decode_image(encode_png(2, 2, rgb)) == (2, 2, 8, rgb)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # real decoder now validates JPEG bytes
         decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
@@ -695,3 +698,176 @@ def test_decode_png_bounds_decompression_bombs():
     )
     with pytest.raises(ValueError):
         decode_png(trunc)
+
+
+# --- baseline JPEG (r07: real huffman + dequant + IDCT) -------------------
+
+
+def test_jpeg_flat_roundtrip_exact():
+    """Flat 8x8 blocks make the lossy pipeline exact (DC = 8*(v-128)
+    quantized by 8 stores v-128 verbatim): every decoded pixel must equal
+    its block value bit-for-bit."""
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(1)
+    for bw, bh in [(1, 1), (4, 2), (3, 5)]:
+        blocks = bytes(rng.randrange(256) for _ in range(bw * bh))
+        w, h, nc, px = decode_jpeg(encode_jpeg_gray(bw * 8, bh * 8, blocks))
+        assert (w, h, nc) == (bw * 8, bh * 8, 1)
+        for i, v in enumerate(blocks):
+            by, bx = divmod(i, bw)
+            for y in range(8):
+                row = px[(by * 8 + y) * w + bx * 8 : (by * 8 + y) * w + bx * 8 + 8]
+                assert all(b == v for b in row)
+
+
+def test_jpeg_ac_path_matches_numpy_idct_reference():
+    """Encoder-INDEPENDENT check of the AC decode path: a test-local bit
+    writer emits hand-chosen quantized coefficients (runs, ZRL, EOB, sign
+    extension); the decoder's dequant + zigzag + IDCT output must match a
+    NumPy IDCT reference computed from the same coefficients."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        JPEG_AC_BITS,
+        JPEG_AC_VALS,
+        JPEG_DC_BITS,
+        JPEG_DC_VALS,
+        JPEG_QTABLE,
+        JPEG_ZIGZAG,
+        _jpeg_huff_encode_map,
+        _JpegBitWriter,
+        _jpeg_category,
+        decode_jpeg,
+    )
+
+    # hand-chosen sparse spectra: DC, low-freq ACs, a long run (ZRL), negatives
+    cases = [
+        {0: 16, 1: 5, 8: -3},
+        {0: -24, 2: 7, 35: -2},          # zigzag index 35 needs a 16-zero run
+        {0: 0, 63: 1},                    # max-index AC via ZRL chain
+    ]
+    dc_map = _jpeg_huff_encode_map(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_map = _jpeg_huff_encode_map(JPEG_AC_BITS, JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    # natural-order -> zigzag position lookup
+    zz_pos = {nat: k for k, nat in enumerate(JPEG_ZIGZAG)}
+    for spec in cases:
+        zig = [0] * 64
+        for nat, val in spec.items():
+            zig[zz_pos[nat]] = val
+        diff = zig[0] - prev_dc
+        prev_dc = zig[0]
+        cat = _jpeg_category(diff)
+        code, ln = dc_map[cat]
+        w.put(code, ln)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        k, run = 1, 0
+        last_nz = max((i for i in range(1, 64) if zig[i]), default=0)
+        while k <= last_nz:
+            if zig[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                code, ln = ac_map[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            size = _jpeg_category(zig[k])
+            code, ln = ac_map[(run << 4) | size]
+            w.put(code, ln)
+            v = zig[k]
+            w.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            code, ln = ac_map[0x00]  # EOB
+            w.put(code, ln)
+    scan = w.flush()
+
+    def seg(marker, data):
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    width, height = 8, 8 * len(cases)  # one block per case, stacked
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(JPEG_QTABLE[JPEG_ZIGZAG[i]] for i in range(64)))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS[1:]) + bytes(JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS[1:]) + bytes(JPEG_AC_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    w_, h_, nc, px = decode_jpeg(payload)
+    assert (w_, h_, nc) == (width, height, 1)
+
+    # NumPy reference IDCT over the same dequantized coefficients
+    qt_nat = [0] * 64
+    for k in range(64):
+        qt_nat[JPEG_ZIGZAG[k]] = JPEG_QTABLE[JPEG_ZIGZAG[k]]
+    c = np.array([1 / math.sqrt(2)] + [1.0] * 7)
+    xs = np.arange(8)
+    cos_t = np.cos((2 * xs[:, None] + 1) * xs[None, :] * math.pi / 16)
+    for bi, spec in enumerate(cases):
+        F = np.zeros((8, 8))
+        for nat, val in spec.items():
+            F[nat // 8, nat % 8] = val * qt_nat[nat]
+        ref = np.empty((8, 8))
+        for y in range(8):
+            for x in range(8):
+                ref[y, x] = np.sum(
+                    c[:, None] * c[None, :] * F
+                    * cos_t[y][:, None] * cos_t[x][None, :]
+                ) / 4
+        ref = np.clip(np.round(ref) + 128, 0, 255)
+        got = np.array(
+            [[px[(bi * 8 + y) * 8 + x] for x in range(8)] for y in range(8)]
+        )
+        assert np.array_equal(got, ref), (bi, got, ref)
+
+
+def test_decode_jpeg_rejects_malformed():
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, bytes([100]))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + good[2:])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-4])  # truncated before EOI
+    with pytest.raises(ValueError, match="trailing"):
+        decode_jpeg(good + b"x")
+    # progressive (SOF2) must refuse
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(bad))
+    # multi-component (color) must refuse: patch nc byte in SOF
+    bad2 = bytearray(good)
+    bad2[sof + 9] = 3
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg(bytes(bad2))
+
+
+def test_decode_image_dispatches_jpeg():
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    w, h, nc, px = decode_image(encode_jpeg_gray(8, 8, bytes([7])))
+    assert (w, h, nc) == (8, 8, 1) and set(px) == {7}

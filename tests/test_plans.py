@@ -336,11 +336,12 @@ def test_multimodal_decoders_no_shuffle(spark, sf_dir):
         p = _plan(spark, sf_dir, key, mode="simple")
         assert "Exchange" not in p, f"{key} shuffles the corpus"
         assert p.count("MapInPandas") == 1, f"{key} should have exactly one kernel"
-    # the PNG roundtrip key is the one two-kernel pipeline (deflate encode →
-    # inflate decode), still shuffle-free: the kernels fuse in one stage
-    p = _plan(spark, sf_dir, "multimodal_png", mode="simple")
-    assert "Exchange" not in p, "multimodal_png shuffles the corpus"
-    assert p.count("MapInPandas") == 2, "multimodal_png should have exactly two kernels"
+    # the PNG and JPEG roundtrip keys are two-kernel pipelines (encode →
+    # decode), still shuffle-free: the kernels fuse in one stage
+    for key in ("multimodal_png", "multimodal_jpeg"):
+        p = _plan(spark, sf_dir, key, mode="simple")
+        assert "Exchange" not in p, f"{key} shuffles the corpus"
+        assert p.count("MapInPandas") == 2, f"{key} should have exactly two kernels"
 
 
 def test_rolling_hash_chunks_single_exchange(spark, sf_dir):
@@ -382,6 +383,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_video",  # real Y4M container parse kernel (multimodal.y4m_stats)
     "multimodal_resize",  # real box-filter downsample kernel (multimodal.ppm_resize_stats)
     "multimodal_png",  # real PNG deflate+inflate kernels (multimodal.png_encode_rgb/png_stats)
+    "multimodal_jpeg",  # real baseline-JPEG encode+decode kernels (multimodal.jpeg_encode_gray/jpeg_stats)
 }
 
 
