@@ -152,6 +152,11 @@ def main() -> None:
         "cpus": CPUS,
         "runs": RUNS,
         "spark_version": spark.version,
+        # explicit provenance (advice r07): a SPARK_GRAFT_KEYS run is an
+        # uncontended isolated re-measure; a full registry run is the
+        # contended sweep (~+27% in-sweep inflation). bench_compare.py
+        # reads this field instead of inferring sweep-ness from key count.
+        "provenance": "isolated" if keys_env else "sweep",
     }
     spark.stop()
     # The driver captures only the TAIL (last ~2000 chars) of stdout, so a

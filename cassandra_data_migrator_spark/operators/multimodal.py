@@ -625,6 +625,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(data):
+                if j + 17 > len(data):
+                    raise ValueError("truncated DHT")
                 tc, th = data[j] >> 4, data[j] & 0xF
                 bits = [0] + list(data[j + 1 : j + 17])
                 nv = sum(bits)
@@ -634,6 +636,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 j += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            # a 1-component SOF0 payload is exactly 9 bytes; shorter means
+            # a truncated segment and must surface as ValueError (the
+            # quarantine contract), not struct.error/IndexError
+            if len(data) < 9:
+                raise ValueError("truncated SOF0")
             precision, height, width, nc = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -650,6 +657,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if width == 0:
                 raise ValueError("SOS before SOF0")
+            if len(data) < 3:
+                raise ValueError("truncated SOS")
             dc_id, ac_id = data[2] >> 4, data[2] & 0xF
             scan_start = i
             break
@@ -1483,6 +1492,8 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                 elif marker == 0xC4:
                     j = 0
                     while j < len(data):
+                        if j + 17 > len(data):
+                            raise ValueError("truncated DHT")
                         tc, th = data[j] >> 4, data[j] & 0xF
                         bits = [0] + list(data[j + 1 : j + 17])
                         nv = sum(bits)
@@ -1492,6 +1503,8 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                         huff[(tc, th)] = huff_table(bits, vals)
                         j += 17 + nv
                 elif marker == 0xC0:
+                    if len(data) < 9:
+                        raise ValueError("truncated SOF0")
                     precision, height, width, nc = struct.unpack(">BHHB", data[:6])
                     if precision != 8:
                         raise ValueError(f"unsupported JPEG precision {precision}")
@@ -1510,6 +1523,8 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                 elif marker == 0xDA:
                     if width == 0:
                         raise ValueError("SOS before SOF0")
+                    if len(data) < 3:
+                        raise ValueError("truncated SOS")
                     dc_id, ac_id = data[2] >> 4, data[2] & 0xF
                     scan_start = i
                     break

@@ -403,10 +403,8 @@ def q_migrate_rowcount(spark, sf_dir):
     )
     # unique per-session output dir: concurrent runs (bench + verify, two
     # sessions on one fixture) must not race on the same path
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_migrate",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    out = _scratch_dir(
+        spark, "cdm_spark_migrate", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     piped.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).agg(F.count(F.lit(1)).cast("bigint").alias("written_cnt"))
@@ -421,8 +419,9 @@ def q_url_dedup(spark, sf_dir):
     documents gain a deterministic raw URL whose NOISE varies on doc_id % 7
     (scheme/host case, default :80 port, 0-2 trailing slashes, fragment,
     utm_/gclid tracking params, param order) while the canonical identity
-    varies on doc_id % 12 (path) and % 9 (kept param) — 7 is coprime with
-    36, so every canonical group contains every noise variant. The oracle
+    varies on doc_id % 12 (path), % 9 (kept param), and the v==6 userinfo
+    branch ('u:P@' kept VERBATIM — case preserved, host parsing applied
+    only after the last '@', splitting those docs into their own groups). The oracle
     computes the EXPECTED canonical form analytically from the same mods
     (it never parses a URL), so each of the six canonicalization rules must
     fire correctly for Spark's parsed output to match — same oracle shape
@@ -446,8 +445,10 @@ def q_url_dedup(spark, sf_dir):
     frag = F.when(v >= 5, F.concat(F.lit("#sec"), v.cast("string"))).otherwise(
         F.lit("")
     )
+    user = F.when(v == 6, F.lit("u:P@")).otherwise(F.lit(""))
     url = F.concat(
-        scheme, F.lit("://"), host, port, F.lit("/Docs/Page-"), m12, trail, qq, frag
+        scheme, F.lit("://"), user, host, port, F.lit("/Docs/Page-"), m12, trail,
+        qq, frag,
     )
     return url_dedup(d.withColumn("url", url), "url", "doc_id")
 
@@ -471,6 +472,32 @@ def q_dedup_fuzzy(spark, sf_dir):
 
 
 _SESSION_ARTIFACTS: dict = {}
+_SCRATCH_REGISTERED: set = set()
+
+
+def _scratch_dir(spark, family: str, name: str) -> str:
+    """Per-session scratch path ``tempdir/<family>/<name>_<appId>`` with a
+    self-owned atexit rmtree (advice r07: repeated bench/driver sessions
+    were accumulating one full table copy per application per sf under
+    /tmp, unbounded). Cleanup is SELF-owned, not a purge of the family
+    root: sibling dirs may belong to a concurrently-live session (bench +
+    verify on one fixture) and the applicationId key already guarantees we
+    never reuse theirs. Crashed-session leftovers remain the only residual
+    — the same contract as Spark's own local dirs."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        family,
+        f"{name}_{spark.sparkContext.applicationId}",
+    )
+    if base not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
 
 
 def _session_artifact(spark, tag: str, build):
@@ -1028,10 +1055,8 @@ def q_partitioned_sink_prune(spark, sf_dir):
     import tempfile
 
     e = _t(spark, sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_partitioned",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    out = _scratch_dir(
+        spark, "cdm_spark_partitioned", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     e.select("event_id", "user_id", "value", "event_type").write.mode(
         "overwrite"
@@ -1851,12 +1876,11 @@ def q_embedding_quantize(spark, sf_dir):
 
 def _roundtrip_dir(spark, sf_dir, fmt):
     import os
-    import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
+    return _scratch_dir(
+        spark,
         "cdm_spark_roundtrip",
-        f"{fmt}_{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+        f"{fmt}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
 
 
@@ -2627,10 +2651,8 @@ def q_schema_evolution(spark, sf_dir):
     import tempfile
 
     o = _t(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_evolve",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    base = _scratch_dir(
+        spark, "cdm_spark_evolve", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
@@ -2688,10 +2710,8 @@ def q_migrate_incremental(spark, sf_dir):
     from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
 
     o = _t(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_incr",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    base = _scratch_dir(
+        spark, "cdm_spark_incr", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     o.write.mode("overwrite").parquet(base)
     delta = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
@@ -2738,10 +2758,8 @@ def q_migrate_writetime_roundtrip(spark, sf_dir):
         max_writetime(["__writetime_value", "__writetime_props"]).alias("__writetime"),
         max_ttl(["__ttl_value", "__ttl_props"]).alias("__ttl"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_wtrt",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    path = _scratch_dir(
+        spark, "cdm_spark_wtrt", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     base.write.mode("overwrite").parquet(path)
     winning = (
@@ -4848,10 +4866,8 @@ def q_jsonl_quarantine(spark, sf_dir):
     from cassandra_data_migrator_spark.sources import jsonl
 
     d = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_jsonl",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    path = _scratch_dir(
+        spark, "cdm_spark_jsonl", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     jsonl.write_jsonl(
         d, path, corrupt_expr=F.col("doc_id") % JSONL_CORRUPT_MOD == 0
@@ -5099,10 +5115,8 @@ def q_backfill_overwrite(spark, sf_dir):
     from cassandra_data_migrator_spark.sources import layout
 
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_backfill",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    base = _scratch_dir(
+        spark, "cdm_spark_backfill", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     path = os.path.join(base, "tbl")
     layout.write_partitioned(e, path, "event_type")
@@ -5131,10 +5145,8 @@ def q_file_compaction(spark, sf_dir):
     from cassandra_data_migrator_spark.sources import layout
 
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "cdm_spark_compact",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    base = _scratch_dir(
+        spark, "cdm_spark_compact", f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
     frag_path, comp_path = os.path.join(base, "frag"), os.path.join(base, "comp")
     e.repartition(COMPACT_FRAGMENT_FILES).write.mode("overwrite").parquet(frag_path)
@@ -7194,7 +7206,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_dedup": """
             WITH u AS (SELECT doc_id,
-                              'http://www.crawl.example.com/Docs/Page-'
+                              'http://'
+                              || CASE WHEN doc_id % 7 = 6 THEN 'u:P@' ELSE '' END
+                              || 'www.crawl.example.com/Docs/Page-'
                               || (doc_id % 12)
                               || '?a=' || (doc_id % 9) || '&z=9' AS canon_url
                        FROM documents)

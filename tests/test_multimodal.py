@@ -863,6 +863,39 @@ def test_decode_jpeg_rejects_malformed():
         decode_jpeg(bytes(bad2))
 
 
+def test_decode_jpeg_truncated_segments_raise_valueerror():
+    """Truncated SOF0/SOS/DHT payloads must surface as ValueError (the
+    quarantine contract), never struct.error/IndexError (advice r07)."""
+    import struct
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, bytes([100]))
+
+    def reseg(marker_byte, payload_bytes):
+        """Rebuild `good` with the segment's payload replaced (length
+        field updated), keeping everything else intact."""
+        buf = bytearray(good)
+        pos = buf.find(bytes([0xFF, marker_byte]))
+        (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        new = struct.pack(">H", len(payload_bytes) + 2) + payload_bytes
+        return bytes(buf[: pos + 2] + new + buf[pos + 2 + seglen :])
+
+    # SOF0 cut to 4 bytes (< BHHB), to 7 (data[7] gone), to 8 (data[8] gone)
+    for cut in (4, 7, 8):
+        with pytest.raises(ValueError, match="truncated SOF0"):
+            decode_jpeg(reseg(0xC0, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"[:cut]))
+    # SOS payload shorter than 3 bytes
+    with pytest.raises(ValueError, match="truncated SOS"):
+        decode_jpeg(reseg(0xDA, b"\x01\x01"))
+    # DHT payload shorter than the 17-byte header
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_jpeg(reseg(0xC4, b"\x00" * 10))
+
+
 def test_decode_image_dispatches_jpeg():
     from cassandra_data_migrator_spark.operators.multimodal import (
         decode_image,

@@ -39,13 +39,18 @@ import tempfile
 INSWEEP_INFLATION = 1.27
 
 
-def _queries(path: str) -> dict[str, float]:
+def _queries(path: str) -> tuple[dict[str, float], str | None]:
+    """Per-key timings plus the file's recorded provenance ('sweep' /
+    'isolated'; None for legacy files predating the field)."""
     with open(path) as fh:
         d = json.load(fh)
     q = d.get("queries", d)
+    prov = d.get("provenance")
     if "parsed" in d and isinstance(d["parsed"], dict):  # driver BENCH_r*.json
         q = d["parsed"].get("queries", q)
-    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+        prov = d["parsed"].get("provenance", prov)
+    timings = {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+    return timings, prov
 
 
 def _isolated_timing(key: str, sf_dir: str) -> float | None:
@@ -100,7 +105,7 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    old, new = _queries(args.old), _queries(args.new)
+    (old, old_prov), (new, _) = _queries(args.old), _queries(args.new)
     shared = sorted(set(old) & set(new))
     if not shared:
         print("no shared keys between the two sweeps")
@@ -129,10 +134,16 @@ def main() -> int:
             # inflated vs isolated, bench.py's own measurement), while iso
             # is uncontended — deflate old accordingly or a true isolated
             # regression up to threshold*1.27x reads as "noise". Only
-            # applies when OLD really is a full sweep: a small OLD file
-            # (BENCH_SUBSET.json, an isolated re-measure) is already
-            # uncontended and deflating it would manufacture regressions.
-            old_is_sweep = len(old) >= 50
+            # applies when OLD really is a full sweep: an isolated
+            # re-measure (BENCH_SUBSET.json) is already uncontended and
+            # deflating it would manufacture regressions. Sweep-ness comes
+            # from the file's recorded "provenance" field (advice r07);
+            # the >=50-key count heuristic survives only as the fallback
+            # for legacy files that predate the field.
+            if old_prov is not None:
+                old_is_sweep = old_prov == "sweep"
+            else:
+                old_is_sweep = len(old) >= 50
             old_iso_est = old[k] / INSWEEP_INFLATION if old_is_sweep else old[k]
             if iso is None:
                 confirmed.append((ratio, k, new[k]))  # unmeasurable: keep flag
