@@ -5254,6 +5254,492 @@ def q_tokenizer_fertility(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-8 north-star additions: site-level filtering, distribution drift
+# testing, co-occurrence statistics, hashed linear classification, signal
+# ensembling, Kneser-Ney LM scoring
+
+
+DOMAIN_SITES = 17  # fixture: doc_id % 17 picks the site label
+DOMAIN_TLDS = 3  # ... % 3 picks the registered-domain suffix
+DOMAIN_MIN_DOCS = 3  # gate: a domain needs >= 3 docs to be judged at all
+DOMAIN_MAX_DUP_R = 0.2  # gate: drop domains with > 20% exact-dup docs
+
+
+def q_domain_stats(spark, sf_dir):
+    """Site-level crawl filtering (the RefinedWeb/C4 move of judging and
+    gating whole DOMAINS, not documents: link farms and mirror sites are
+    domain-shaped phenomena that per-doc filters miss). Documents gain a
+    deterministic registered domain (doc_id mod 17 x mod 3 = 51 domains);
+    per domain the key emits doc count, distinct-text count, exact-dup
+    ratio, mean tokens per doc, and the keep gate (enough docs AND dup
+    ratio under the cap). ONE token-count scan + ONE hash shuffle on the
+    domain — at crawl scale the domain cardinality (~10^7) is far below
+    doc count, so the aggregate stays small; count_distinct(md5) shuffles
+    (domain, hash) pairs, bounded by doc count with partial combine."""
+    d = _t(spark, sf_dir, "documents")
+    domain = F.concat(
+        F.lit("site"),
+        (F.col("doc_id") % DOMAIN_SITES).cast("string"),
+        F.lit(".example-"),
+        (F.col("doc_id") % DOMAIN_TLDS).cast("string"),
+        F.lit(".com"),
+    )
+    agg = d.select(
+        domain.alias("domain"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_texts"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )
+    dup_r = F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 4)
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_distinct_texts",
+        "sum_tokens",
+        dup_r.alias("dup_r"),
+        F.round(F.col("sum_tokens") / F.col("n_docs"), 4).alias("avg_tokens"),
+        (
+            (F.col("n_docs") >= DOMAIN_MIN_DOCS)
+            & (dup_r <= DOMAIN_MAX_DUP_R)
+        ).alias("keep"),
+    )
+
+
+KS_BINS = 64  # ECDF evaluation grid; the KS sup runs over bin edges
+KS_ALPHA_C = 1.3581  # c(alpha=0.05) for the two-sample KS rejection bound
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test between two snapshot
+    halves of events.value (even/odd event_id — the planted-split
+    convention): the numeric-distribution complement to vocab_js_drift's
+    content drift and validate_profile_drift's column aggregates. The
+    ECDFs are evaluated on a fixed 64-bin grid (binning makes the sup a
+    max over a BOUNDED table — the exact KS needs a global sort of every
+    distinct value, a non-starter at 100 TB; the binned statistic is a
+    lower bound that converges to exact as bins grow). Plan: one 1-row
+    min/max broadcast carry, one hash shuffle to the ≤64-row histogram,
+    cumulative ECDFs + the sup over that bounded table; per-bin |ΔECDF|
+    rounds to 6dp DECIMAL so the max is exact/order-free. Output: one row
+    with both sample sizes, the KS statistic, the asymptotic alpha=0.05
+    rejection bound c·sqrt((n_a+n_b)/(n_a·n_b)), and the drift verdict."""
+    e = _t(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    ext = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / KS_BINS
+    binned = e.crossJoin(F.broadcast(ext)).select(
+        (F.col("event_id") % 2 == 0).alias("is_a"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width),
+                F.lit(KS_BINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("c_a"),
+        F.sum((~F.col("is_a")).cast("bigint")).cast("bigint").alias("c_b"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ecdf = hist.select(
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_b").over(w_cum).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    diff6 = F.round(
+        F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")), 6
+    ).cast("decimal(18,6)")
+    out = ecdf.select(
+        diff6.alias("d6"), F.col("n_a"), F.col("n_b")
+    ).groupBy().agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max("d6").alias("__ks"),
+    )
+    thr6 = F.round(
+        KS_ALPHA_C
+        * F.sqrt((F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))),
+        6,
+    ).cast("decimal(18,6)")
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.col("__ks").cast("double") + F.lit(0.0)).alias("ks_stat"),
+        (thr6.cast("double") + F.lit(0.0)).alias("ks_threshold"),
+        (F.col("__ks") > thr6).alias("drifted"),
+    )
+
+
+SKIP_WINDOW = 3  # co-occurrence window: pairs (w_i, w_{i+j}), 1 <= j <= 3
+SKIP_TOPK = 20
+
+
+def q_skipgram_cooc(spark, sf_dir):
+    """Windowed skip-gram co-occurrence counts — the corpus statistic
+    word2vec/GloVe training consumes (bigram_pmi sees only ADJACENT
+    pairs; association lives in a window). Ordered pairs (w_i, w_{i+j}),
+    1<=j<=SKIP_WINDOW, are generated entirely in-JVM with higher-order
+    array functions (transform-over-slice — NO positional self-join: a
+    join of the token stream against itself on doc+distance re-shuffles
+    the whole exploded corpus; the HOF form is scan-local and explodes
+    once). Global top-k by count via the two-phase rank operator
+    (per-partition prune, then one ordered pass over <= k x partitions
+    survivors)."""
+    from cassandra_data_migrator_spark.operators import rank as rank_ops
+
+    d = _t(spark, sf_dir, "documents")
+    # materialize the token array BEFORE the nested transform: an
+    # expression referenced inside a lambda is NOT subexpression-eliminated
+    # across elements, so slice(tokens(text), i+2, W) re-tokenizes the doc
+    # for EVERY position — O(len²) regex splits (measured 3.1x the whole
+    # key's wall). A projected column is evaluated once per row.
+    base = d.select(tokens("text").alias("ts"))
+    tsc = F.col("ts")
+    pairs = F.flatten(
+        F.transform(
+            tsc,
+            lambda x, i: F.transform(
+                F.slice(tsc, i + 2, SKIP_WINDOW),
+                lambda y: F.concat(x, F.lit("\x00"), y),
+            ),
+        )
+    )
+    cnt = (
+        base.select(F.explode(pairs).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cooc"))
+        .select(
+            F.substring_index(F.col("p"), "\x00", 1).alias("w1"),
+            F.substring_index(F.col("p"), "\x00", -1).alias("w2"),
+            "n_cooc",
+        )
+    )
+    top = rank_ops.top_k_rows(
+        cnt, SKIP_TOPK, [F.desc("n_cooc"), F.col("w1"), F.col("w2")], rank_col="rnk"
+    )
+    return top.select("w1", "w2", "n_cooc", F.col("rnk").cast("int").alias("rnk"))
+
+
+CLF_BUCKETS = 4096  # hashed feature space (md5 3-hex-char prefix): at 256
+# buckets two of the five planted markers collide with high-frequency vocab
+# words ('merge', 'customer') and become unlearnable — the textbook
+# hash-collision failure a larger feature space fixes (fastText defaults to
+# 2M bins for the same reason)
+CLF_BUCKET_CHARS = 3
+CLF_SMOOTH_K = 0.1  # add-k: with add-1 the smoothing mass k*B rivals the
+# class token totals and puts a systematic ln((n_neg+B)/(n_pos+B)) penalty
+# on EVERY shared token (~-0.27/token, -15/doc — swamping any real signal);
+# k=0.1 keeps unseen-bucket robustness with a negligible mass distortion
+CLF_LABEL_MOD = 4  # planted positives: doc_id % 4 == 0
+CLF_MARKER_MOD = 5  # positives carry ONE of five marker tokens 'mq0'..'mq4'
+
+
+def q_nb_classifier_eval(spark, sf_dir):
+    """Train-and-evaluate a fastText-style hashed linear classifier as one
+    declarative plan — the model-based filtering step (CCNet's fastText
+    lang-id / DataComp's quality classifier) expressed Spark-first.
+    Features = word unigrams hashed into 256 md5-prefix buckets; model =
+    per-bucket Naive-Bayes log-odds with add-1 smoothing trained ONLY on
+    the md5 train split (hash_split's cut points), plus a doc-count
+    log-prior; inference = broadcast-join the 256-row weight table onto
+    held-out docs' bucket counts, score = prior + sum n_occ*logodds
+    (6dp-DECIMAL weights make per-doc sums exact and order-free), predict
+    = score > 0. Output: the held-out confusion matrix — the artifact a
+    filtering pipeline actually gates on.
+
+    The label is a PLANTED signal (doc_id % 4 positives carry one of five
+    appended marker tokens — the url_dedup discipline of constructing the
+    fixture in-plan with an analytically-known answer): the raw fixture's
+    ``lang`` column is unlearnable from text because every language shares
+    one 31-word vocabulary, so a real-column label would only certify that
+    NB converges to the majority class. With the planted markers the
+    training actually has to generalize: shared-vocabulary buckets learn
+    ~0 log-odds (class-frequency normalization), the five marker buckets
+    learn strongly positive weights, and held-out accuracy ~1.0 falls out
+    ONLY if split isolation, smoothing, and the broadcast scoring join are
+    all right. The weight table is enumerated over ALL 256 buckets
+    (left-join + zero fill) so an eval-only bucket scores identically in
+    both engines."""
+    d = _t(spark, sf_dir, "documents")
+    label = F.col("doc_id") % CLF_LABEL_MOD == 0
+    # the marker appears CLF_MARKER_REPEAT times: one occurrence's ~+4
+    # log-odds can be drowned by the correlated noise of ~55 repeated
+    # shared-vocab tokens (measured 13/24 held-out misses); three make the
+    # planted signal decisive without changing what is being tested
+    m = (F.col("doc_id") % CLF_MARKER_MOD).cast("string")
+    txt = F.when(
+        label,
+        F.concat(
+            F.col("text"),
+            F.lit(" mq"), m, F.lit(" mq"), m, F.lit(" mq"), m,
+        ),
+    ).otherwise(F.col("text"))
+    split_prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    bucketed = d.select(
+        "doc_id",
+        label.alias("y"),
+        (split_prefix < SPLIT_TRAIN_LT).alias("is_train"),
+        F.explode(tokens(txt)).alias("w"),
+    ).select(
+        "doc_id",
+        "y",
+        "is_train",
+        F.substring(F.md5(F.col("w").cast("binary")), 1, CLF_BUCKET_CHARS).alias(
+            "bkt"
+        ),
+    )
+    train_counts = bucketed.filter(F.col("is_train")).groupBy("bkt").agg(
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("c_pos"),
+        F.sum((~F.col("y")).cast("bigint")).cast("bigint").alias("c_neg"),
+    )
+    buckets = spark.range(CLF_BUCKETS).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), CLF_BUCKET_CHARS, "0").alias("bkt")
+    )
+    dist = (
+        buckets.join(train_counts, "bkt", "left").fillna(0, ["c_pos", "c_neg"])
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist = dist.select(
+        "bkt",
+        "c_pos",
+        "c_neg",
+        F.sum("c_pos").over(w_all).alias("n_pos"),
+        F.sum("c_neg").over(w_all).alias("n_neg"),
+    )
+    logodds6 = F.round(
+        F.log(
+            (F.col("c_pos") + CLF_SMOOTH_K)
+            / (F.col("n_pos") + CLF_SMOOTH_K * CLF_BUCKETS)
+        )
+        - F.log(
+            (F.col("c_neg") + CLF_SMOOTH_K)
+            / (F.col("n_neg") + CLF_SMOOTH_K * CLF_BUCKETS)
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    weights = dist.select("bkt", logodds6.alias("logodds6"))
+    prior = (
+        d.select(
+            label.alias("y"),
+            (split_prefix < SPLIT_TRAIN_LT).alias("is_train"),
+        )
+        .filter(F.col("is_train"))
+        .agg(
+            F.round(
+                F.log(
+                    (F.sum(F.col("y").cast("bigint")) + 1)
+                    / (F.sum((~F.col("y")).cast("bigint")) + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("prior6")
+        )
+    )
+    per_doc = bucketed.filter(~F.col("is_train")).groupBy(
+        "doc_id", "y", "bkt"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    scored = (
+        per_doc.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("n_occ") * F.col("logodds6")).alias("__s"))
+        .crossJoin(F.broadcast(prior))
+    )
+    return (
+        scored.select(
+            F.col("y").alias("label"),
+            ((F.col("__s") + F.col("prior6")) > 0).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+ENSEMBLE_KEEP_NUM = 1  # keep the top 1/4 of docs by ensemble score
+ENSEMBLE_KEEP_DEN = 4
+
+
+def _ENSEMBLE_Z_SQL(s: str, t: str, q: str) -> str:
+    """DuckDB z-score twin of q_quality_ensemble's z(): exact decimal
+    totals cast to double FIRST, then the identical IEEE op sequence."""
+    mean = f"(CAST({t} AS DOUBLE) / n)"
+    var = f"(CAST({q} AS DOUBLE) / n - {mean} * {mean})"
+    return (
+        f"(CASE WHEN SQRT({var}) = 0 THEN 0.0 "
+        f"ELSE (CAST({s} AS DOUBLE) - {mean}) / SQRT({var}) END)"
+    )
+
+
+def q_quality_ensemble(spark, sf_dir):
+    """Rank-free quality-signal ENSEMBLE selection (the DataComp/Dolma
+    move: no single heuristic is trustworthy, so blend several normalized
+    signals and keep the top slice). Signals: token count, chars per
+    token, distinct-token fraction — each z-normalized against corpus
+    mean/std computed from DECIMAL-exact sums/sum-of-squares (float
+    aggregation order never enters; the 1-row moments broadcast back),
+    ensemble = mean of the three z-scores rounded to 4dp DECIMAL, and
+    selection = top 25% by (ensemble desc, doc_id) via the
+    histogram-bounded global rank (the 4dp rounding bounds the rank
+    histogram's value domain by construction — no raw-table window).
+    selected = pos*4 < n_total, exact integer math in both engines."""
+    from cassandra_data_migrator_spark.operators import rank as rank_ops
+
+    d = _t(spark, sf_dir, "documents")
+    # project the token array once (the distinct_n discipline): each ts
+    # reference below would otherwise re-run the tokenizer per row
+    arr = d.select("doc_id", "n_chars", tokens("text").alias("ts"))
+    ts = F.col("ts")
+    sig = arr.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("s1"),
+        F.round(
+            F.col("n_chars") / F.nullif(F.size(ts).cast("bigint"), F.lit(0)), 4
+        )
+        .cast("decimal(18,4)")
+        .alias("s2"),
+        F.round(
+            F.size(F.array_distinct(ts))
+            / F.nullif(F.size(ts).cast("bigint"), F.lit(0)),
+            4,
+        )
+        .cast("decimal(18,4)")
+        .alias("s3"),
+    ).filter(F.col("s2").isNotNull())
+    moments = sig.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s1").cast("decimal(38,8)").alias("t1"),
+        F.sum(F.col("s1") * F.col("s1")).cast("decimal(38,8)").alias("q1"),
+        F.sum("s2").cast("decimal(38,8)").alias("t2"),
+        F.sum(F.col("s2") * F.col("s2")).cast("decimal(38,8)").alias("q2"),
+        F.sum("s3").cast("decimal(38,8)").alias("t3"),
+        F.sum(F.col("s3") * F.col("s3")).cast("decimal(38,8)").alias("q3"),
+    )
+
+    def z(s, t, q):
+        # moments are exact decimals; cast each total to double FIRST so
+        # both engines run the same IEEE ops (decimal division scales
+        # differ across engines)
+        mean = t.cast("double") / F.col("n")
+        var = q.cast("double") / F.col("n") - mean * mean
+        std = F.sqrt(var)
+        return F.when(std == 0, F.lit(0.0)).otherwise(
+            (s.cast("double") - mean) / std
+        )
+
+    ens = sig.crossJoin(F.broadcast(moments)).select(
+        "doc_id",
+        F.round(
+            (
+                z(F.col("s1"), F.col("t1"), F.col("q1"))
+                + z(F.col("s2"), F.col("t2"), F.col("q2"))
+                + z(F.col("s3"), F.col("t3"), F.col("q3"))
+            )
+            / 3,
+            4,
+        )
+        .cast("decimal(18,4)")
+        .alias("ens4"),
+    )
+    ranked = rank_ops.global_rank(
+        ens.select("doc_id", (-F.col("ens4")).alias("neg4"), "ens4"),
+        "neg4",
+        "doc_id",
+        pos_col="pos",
+    )
+    return ranked.select(
+        "doc_id",
+        (F.col("ens4").cast("double") + F.lit(0.0)).alias("ensemble_z"),
+        F.col("pos").cast("bigint").alias("pos"),
+        (F.col("pos") * ENSEMBLE_KEEP_DEN < F.col("n_total") * ENSEMBLE_KEEP_NUM).alias(
+            "selected"
+        ),
+    )
+
+
+KN_DISCOUNT = 0.75  # the standard interpolated-KN absolute discount
+
+
+def q_kn_perplexity(spark, sf_dir):
+    """Per-doc negative log-likelihood under an interpolated KNESER-NEY
+    bigram LM — the smoothing KenLM uses (the CCNet perplexity filter is
+    a KN 5-gram; lm_perplexity's add-k is the naive baseline). P(w2|w1) =
+    (max(c12−D,0) + D·N1+(w1·)·P_cont(w2)) / c1(w1), with continuation
+    prob P_cont(w2) = N1+(·w2) / |bigram types| — the 'how many contexts
+    has w2 followed' estimate that makes KN robust to burst words. All
+    counts are one pass over the exploded bigram stream; the model is a
+    vocab-bounded table; per-bigram logprobs round to 6dp DECIMAL so doc
+    sums are exact/order-free (the lm_perplexity discipline); the type
+    total rides a 1-row broadcast carry."""
+    d = _t(spark, sf_dir, "documents")
+    # project the token array once (the distinct_n discipline): each ts
+    # reference below would otherwise re-run the tokenizer per row
+    arr = d.select("doc_id", tokens("text").alias("ts"))
+    ts = F.col("ts")
+    bg = arr.filter(F.size(ts) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.size(ts) - 1),
+                F.slice(ts, 2, F.size(ts) - 1),
+                lambda a, b: F.concat(a, F.lit("\x00"), b),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.substring_index(F.col("p"), "\x00", 1).alias("w1"),
+        F.substring_index(F.col("p"), "\x00", -1).alias("w2"),
+    )
+    dc = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    c12 = dc.groupBy("w1", "w2").agg(F.sum("n_occ").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    bwd = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    tt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    p = (
+        F.greatest(F.col("c12") - KN_DISCOUNT, F.lit(0.0))
+        + KN_DISCOUNT * F.col("n1f") * (F.col("n1b") / F.col("t_types"))
+    ) / F.col("c1")
+    model = (
+        c12.join(c1, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p), 6).cast("decimal(18,6)").alias("logp6"),
+        )
+    )
+    avg_logp = F.sum(F.col("n_occ") * F.col("logp6")).cast("double") / F.sum(
+        "n_occ"
+    ).cast("double")
+    return (
+        dc.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            (F.round(-avg_logp, 4) + F.lit(0.0)).alias("kn_nll"),
+        )
+    )
+
+
 # Morton/bucket math lives with the other layout levers (compaction, hive
 # partitioning, zorder_binned/write_zordered) in sources/layout.py; the
 # audit key and its DuckDB oracle below use the SAME formula string so
@@ -5402,6 +5888,12 @@ def queries() -> dict[str, QueryFn]:
     return {
         # --- r07 window head: new or behavior-changed this round ---
         "run_tracking_resume": q_run_tracking_resume,
+        "domain_stats": q_domain_stats,
+        "ks_drift": q_ks_drift,
+        "skipgram_cooc": q_skipgram_cooc,
+        "nb_classifier_eval": q_nb_classifier_eval,
+        "quality_ensemble": q_quality_ensemble,
+        "kn_perplexity": q_kn_perplexity,
         "url_dedup": q_url_dedup,
         "ccnet_bucket_mix": q_ccnet_bucket_mix,
         "backfill_overwrite": q_backfill_overwrite,
@@ -7203,6 +7695,196 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN st.status <> 'passed' THEN COALESCE(o.cnt, 0)
                         ELSE 0 END AS BIGINT) AS resume_rows
             FROM st LEFT JOIN o USING (slice_id)
+        """,
+        "domain_stats": f"""
+            WITH a AS (SELECT 'site' || (doc_id % {DOMAIN_SITES})
+                              || '.example-' || (doc_id % {DOMAIN_TLDS})
+                              || '.com' AS domain,
+                              md5(text) AS h,
+                              CAST(len({TOKS_SQL}) AS BIGINT) AS n_tok
+                       FROM documents),
+            g AS (SELECT domain,
+                         CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+                         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+                  FROM a GROUP BY domain)
+            SELECT domain, n_docs, n_distinct_texts, sum_tokens,
+                   ROUND(1 - n_distinct_texts / n_docs, 4) AS dup_r,
+                   ROUND(sum_tokens / n_docs, 4) AS avg_tokens,
+                   (n_docs >= {DOMAIN_MIN_DOCS}
+                    AND ROUND(1 - n_distinct_texts / n_docs, 4)
+                        <= {DOMAIN_MAX_DUP_R}) AS keep
+            FROM g
+        """,
+        "ks_drift": f"""
+            WITH e AS (SELECT event_id, value FROM events
+                       WHERE value IS NOT NULL),
+            ext AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
+            b AS (SELECT (event_id % 2 = 0) AS is_a,
+                         CAST(CASE WHEN hi = lo THEN 0
+                              ELSE LEAST(FLOOR((value - lo)
+                                         / ((hi - lo) / {KS_BINS})),
+                                         {KS_BINS - 1}) END AS INTEGER) AS bin
+                  FROM e CROSS JOIN ext),
+            h AS (SELECT bin,
+                         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                             AS c_a,
+                         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                             AS c_b
+                  FROM b GROUP BY bin),
+            c AS (SELECT SUM(c_a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum_a,
+                         SUM(c_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum_b,
+                         SUM(c_a) OVER () AS n_a,
+                         SUM(c_b) OVER () AS n_b
+                  FROM h),
+            m AS (SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+                         CAST(MAX(n_b) AS BIGINT) AS n_b,
+                         MAX(CAST(ROUND(ABS(cum_a / n_a - cum_b / n_b), 6)
+                             AS DECIMAL(18,6))) AS ks6
+                  FROM c)
+            SELECT n_a, n_b,
+                   CAST(ks6 AS DOUBLE) + 0.0 AS ks_stat,
+                   CAST(CAST(ROUND({KS_ALPHA_C} * SQRT((n_a + n_b)
+                        / (n_a * n_b)), 6) AS DECIMAL(18,6)) AS DOUBLE) + 0.0
+                       AS ks_threshold,
+                   ks6 > CAST(ROUND({KS_ALPHA_C} * SQRT((n_a + n_b)
+                        / (n_a * n_b)), 6) AS DECIMAL(18,6)) AS drifted
+            FROM m
+        """,
+        "skipgram_cooc": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM toks),
+            pr AS (SELECT ts[i] AS w1, ts[i + j] AS w2
+                   FROM (SELECT ts, i, unnest(range(1, {SKIP_WINDOW + 1})) AS j
+                         FROM pos)
+                   WHERE i + j <= len(ts)),
+            cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooc
+                    FROM pr GROUP BY 1, 2),
+            rk AS (SELECT w1, w2, n_cooc,
+                          CAST(ROW_NUMBER() OVER (ORDER BY n_cooc DESC, w1, w2)
+                               AS INTEGER) AS rnk
+                   FROM cnt)
+            SELECT w1, w2, n_cooc, rnk FROM rk WHERE rnk <= {SKIP_TOPK}
+        """,
+        "nb_classifier_eval": f"""
+            WITH aug AS (SELECT doc_id,
+                                (doc_id % {CLF_LABEL_MOD} = 0) AS y,
+                                CASE WHEN doc_id % {CLF_LABEL_MOD} = 0
+                                     THEN text
+                                          || ' mq' || (doc_id % {CLF_MARKER_MOD})
+                                          || ' mq' || (doc_id % {CLF_MARKER_MOD})
+                                          || ' mq' || (doc_id % {CLF_MARKER_MOD})
+                                     ELSE text END AS text
+                         FROM documents),
+            base AS (SELECT doc_id, y,
+                            (substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '{SPLIT_TRAIN_LT}') AS is_train,
+                            {TOKS_SQL} AS ts
+                     FROM aug),
+            bkt AS (SELECT doc_id, y, is_train, substr(md5(w), 1, 3) AS bkt
+                    FROM (SELECT doc_id, y, is_train, unnest(ts) AS w
+                          FROM base)),
+            tc AS (SELECT bkt,
+                          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                              AS c_pos,
+                          CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+                              AS c_neg
+                   FROM bkt WHERE is_train GROUP BY bkt),
+            allb AS (SELECT printf('%03x', i) AS bkt
+                     FROM range({CLF_BUCKETS}) t(i)),
+            dist AS (SELECT a.bkt, COALESCE(c_pos, 0) AS c_pos,
+                            COALESCE(c_neg, 0) AS c_neg
+                     FROM allb a LEFT JOIN tc USING (bkt)),
+            dist2 AS (SELECT bkt, c_pos, c_neg,
+                             SUM(c_pos) OVER () AS n_pos,
+                             SUM(c_neg) OVER () AS n_neg
+                      FROM dist),
+            w AS (SELECT bkt,
+                         CAST(ROUND(ln((c_pos + {CLF_SMOOTH_K})
+                              / (n_pos + {CLF_SMOOTH_K} * {CLF_BUCKETS}))
+                              - ln((c_neg + {CLF_SMOOTH_K})
+                              / (n_neg + {CLF_SMOOTH_K} * {CLF_BUCKETS})), 6)
+                              AS DECIMAL(18,6)) AS logodds6
+                  FROM dist2),
+            prior AS (SELECT CAST(ROUND(ln(
+                             (SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1)
+                             / (SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6)
+                             AS DECIMAL(18,6)) AS prior6
+                      FROM base WHERE is_train),
+            pd AS (SELECT doc_id, y, bkt, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM bkt WHERE NOT is_train GROUP BY 1, 2, 3),
+            sc AS (SELECT doc_id, y, SUM(n_occ * logodds6) AS s
+                   FROM pd JOIN w USING (bkt) GROUP BY 1, 2)
+            SELECT y AS label, (s + prior6 > 0) AS predicted,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM sc CROSS JOIN prior
+            GROUP BY 1, 2
+        """,
+        "quality_ensemble": f"""
+            WITH sig AS (SELECT doc_id,
+                                CAST(len(ts) AS BIGINT) AS s1,
+                                CAST(ROUND(n_chars / CAST(len(ts) AS BIGINT),
+                                     4) AS DECIMAL(18,4)) AS s2,
+                                CAST(ROUND(CAST(len(list_distinct(ts))
+                                     AS BIGINT) / CAST(len(ts) AS BIGINT), 4)
+                                     AS DECIMAL(18,4)) AS s3
+                         FROM (SELECT doc_id, n_chars, {TOKS_SQL} AS ts
+                               FROM documents)
+                         WHERE len(ts) > 0),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(s1) AS DECIMAL(38,8)) AS t1,
+                         CAST(SUM(s1 * s1) AS DECIMAL(38,8)) AS q1,
+                         CAST(SUM(s2) AS DECIMAL(38,8)) AS t2,
+                         CAST(SUM(s2 * s2) AS DECIMAL(38,8)) AS q2,
+                         CAST(SUM(s3) AS DECIMAL(38,8)) AS t3,
+                         CAST(SUM(s3 * s3) AS DECIMAL(38,8)) AS q3
+                  FROM sig),
+            ens AS (SELECT doc_id,
+                           CAST(ROUND((
+                                {_ENSEMBLE_Z_SQL('s1', 't1', 'q1')}
+                                + {_ENSEMBLE_Z_SQL('s2', 't2', 'q2')}
+                                + {_ENSEMBLE_Z_SQL('s3', 't3', 'q3')}
+                                ) / 3, 4) AS DECIMAL(18,4)) AS ens4
+                    FROM sig CROSS JOIN m),
+            rk AS (SELECT doc_id, ens4,
+                          CAST(ROW_NUMBER() OVER (ORDER BY ens4 DESC, doc_id)
+                               - 1 AS BIGINT) AS pos,
+                          CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+                   FROM ens)
+            SELECT doc_id, CAST(ens4 AS DOUBLE) + 0.0 AS ensemble_z, pos,
+                   (pos * {ENSEMBLE_KEEP_DEN} < n_total * {ENSEMBLE_KEEP_NUM})
+                       AS selected
+            FROM rk
+        """,
+        "kn_perplexity": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                         FROM toks WHERE len(ts) >= 2)),
+            dc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM bg GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, CAST(SUM(n_occ) AS BIGINT) AS c12
+                    FROM dc GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                          CAST(COUNT(*) AS BIGINT) AS n1f
+                   FROM c12 GROUP BY 1),
+            bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+                    FROM c12 GROUP BY 1),
+            tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c12),
+            model AS (SELECT b.w1, b.w2,
+                             CAST(ROUND(ln((GREATEST(b.c12 - {KN_DISCOUNT},
+                                  0.0) + {KN_DISCOUNT} * c.n1f
+                                  * (d.n1b / tt.t_types)) / c.c1), 6)
+                                  AS DECIMAL(18,6)) AS logp6
+                      FROM c12 b JOIN c1 c ON c.w1 = b.w1
+                      JOIN bwd d ON d.w2 = b.w2 CROSS JOIN tt)
+            SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+                   ROUND(-(CAST(SUM(d.n_occ * m.logp6) AS DOUBLE)
+                         / CAST(SUM(d.n_occ) AS DOUBLE)), 4) + 0.0 AS kn_nll
+            FROM dc d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+            GROUP BY d.doc_id
         """,
         "url_dedup": """
             WITH u AS (SELECT doc_id,

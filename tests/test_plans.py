@@ -190,6 +190,10 @@ GLOBAL_WINDOW_KEYS = {
     "vocab_topk": "pruned",  # rank.top_k_rows
     "bm25_topk": "pruned",  # rank.top_k_rows
     "oov_rate": "pruned",  # rank.top_k_rows (vocab selection)
+    "ks_drift": "histogram",  # ECDF cumsum over the <=64-bin histogram
+    "nb_classifier_eval": "histogram",  # totals over the 256-bucket weight table
+    "quality_ensemble": "histogram",  # rank.global_rank over the 4dp-bounded score histogram
+    "skipgram_cooc": "pruned",  # rank.top_k_rows over pair counts
 }
 
 
@@ -438,6 +442,10 @@ BNLJ_KEYS = {
     "temperature_mix": "total",  # 1-row max-weight broadcast for rate normalization
     "zorder_prune_audit": "total",  # 1-row range-bounds + two 1-row touch counts
     "bloom_prefilter_audit": "total",  # 1-row broadcast bloom word array
+    "ks_drift": "total",  # 1-row min/max value-bounds broadcast
+    "nb_classifier_eval": "total",  # 1-row trained log-prior broadcast
+    "quality_ensemble": "total",  # 1-row decimal-exact moments broadcast
+    "kn_perplexity": "total",  # 1-row bigram-type-count broadcast
 }
 
 

@@ -216,8 +216,139 @@ def main() -> None:
                 )
             )
 
+        def run_skipgram() -> None:
+            # r08 skip-gram co-occurrence: in-JVM pair generation (token
+            # array materialized first — the lambda-body form re-tokenizes
+            # per position) + one explode + pair agg + two-phase top-k; the
+            # clone-union scales the explode k-times, the distinct pair
+            # space stays fixed
+            base = docs.select(tokens("text").alias("ts"))
+            tsc = F.col("ts")
+            prs = F.flatten(
+                F.transform(
+                    tsc,
+                    lambda x, i: F.transform(
+                        F.slice(tsc, i + 2, 3),
+                        lambda y: F.concat(x, F.lit("\x00"), y),
+                    ),
+                )
+            )
+            cnt = (
+                base.select(F.explode(prs).alias("p"))
+                .groupBy("p")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
+            noop(top_k_rows(cnt, 20, [F.desc("n"), F.col("p")], rank_col="r"))
+
+        def run_kn_model() -> None:
+            # r08 Kneser-Ney LM: bigram stream explode (scales k-times) ->
+            # vocab-bounded count tables -> model join back onto per-doc
+            # counts; the model tables stay fixed-size under clone-union
+            arr = docs.select("doc_id", tokens("text").alias("ts"))
+            ts = F.col("ts")
+            bg = arr.filter(F.size(ts) >= 2).select(
+                "doc_id",
+                F.explode(
+                    F.zip_with(
+                        F.slice(ts, 1, F.size(ts) - 1),
+                        F.slice(ts, 2, F.size(ts) - 1),
+                        lambda a, b: F.concat(a, F.lit("\x00"), b),
+                    )
+                ).alias("p"),
+            )
+            dc = bg.groupBy("doc_id", "p").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_occ")
+            )
+            c12 = dc.groupBy("p").agg(F.sum("n_occ").cast("bigint").alias("c12"))
+            w1 = F.substring_index(F.col("p"), "\x00", 1)
+            w2 = F.substring_index(F.col("p"), "\x00", -1)
+            c1 = c12.select(w1.alias("w1"), "c12").groupBy("w1").agg(
+                F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+            )
+            bwd = c12.select(w2.alias("w2")).groupBy("w2").agg(
+                F.count(F.lit(1)).alias("n1b")
+            )
+            tt = c12.agg(F.count(F.lit(1)).alias("t"))
+            model = (
+                c12.select(w1.alias("w1"), w2.alias("w2"), "c12", "p")
+                .join(c1, "w1")
+                .join(bwd, "w2")
+                .crossJoin(F.broadcast(tt))
+                .select(
+                    "p",
+                    F.round(
+                        F.log(
+                            (
+                                F.greatest(F.col("c12") - 0.75, F.lit(0.0))
+                                + 0.75 * F.col("n1f") * (F.col("n1b") / F.col("t"))
+                            )
+                            / F.col("c1")
+                        ),
+                        6,
+                    ).cast("decimal(18,6)").alias("lp6"),
+                )
+            )
+            noop(
+                dc.join(model, "p")
+                .groupBy("doc_id")
+                .agg(F.sum("n_occ"), F.sum(F.col("n_occ") * F.col("lp6")))
+            )
+
+        def run_nb_classifier() -> None:
+            # r08 hashed NB: token explode (scales k-times) -> 4096-bucket
+            # agg -> broadcast weights scored back onto the doc stream
+            b = docs.select(
+                "doc_id",
+                (F.col("doc_id") % 4 == 0).alias("y"),
+                F.explode(tokens("text")).alias("w"),
+            ).select(
+                "doc_id", "y",
+                F.substring(F.md5(F.col("w").cast("binary")), 1, 3).alias("bkt"),
+            )
+            tc = b.groupBy("bkt").agg(
+                F.sum(F.col("y").cast("bigint")).alias("c_pos"),
+                F.sum((~F.col("y")).cast("bigint")).alias("c_neg"),
+            )
+            from pyspark.sql import Window as W
+
+            w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            wt = tc.select(
+                "bkt",
+                F.round(
+                    F.log((F.col("c_pos") + 0.1) / (F.sum("c_pos").over(w_all) + 409.6))
+                    - F.log((F.col("c_neg") + 0.1) / (F.sum("c_neg").over(w_all) + 409.6)),
+                    6,
+                ).cast("decimal(18,6)").alias("lo6"),
+            )
+            pd_ = b.groupBy("doc_id", "y", "bkt").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n")
+            )
+            noop(
+                pd_.join(F.broadcast(wt), "bkt")
+                .groupBy("doc_id", "y")
+                .agg(F.sum(F.col("n") * F.col("lo6")).alias("s"))
+            )
+
         cases = {
             "dedup_exact": lambda: noop(dedup.dedup_exact(docs)),
+            "skipgram_cooc": run_skipgram,
+            "kn_perplexity": run_kn_model,
+            "nb_classifier": run_nb_classifier,
+            # r08 domain gating: one token-count scan + one domain shuffle
+            # with countDistinct(md5) partial-combining per domain
+            "domain_stats": lambda: noop(
+                docs.select(
+                    (F.col("doc_id") % 17).cast("string").alias("domain"),
+                    F.md5(F.col("text").cast("binary")).alias("h"),
+                    F.size(tokens("text")).cast("bigint").alias("n_tok"),
+                )
+                .groupBy("domain")
+                .agg(
+                    F.count(F.lit(1)),
+                    F.countDistinct("h"),
+                    F.sum("n_tok"),
+                )
+            ),
             "vocab_topk": run_vocab_topk,
             "profile_drift": run_profile_drift,
             "sampled_diff": run_sampled_diff,
