@@ -219,3 +219,89 @@ def bloom_prefilter_audit(
             >= F.lit(min_catch_rate) * F.sum(F.coalesce(F.col("__miss"), F.lit(0)))
         ).alias("catch_rate_ok"),
     )
+
+
+def bloom_corpus_dedup_audit(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row audit of INCREMENTAL content dedup against a standing
+    corpus — the daily-ingest shape at 100 TB: the new batch must be
+    deduplicated against an arbitrarily large corpus WITHOUT joining the
+    batch to it row-by-row. A bloom over the corpus's content hashes
+    routes each batch doc:
+
+    - definitely-new (no bit match): skips the verify join entirely —
+      EXACT by the no-false-negative law; at a real fp rate (~0.2% at 20
+      bits/key) this is almost the whole non-duplicate batch;
+    - candidate (all bits match): verified by ONE equi-join of the
+      candidate SUBSET against the corpus hash column — the corpus is
+      scanned (hash column only), never shuffled against the batch, and
+      the candidate side is |true dups| + fp-rate·|batch|.
+
+    Emits exact counts plus contract booleans (the bloom_prefilter_audit
+    discipline — bit positions are engine-specific, so the oracle pins
+    exact counts and expects the booleans true):
+
+    - ``n_batch`` / ``n_dup_exact`` — oracle recomputes both;
+    - ``prefilter_subset_ok`` — no definitely-new doc is a true dup
+      (a false negative would silently re-ingest nothing — it would
+      DUPLICATE corpus content);
+    - ``verify_exact_ok`` — candidates verified by the equi-join
+      reproduce the exact duplicate set.
+    """
+    key_batch = F.md5(F.col(text_col).cast("binary"))
+    n_corpus = corpus.count()
+    m = sized_bits(n_corpus)
+    packed = build_bloom(
+        corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__h")), "__h", m
+    )
+    probed = with_bloom_flag(
+        batch.select(F.col(id_col).alias("__id"), key_batch.alias("__h")),
+        "__h",
+        packed,
+        m,
+        flag_col="definitely_new",
+    )
+    corpus_hashes = (
+        corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__h"))
+        .distinct()
+        .select("__h", F.lit(1).alias("__in_corpus"))
+    )
+    # candidates only enter the verify join; definitely-new rows carry a
+    # NULL verify outcome by construction
+    verified = probed.join(
+        corpus_hashes,
+        (probed["__h"] == corpus_hashes["__h"]) & ~probed["definitely_new"],
+        "left",
+    ).select(probed["__id"], probed["__h"], "definitely_new", "__in_corpus")
+    exact = batch.select(
+        F.col(id_col).alias("__id2"), key_batch.alias("__h2")
+    ).join(
+        corpus_hashes.select(F.col("__h").alias("__h2"), F.lit(1).alias("__dup")),
+        "__h2",
+        "left",
+    ).select("__id2", "__dup")
+    joined = verified.join(exact, verified["__id"] == exact["__id2"], "inner")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("bigint").alias("n_dup_exact"),
+        (
+            F.sum(
+                F.when(F.col("definitely_new") & F.col("__dup").isNotNull(), 1).otherwise(0)
+            )
+            == 0
+        ).alias("prefilter_subset_ok"),
+        (
+            F.sum(
+                F.when(
+                    (F.coalesce(F.col("__in_corpus"), F.lit(0)) == 1)
+                    != F.col("__dup").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("verify_exact_ok"),
+    )

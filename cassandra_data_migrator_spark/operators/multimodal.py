@@ -1047,6 +1047,96 @@ def ppm_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, PPM_STATS_SCHEMA)
 
 
+PPM_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+        StructField("n_bits", IntegerType()),
+    ]
+)
+
+
+def ppm_dhash(df: DataFrame) -> DataFrame:
+    """Arrow-batched PERCEPTUAL hash (difference hash) over decoded PPM
+    pixels — the image near-dup primitive (dHash: Kravetz's gradient hash;
+    resized-crop/re-encode copies of an image keep their horizontal
+    gradient signs, so equal hashes bucket perceptual duplicates the way
+    MinHash bands bucket shingled text). Per pixel: integer grayscale
+    (r+g+b)//3; per row: one bit per adjacent-column pair, set when
+    gray[c] > gray[c+1]; bits pack row-major into one BIGINT (fixture
+    images are W=4 so a row yields 3 bits and hashes stay well under 63
+    bits — a production W follows the classic 9x8 crop). Integer-only in
+    the kernel (bit-reproducible); the P6 parser is inlined byte-identical
+    to decode_ppm (repo kernel convention: workers can't import the
+    package)."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if not payload or not payload.startswith(b"P6"):
+                raise ValueError("not a binary PPM (P6 magic missing)")
+            i, n = 2, len(payload)
+            fields = []
+            while len(fields) < 3:
+                while i < n and payload[i : i + 1].isspace():
+                    i += 1
+                if i < n and payload[i : i + 1] == b"#":
+                    while i < n and payload[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                if j == i or not payload[i:j].isdigit():
+                    raise ValueError("malformed PPM header field")
+                fields.append(int(payload[i:j]))
+                i = j
+            if i >= n or not payload[i : i + 1].isspace():
+                raise ValueError("malformed PPM header (no separator before pixels)")
+            i += 1
+            width, height, maxval = fields
+            if width < 1 or height < 1:
+                raise ValueError(f"invalid PPM dimensions {width}x{height}")
+            if not 0 < maxval <= 255:
+                raise ValueError(f"unsupported PPM maxval {maxval}")
+            pixels = payload[i:]
+            if len(pixels) != width * height * 3:
+                raise ValueError(
+                    f"PPM pixel section is {len(pixels)} bytes, "
+                    f"expected {width * height * 3}"
+                )
+            return width, height, maxval, pixels
+
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "width", "height", "dhash", "n_bits")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, px = parse(bytes(payload))
+                if h * (w - 1) > 62:
+                    raise ValueError(
+                        f"dhash needs h*(w-1) <= 62 bits, got {h * (w - 1)}"
+                    )
+                digest, bit = 0, 0
+                for r in range(h):
+                    row = r * w * 3
+                    for c in range(w - 1):
+                        g1 = (px[row + c * 3] + px[row + c * 3 + 1] + px[row + c * 3 + 2]) // 3
+                        g2 = (px[row + c * 3 + 3] + px[row + c * 3 + 4] + px[row + c * 3 + 5]) // 3
+                        if g1 > g2:
+                            digest |= 1 << bit
+                        bit += 1
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append(digest)
+                out["n_bits"].append(bit)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, PPM_DHASH_SCHEMA)
+
+
 PNG_PAYLOAD_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

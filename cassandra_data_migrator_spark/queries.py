@@ -5740,6 +5740,178 @@ def q_kn_perplexity(spark, sf_dir):
     )
 
 
+BLOOM_DEDUP_BATCH_MOD = 10  # doc_id % 10 == 0 docs form the "new batch"
+BLOOM_DEDUP_CLONE_MOD = 7  # corpus docs with doc_id % 7 == 0 re-arrive as dups
+BLOOM_DEDUP_CLONE_SHIFT = 10_000_000
+
+
+def q_bloom_corpus_dedup(spark, sf_dir):
+    """Incremental content dedup of a NEW BATCH against a standing corpus
+    (operators/bloom.bloom_corpus_dedup_audit) — the daily-ingest shape:
+    the batch must dedup against an arbitrarily large corpus WITHOUT a
+    batch-vs-corpus row join. Bloom over corpus content hashes routes
+    each batch doc to definitely-new (exact by the no-false-negative law,
+    no join at all) or candidate (one equi-join of the candidate SLIVER
+    against the corpus hash column). Fixture: batch = the mod-10 docs
+    (genuinely new content) + planted re-arrivals of mod-7 corpus docs
+    under shifted ids; the oracle recomputes the exact counts and expects
+    the two contract booleans true (bloom bits are engine-specific — the
+    bloom_prefilter_audit discipline)."""
+    from cassandra_data_migrator_spark.operators import bloom
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % BLOOM_DEDUP_BATCH_MOD != 0)
+    clones = corpus.filter(F.col("doc_id") % BLOOM_DEDUP_CLONE_MOD == 0).select(
+        (F.col("doc_id") + BLOOM_DEDUP_CLONE_SHIFT).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % BLOOM_DEDUP_BATCH_MOD == 0).unionByName(
+        clones
+    )
+    return bloom.bloom_corpus_dedup_audit(corpus, batch)
+
+
+CHURN_EDIT_MOD = 3  # recrawl fixture: mod-3 docs lose their first line
+
+
+def q_doc_edit_churn(spark, sf_dir):
+    """Recrawl/document-version churn profile: per doc, line-set overlap
+    between two snapshots (A = the fixture text; B = a planted edit —
+    mod-3 docs lose their first LINE_TOKENS-token line; dropping a whole
+    line keeps every later boundary aligned, so the expected churn is
+    exactly one removed line and nothing added).
+    Lines derive exactly as line_dedup's fixed-width segments; the
+    metrics (distinct-line counts, added/removed, Jaccard) are per-row
+    higher-order array ops — in a real recrawl the two sides arrive via
+    the PK equi-join validate_diff already plans, and the per-doc metric
+    computation here rides that join's output row: scan-shaped at any
+    corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    arr = d.select("doc_id", tokens("text").alias("ts"))
+    ts = F.col("ts")
+    ts_b = F.when(
+        F.col("doc_id") % CHURN_EDIT_MOD == 0,
+        F.slice(ts, LINE_TOKENS + 1, F.greatest(F.size(ts) - LINE_TOKENS, F.lit(0))),
+    ).otherwise(ts)
+    both = arr.select("doc_id", ts.alias("ta"), ts_b.alias("tb"))
+
+    def lines(col):
+        return F.when(F.size(col) < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(col), F.lit(LINE_TOKENS)),
+                lambda p: F.array_join(F.slice(col, p, LINE_TOKENS), " "),
+            )
+        )
+
+    la = F.array_distinct(lines(F.col("ta")))
+    lb = F.array_distinct(lines(F.col("tb")))
+    out = both.select(
+        "doc_id",
+        F.size(la).cast("bigint").alias("n_lines_a"),
+        F.size(lb).cast("bigint").alias("n_lines_b"),
+        F.size(F.array_except(lb, la)).cast("bigint").alias("n_added"),
+        F.size(F.array_except(la, lb)).cast("bigint").alias("n_removed"),
+        F.size(F.array_intersect(la, lb)).cast("bigint").alias("__common"),
+        F.size(F.array_union(la, lb)).cast("bigint").alias("__union"),
+    )
+    return out.select(
+        "doc_id",
+        "n_lines_a",
+        "n_lines_b",
+        "n_added",
+        "n_removed",
+        F.round(F.col("__common") / F.col("__union"), 4).alias("line_jaccard"),
+        (F.col("__common") < F.col("__union")).alias("churned"),
+    )
+
+
+KSAMPLE_K = 20  # exact per-group sample size
+KSAMPLE_SEED = "ks0:"  # seeded hash order — re-keyable per epoch/run
+
+
+def q_group_ksample(spark, sf_dir):
+    """Deterministic EXACT-k uniform sample per group (the eval-set /
+    inspection-set builder: stratified_sample keeps a RATE, this keeps a
+    COUNT): order each language's docs by a seeded content-independent
+    md5 and keep the first k. Hash order makes the sample uniform,
+    deterministic, and re-keyable (new seed = fresh sample); the window
+    is PARTITIONED by group — per-reducer state is one group, never the
+    corpus. A group smaller than k returns whole (exact-k where
+    possible)."""
+    d = _t(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.concat(F.lit(KSAMPLE_SEED), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", "lang", skey.alias("skey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KSAMPLE_K)
+        .select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+DHASH_TWIN_MOD = 5  # mod-5 docs re-arrive brightness-shifted (+1 per channel)
+DHASH_TWIN_SHIFT = 10_000_000
+
+
+def q_dhash_near_dup(spark, sf_dir):
+    """PERCEPTUAL image near-dup via difference hash (the image-side
+    MinHash: re-encoded/brightness-shifted copies of an image keep their
+    gradient signs, so equal dHashes bucket perceptual duplicates).
+    Fixture: the PPM payloads of multimodal_decode, plus a planted
+    brightness-shifted TWIN (+1 per channel byte — every payload byte
+    differs, exact/byte dedup finds nothing) for mod-5 docs; grayscale
+    (r+g+b)//3 shifts by exactly +1 per pixel, so every gradient
+    comparison — and the hash — is PROVABLY invariant, and the twin lands
+    in its base image's bucket. The Arrow kernel
+    (operators/multimodal.ppm_dhash) decodes and hashes; keep-first +
+    group size ride one (height, dhash) window shuffle (the url_dedup
+    shape). The oracle recomputes every gradient bit from the original
+    text bytes via ord(substr(...)) arithmetic — twins included, using
+    the invariance identity ((a+1)+(b+1)+(c+1))//3 == (a+b+c)//3 + 1."""
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_dhash
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = PPM_W * 3
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__h"),
+    ).filter(F.col("__h") >= 1)
+    shifted = F.array_join(
+        F.transform(
+            F.split(F.col("__s"), ""),
+            lambda c: F.char(F.ascii(c) + 1),
+        ),
+        "",
+    )
+    twins = base.filter(F.col("media_id") % DHASH_TWIN_MOD == 0).select(
+        (F.col("media_id") + DHASH_TWIN_SHIFT).alias("media_id"),
+        shifted.alias("__s"),
+        "__h",
+    )
+    media = base.unionByName(twins)
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+        F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
+    ).cast("binary")
+    hashed = ppm_dhash(media.select("media_id", payload.alias("payload")))
+    w = Window.partitionBy("height", "dhash")
+    return hashed.select(
+        "media_id",
+        "height",
+        "dhash",
+        "n_bits",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_dups"),
+        (F.col("media_id") == F.min("media_id").over(w)).alias("is_rep"),
+    )
+
+
 # Morton/bucket math lives with the other layout levers (compaction, hive
 # partitioning, zorder_binned/write_zordered) in sources/layout.py; the
 # audit key and its DuckDB oracle below use the SAME formula string so
@@ -5894,6 +6066,10 @@ def queries() -> dict[str, QueryFn]:
         "nb_classifier_eval": q_nb_classifier_eval,
         "quality_ensemble": q_quality_ensemble,
         "kn_perplexity": q_kn_perplexity,
+        "bloom_corpus_dedup": q_bloom_corpus_dedup,
+        "doc_edit_churn": q_doc_edit_churn,
+        "group_ksample": q_group_ksample,
+        "dhash_near_dup": q_dhash_near_dup,
         "url_dedup": q_url_dedup,
         "ccnet_bucket_mix": q_ccnet_bucket_mix,
         "backfill_overwrite": q_backfill_overwrite,
@@ -7695,6 +7871,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN st.status <> 'passed' THEN COALESCE(o.cnt, 0)
                         ELSE 0 END AS BIGINT) AS resume_rows
             FROM st LEFT JOIN o USING (slice_id)
+        """,
+        "bloom_corpus_dedup": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % {BLOOM_DEDUP_BATCH_MOD} <> 0),
+            batch AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % {BLOOM_DEDUP_BATCH_MOD} = 0
+                      UNION ALL
+                      SELECT doc_id + {BLOOM_DEDUP_CLONE_SHIFT}, text
+                      FROM corpus WHERE doc_id % {BLOOM_DEDUP_CLONE_MOD} = 0)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+                   CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM corpus c
+                                              WHERE c.text = b.text)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact,
+                   TRUE AS prefilter_subset_ok,
+                   TRUE AS verify_exact_ok
+            FROM batch b
+        """,
+        "doc_edit_churn": f"""
+            WITH t AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            b AS (SELECT doc_id, ts AS ta,
+                         CASE WHEN doc_id % {CHURN_EDIT_MOD} = 0
+                              THEN ts[{LINE_TOKENS + 1}:len(ts)]
+                              ELSE ts END AS tb
+                  FROM t),
+            l AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, len(ta) + 1, {LINE_TOKENS}),
+                             p -> array_to_string(
+                                 ta[p:p+{LINE_TOKENS}-1], ' '))) AS la,
+                         list_distinct(list_transform(
+                             range(1, len(tb) + 1, {LINE_TOKENS}),
+                             p -> array_to_string(
+                                 tb[p:p+{LINE_TOKENS}-1], ' '))) AS lb
+                  FROM b)
+            SELECT doc_id,
+                   CAST(len(la) AS BIGINT) AS n_lines_a,
+                   CAST(len(lb) AS BIGINT) AS n_lines_b,
+                   CAST(len(list_filter(lb, x -> NOT list_contains(la, x)))
+                        AS BIGINT) AS n_added,
+                   CAST(len(list_filter(la, x -> NOT list_contains(lb, x)))
+                        AS BIGINT) AS n_removed,
+                   ROUND(len(list_intersect(la, lb))
+                         / len(list_distinct(list_concat(la, lb))), 4)
+                       AS line_jaccard,
+                   (len(list_intersect(la, lb))
+                    < len(list_distinct(list_concat(la, lb)))) AS churned
+            FROM l
+        """,
+        "group_ksample": f"""
+            SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('{KSAMPLE_SEED}' || doc_id), doc_id
+                       ) AS rnk
+                FROM documents)
+            WHERE rnk <= {KSAMPLE_K}
+        """,
+        "dhash_near_dup": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({PPM_MAX_H},
+                                 CAST(LENGTH(s) // {PPM_W * 3} AS INT)) AS h
+                    FROM san),
+            ok AS (SELECT doc_id, s, h FROM dim WHERE h >= 1),
+            media AS (SELECT doc_id AS media_id, s, h FROM ok
+                      UNION ALL
+                      -- brightness-shifted twin: every gray is exactly +1
+                      -- ((a+1)+(b+1)+(c+1))//3 == (a+b+c)//3 + 1, so every
+                      -- gradient bit — and the hash — equals the base's;
+                      -- the oracle therefore hashes the ORIGINAL bytes
+                      SELECT doc_id + {DHASH_TWIN_SHIFT}, s, h FROM ok
+                      WHERE doc_id % {DHASH_TWIN_MOD} = 0),
+            g AS (SELECT media_id, h, s,
+                         unnest(range(0, h * {PPM_W - 1})) AS b
+                  FROM media),
+            px AS (SELECT media_id, h, b,
+                          (ord(substr(s, CAST((b // 3) * {PPM_W * 3}
+                               + (b % 3) * 3 + 1 AS INT), 1))
+                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
+                               + (b % 3) * 3 + 2 AS INT), 1))
+                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
+                               + (b % 3) * 3 + 3 AS INT), 1))) // 3 AS g1,
+                          (ord(substr(s, CAST((b // 3) * {PPM_W * 3}
+                               + (b % 3) * 3 + 4 AS INT), 1))
+                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
+                               + (b % 3) * 3 + 5 AS INT), 1))
+                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
+                               + (b % 3) * 3 + 6 AS INT), 1))) // 3 AS g2
+                   FROM g),
+            hsh AS (SELECT media_id, h,
+                           CAST(SUM(CASE WHEN g1 > g2
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS dhash
+                    FROM px GROUP BY media_id, h)
+            SELECT media_id, CAST(h AS INT) AS height, dhash,
+                   CAST(h * {PPM_W - 1} AS INT) AS n_bits,
+                   CAST(COUNT(*) OVER (PARTITION BY h, dhash) AS BIGINT)
+                       AS n_dups,
+                   media_id = MIN(media_id) OVER (PARTITION BY h, dhash)
+                       AS is_rep
+            FROM hsh
         """,
         "domain_stats": f"""
             WITH a AS (SELECT 'site' || (doc_id % {DOMAIN_SITES})

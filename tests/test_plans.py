@@ -388,6 +388,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_resize",  # real box-filter downsample kernel (multimodal.ppm_resize_stats)
     "multimodal_png",  # real PNG deflate+inflate kernels (multimodal.png_encode_rgb/png_stats)
     "multimodal_jpeg",  # real baseline-JPEG encode+decode kernels (multimodal.jpeg_encode_gray/jpeg_stats)
+    "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
 }
 
 
@@ -446,6 +447,7 @@ BNLJ_KEYS = {
     "nb_classifier_eval": "total",  # 1-row trained log-prior broadcast
     "quality_ensemble": "total",  # 1-row decimal-exact moments broadcast
     "kn_perplexity": "total",  # 1-row bigram-type-count broadcast
+    "bloom_corpus_dedup": "total",  # 1-row broadcast bloom word array
 }
 
 

@@ -194,3 +194,89 @@ def test_domain_stats_matches_brute_force(spark, sf_dir):
         dup_r = round(1 - len(hs) / n, 4)
         assert abs(r.dup_r - dup_r) < 1e-9
         assert r.keep == (n >= q.DOMAIN_MIN_DOCS and dup_r <= q.DOMAIN_MAX_DUP_R)
+
+
+def test_ppm_dhash_kernel_hand_example_and_brightness_invariance(spark):
+    """Pin the difference-hash kernel on a hand-computed image, and pin
+    the perceptual property the fixture exploits: a +1 brightness shift
+    changes every payload byte but not one hash bit."""
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_dhash
+
+    # 4x1 image, pixels gray-equivalent to [10, 9, 9, 20]:
+    # bits: g0>g1 -> 1, g1>g2 -> 0, g2>g3 -> 0  => dhash = 0b001 = 1
+    px = bytes([10, 10, 10, 9, 9, 9, 9, 9, 9, 20, 20, 20])
+    shifted = bytes(b + 1 for b in px)
+    rows = [
+        (1, b"P6\n4 1\n255\n" + px),
+        (2, b"P6\n4 1\n255\n" + shifted),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r.media_id: (r.dhash, r.n_bits, r.width, r.height)
+           for r in ppm_dhash(df).collect()}
+    assert got[1] == (1, 3, 4, 1)
+    assert got[2] == (1, 3, 4, 1)  # brightness-invariant
+
+
+def test_ppm_dhash_rejects_oversized_hash(spark):
+    """h*(w-1) > 62 bits cannot pack into the BIGINT — must refuse, not
+    silently truncate."""
+    import pytest as _pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_dhash
+
+    w, h = 8, 9  # 8*9 rows -> h*(w-1) = 63 bits
+    px = bytes(range(w * h * 3 % 256)) * ((w * h * 3) // 256 + 1)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px[: w * h * 3]
+    df = spark.createDataFrame([(1, payload)], "media_id LONG, payload BINARY")
+    with _pytest.raises(Exception, match="62 bits"):
+        ppm_dhash(df).collect()
+
+
+def test_bloom_corpus_dedup_audit_tiny(spark):
+    from cassandra_data_migrator_spark.operators.bloom import (
+        bloom_corpus_dedup_audit,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "brand new"), (12, "also new")],
+        "doc_id LONG, text STRING",
+    )
+    row = bloom_corpus_dedup_audit(corpus, batch).collect()[0]
+    assert row.n_batch == 3
+    assert row.n_dup_exact == 1
+    assert row.prefilter_subset_ok
+    assert row.verify_exact_ok
+
+
+def test_group_ksample_exact_k_and_small_groups(spark, sf_dir):
+    rows = q.queries()["group_ksample"](spark, sf_dir).collect()
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r.lang].append(r.rnk)
+    docs = _docs(spark, sf_dir)
+    sizes = Counter(lang for _, lang, _ in docs.values())
+    for lang, rnks in per_lang.items():
+        want = min(q.KSAMPLE_K, sizes[lang])
+        assert sorted(rnks) == list(range(1, want + 1)), lang
+    # deterministic: same seed, same sample
+    again = {(r.doc_id, r.rnk) for r in q.queries()["group_ksample"](spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.rnk) for r in rows}
+
+
+def test_doc_edit_churn_planted_semantics(spark, sf_dir):
+    """Dropping the first whole line keeps later boundaries aligned:
+    edited docs lose exactly the lines unique to their head segment and
+    ADD nothing; unedited docs read jaccard 1.0."""
+    rows = q.queries()["doc_edit_churn"](spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id % q.CHURN_EDIT_MOD != 0:
+            assert r.line_jaccard == 1.0 and not r.churned, r
+            assert r.n_added == 0 and r.n_removed == 0
+        else:
+            assert r.n_added == 0, r  # boundary alignment: nothing new
+            # the first line disappears unless it repeats later in the doc
+            assert r.n_lines_b <= r.n_lines_a
