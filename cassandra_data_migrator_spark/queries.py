@@ -4600,6 +4600,199 @@ def q_sql_frontend_q22(spark, sf_dir):
     return spark.sql(TPCH_Q22_SQL)
 
 
+TPCH_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice, l_discount
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+              OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_frontend_q7(spark, sf_dir):
+    """TPC-H Q7 shape as SQL text (volume shipping): the SAME dimension
+    table joined TWICE under aliases (nation as supplier-side n1 AND
+    customer-side n2) with a symmetric two-way disjunction across the
+    aliases — the alias-resolution + disjunctive-cross-alias-filter shape
+    the q1-q22 family lacked. Fixture adaptation: the classic
+    FRANCE/GERMANY pair is empty at sf0.001, so the symmetric pair
+    predicate keys on nation-key parity (odd↔even) — same cross-alias
+    disjunction, non-empty at every scale. EXTRACT(YEAR ...) is cast to
+    BIGINT in the text (Spark yields INT, DuckDB BIGINT). IDENTICAL text
+    runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
+    )
+    return spark.sql(TPCH_Q7_SQL)
+
+
+TPCH_Q9_SQL = """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice, l_discount
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year
+"""
+
+
+def q_sql_frontend_q9(spark, sf_dir):
+    """TPC-H Q9 shape as SQL text (product-type profit): a five-table join
+    driven by an infix LIKE on the part name (no leading anchor — the
+    predicate cannot push into a prefix index, only into the scan), rolled
+    up by nation and order year. Fixture adaptation: no partsupp table
+    exists, so profit = revenue (the join/LIKE/rollup structure is the
+    contract, not the cost subtraction). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(
+        spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"]
+    )
+    return spark.sql(TPCH_Q9_SQL)
+
+
+TPCH_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           OR o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                          AND o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+
+def q_sql_frontend_q12(spark, sf_dir):
+    """TPC-H Q12 shape as SQL text (shipping-mode priority split): the
+    conditional-aggregation pattern — two complementary CASE sums in one
+    grouped pass over a join, with the range filter pushed to the probe
+    side. Fixture adaptation: l_shipmode/commit/receipt dates don't exist,
+    so the split keys on o_orderpriority and groups by l_returnflag (the
+    CASE-pair structure is the contract). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(TPCH_Q12_SQL)
+
+
+TPCH_Q14_SQL = """
+    SELECT CAST(ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE),
+                      4) AS DOUBLE) + 0.0 AS promo_revenue_pct
+    FROM (SELECT SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4))) AS total
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') t
+"""
+
+
+def q_sql_frontend_q14(spark, sf_dir):
+    """TPC-H Q14 shape as SQL text (promo revenue share): the
+    ratio-of-conditional-aggregates pattern — both sums ride ONE grouped
+    pass (DECIMAL-exact), the ratio computed double-from-exact in an
+    outer select (decimal/decimal division scales differ across engines,
+    so the text casts to DOUBLE first — the quality_ensemble discipline).
+    IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(TPCH_Q14_SQL)
+
+
+TPCH_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey
+"""
+
+
+def q_sql_frontend_q18(spark, sf_dir):
+    """TPC-H Q18 shape as SQL text (large-volume customers): IN over a
+    grouped-HAVING subquery on the SAME table the outer query re-joins —
+    Catalyst plans the aggregate once and semi-joins the order keys, a
+    different rewrite from q4's correlated EXISTS. The HAVING threshold
+    compares exactly: quantities are integral doubles, so partial sums
+    are exact in any order. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(TPCH_Q18_SQL)
+
+
+TPCH_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 5 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 10 AND l_quantity <= 50)
+"""
+
+
+def q_sql_frontend_q19(spark, sf_dir):
+    """TPC-H Q19 shape as SQL text (discounted revenue): the disjunction
+    of conjunctive brand/size/quantity bands — the OR-of-ANDs predicate
+    that mixes build-side (part) and probe-side (lineitem) columns, so
+    the optimizer can push only the per-side residuals below the join and
+    must keep the cross-side disjunction on top. IDENTICAL text runs on
+    DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(TPCH_Q19_SQL)
+
+
 TPCH_Q2_SQL = """
     SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
            l_extendedprice AS min_supplycost
@@ -6070,6 +6263,12 @@ def queries() -> dict[str, QueryFn]:
         "doc_edit_churn": q_doc_edit_churn,
         "group_ksample": q_group_ksample,
         "dhash_near_dup": q_dhash_near_dup,
+        "sql_frontend_q7": q_sql_frontend_q7,
+        "sql_frontend_q9": q_sql_frontend_q9,
+        "sql_frontend_q12": q_sql_frontend_q12,
+        "sql_frontend_q14": q_sql_frontend_q14,
+        "sql_frontend_q18": q_sql_frontend_q18,
+        "sql_frontend_q19": q_sql_frontend_q19,
         "url_dedup": q_url_dedup,
         "ccnet_bucket_mix": q_ccnet_bucket_mix,
         "backfill_overwrite": q_backfill_overwrite,
@@ -6807,6 +7006,12 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q17": TPCH_Q17_SQL,
         "sql_frontend_q20": TPCH_Q20_SQL,
         "sql_frontend_q21": TPCH_Q21_SQL,
+        "sql_frontend_q7": TPCH_Q7_SQL,
+        "sql_frontend_q9": TPCH_Q9_SQL,
+        "sql_frontend_q12": TPCH_Q12_SQL,
+        "sql_frontend_q14": TPCH_Q14_SQL,
+        "sql_frontend_q18": TPCH_Q18_SQL,
+        "sql_frontend_q19": TPCH_Q19_SQL,
         "sql_frontend_q4": TPCH_Q4_SQL,
         "sql_frontend_q13": TPCH_Q13_SQL,
         "sql_frontend_q22": TPCH_Q22_SQL,
