@@ -68,3 +68,21 @@ def streaming_interval_join(
         l.join(r, cond, "inner")
         .drop("__l_evt", "__r_evt", *[f"__rk_{k}" for k in key_cols])
     )
+
+
+def streaming_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static ENRICHMENT join — the other join a live pipeline runs
+    on every micro-batch: the unbounded fact stream joined to a bounded
+    dimension (user profile, domain reputation, model weights). The static
+    side is re-planned per micro-batch (so a dim refresh is picked up) and
+    broadcast by the optimizer under AQE's size estimate — the stream side
+    NEVER shuffles and carries no join state (unlike stream-stream joins,
+    nothing must be buffered: every stream row can match immediately).
+    Left join: a fact with no dim row survives with NULL attributes — an
+    enrichment join that silently drops unmatched facts corrupts counts.
+    Batch==stream parity pinned by tests/test_streaming_joins.py."""
+    return events.join(F.broadcast(dim), key, "left")

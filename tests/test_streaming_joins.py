@@ -143,3 +143,42 @@ def test_streaming_interval_join_drops_late_right_rows(spark, tmp_path):
     )
     assert (1, 1200 * 1_000_000, 7.0) in batch
     assert sorted(got + [(1, 1200 * 1_000_000, 7.0)]) == batch
+
+
+def test_streaming_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment (r08): every micro-batch joins the fact
+    stream to a bounded dim broadcast-side; the availableNow drain must
+    equal the batch left join row-for-row, including facts with NO dim row
+    (left semantics: unmatched facts survive with NULLs, never drop)."""
+    from cassandra_data_migrator_spark.streaming.joins import (
+        streaming_static_enrich,
+    )
+    from cassandra_data_migrator_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # bounded dim derived from the batch side: per-user event count and
+    # value sum — with a planted GAP (odd user ids missing) so the left
+    # semantics are actually exercised
+    dim = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("u_events"),
+            F.sum("value").alias("u_value"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    enriched = streaming_static_enrich(stream, dim)
+    out = str(tmp_path / "out_se")
+    run_available_now(enriched, out, str(tmp_path / "ckpt_se"))
+    got = spark.read.parquet(out)
+
+    batch = ev.select("event_id", "user_id", "value").join(dim, "user_id", "left")
+    g = {(r.event_id, r.u_events) for r in got.collect()}
+    b = {(r.event_id, r.u_events) for r in batch.collect()}
+    assert g == b
+    assert any(ue is None for _, ue in g), "planted dim gap must surface as NULLs"
