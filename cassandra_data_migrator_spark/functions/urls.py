@@ -50,9 +50,12 @@ def canonicalize_url(url: Column) -> Column:
     # begins at 'user' (distinct credentials collapsing unrelated pages
     # into one canonical group, which a keep-reps consumer then drops).
     has_userinfo = raw_authority.contains("@")
+    # (?s): '.' must match \n/\r too — without it a control character in
+    # the userinfo makes the extract come back EMPTY and distinct
+    # credentials collapse to a bare '@' prefix (review r08)
     userinfo_prefix = F.when(
         has_userinfo,
-        F.concat(F.regexp_extract(raw_authority, r"^(.*)@", 1), F.lit("@")),
+        F.concat(F.regexp_extract(raw_authority, r"(?s)^(.*)@", 1), F.lit("@")),
     ).otherwise(F.lit(""))
     authority = F.lower(F.substring_index(raw_authority, "@", -1))
     # IPv6 literals carry colons INSIDE the bracketed host ('[::1]:8080') —

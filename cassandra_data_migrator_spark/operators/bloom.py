@@ -226,6 +226,7 @@ def bloom_corpus_dedup_audit(
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """One-row audit of INCREMENTAL content dedup against a standing
     corpus — the daily-ingest shape at 100 TB: the new batch must be
@@ -251,13 +252,20 @@ def bloom_corpus_dedup_audit(
       DUPLICATE corpus content);
     - ``verify_exact_ok`` — candidates verified by the equi-join
       reproduce the exact duplicate set.
+
+    An EMPTY batch trivially satisfies both contracts (the booleans
+    coalesce to true over zero rows, never NULL). Pass ``n_corpus`` when
+    the standing corpus's size is already known (a real pipeline tracks
+    it) to skip the sizing count — the audit then scans the corpus twice
+    (bloom build + verify side), not three times; the one hash projection
+    feeds both.
     """
     key_batch = F.md5(F.col(text_col).cast("binary"))
-    n_corpus = corpus.count()
+    corpus_h = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__h"))
+    if n_corpus is None:
+        n_corpus = corpus.count()
     m = sized_bits(n_corpus)
-    packed = build_bloom(
-        corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__h")), "__h", m
-    )
+    packed = build_bloom(corpus_h, "__h", m)
     probed = with_bloom_flag(
         batch.select(F.col(id_col).alias("__id"), key_batch.alias("__h")),
         "__h",
@@ -265,10 +273,8 @@ def bloom_corpus_dedup_audit(
         m,
         flag_col="definitely_new",
     )
-    corpus_hashes = (
-        corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__h"))
-        .distinct()
-        .select("__h", F.lit(1).alias("__in_corpus"))
+    corpus_hashes = corpus_h.distinct().select(
+        "__h", F.lit(1).alias("__in_corpus")
     )
     # candidates only enter the verify join; definitely-new rows carry a
     # NULL verify outcome by construction
@@ -285,22 +291,34 @@ def bloom_corpus_dedup_audit(
         "left",
     ).select("__id2", "__dup")
     joined = verified.join(exact, verified["__id"] == exact["__id2"], "inner")
+    # SUM over zero rows is NULL — coalesce every aggregate so an empty
+    # batch reports (0, 0, true, true) instead of NULLs (review r08)
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batch"),
-        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("bigint").alias("n_dup_exact"),
+        F.coalesce(F.sum(F.coalesce(F.col("__dup"), F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_exact"),
         (
-            F.sum(
-                F.when(F.col("definitely_new") & F.col("__dup").isNotNull(), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("definitely_new") & F.col("__dup").isNotNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             == 0
         ).alias("prefilter_subset_ok"),
         (
-            F.sum(
-                F.when(
-                    (F.coalesce(F.col("__in_corpus"), F.lit(0)) == 1)
-                    != F.col("__dup").isNotNull(),
-                    1,
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.coalesce(F.col("__in_corpus"), F.lit(0)) == 1)
+                        != F.col("__dup").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             == 0
         ).alias("verify_exact_ok"),

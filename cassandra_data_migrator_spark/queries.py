@@ -394,7 +394,6 @@ def q_migrate_rowcount(spark, sf_dir):
     """End-to-end migrate: read → feature pipeline → parquet sink → re-read →
     count (SURVEY.md §2 #3; the e2e smoke of the migrate job)."""
     import os
-    import tempfile
 
     o = _t(spark, sf_dir, "orders")
     piped = transforms.where_filter(
@@ -1052,7 +1051,6 @@ def q_partitioned_sink_prune(spark, sf_dir):
     in the plan, pinned by tests/test_plans.py) — at 100 TB this is the
     difference between scanning 1/5th of the lake and all of it."""
     import os
-    import tempfile
 
     e = _t(spark, sf_dir, "events")
     out = _scratch_dir(
@@ -2648,7 +2646,6 @@ def q_schema_evolution(spark, sf_dir):
     merge didn't smear values across generations. At scale this is the
     standard additive-column migration — no table rewrite."""
     import os
-    import tempfile
 
     o = _t(spark, sf_dir, "orders")
     base = _scratch_dir(
@@ -2705,7 +2702,6 @@ def q_migrate_incremental(spark, sf_dir):
     stale versions. At 100 TB the merge is one PK shuffle (lakehouse formats
     make the rewrite a metadata swap; the merge plan is format-agnostic)."""
     import os
-    import tempfile
 
     from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
 
@@ -2746,7 +2742,6 @@ def q_migrate_writetime_roundtrip(spark, sf_dir):
     Scale: the merge is ONE PK shuffle (row_number over pk ordered by
     writetime); the rewrite is the standard compact-and-swap."""
     import os
-    import tempfile
 
     from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
 
@@ -5054,7 +5049,6 @@ def q_jsonl_quarantine(spark, sf_dir):
     leaked into the good path. The write is executor-side text output —
     the same side-effect e2e shape as migrate_rowcount."""
     import os
-    import tempfile
 
     from cassandra_data_migrator_spark.sources import jsonl
 
@@ -5303,7 +5297,6 @@ def q_backfill_overwrite(spark, sf_dir):
     them). The oracle recomputes the expected post-backfill table
     analytically from the raw events."""
     import os
-    import tempfile
 
     from cassandra_data_migrator_spark.sources import layout
 
@@ -5333,7 +5326,6 @@ def q_file_compaction(spark, sf_dir):
     input_file_name) and that compaction preserved every row (count +
     event_id sum survive the rewrite)."""
     import os
-    import tempfile
 
     from cassandra_data_migrator_spark.sources import layout
 
@@ -5643,14 +5635,17 @@ def q_nb_classifier_eval(spark, sf_dir):
     """Train-and-evaluate a fastText-style hashed linear classifier as one
     declarative plan — the model-based filtering step (CCNet's fastText
     lang-id / DataComp's quality classifier) expressed Spark-first.
-    Features = word unigrams hashed into 256 md5-prefix buckets; model =
-    per-bucket Naive-Bayes log-odds with add-1 smoothing trained ONLY on
-    the md5 train split (hash_split's cut points), plus a doc-count
-    log-prior; inference = broadcast-join the 256-row weight table onto
-    held-out docs' bucket counts, score = prior + sum n_occ*logodds
-    (6dp-DECIMAL weights make per-doc sums exact and order-free), predict
-    = score > 0. Output: the held-out confusion matrix — the artifact a
-    filtering pipeline actually gates on.
+    Features = word unigrams hashed into CLF_BUCKETS (4096) md5-prefix
+    buckets; model = per-bucket Naive-Bayes log-odds with add-k
+    (CLF_SMOOTH_K = 0.1) smoothing trained ONLY on the md5 train split
+    (hash_split's cut points), plus a doc-count log-prior; inference =
+    broadcast-join the 4096-row weight table onto held-out docs' bucket
+    counts, score = prior + sum n_occ*logodds (6dp-DECIMAL weights make
+    per-doc sums exact and order-free), predict = score > 0. Output: the
+    held-out confusion matrix — the artifact a filtering pipeline
+    actually gates on. (Why not 256 buckets / add-1: see the constants'
+    comments — measured marker-vocab collisions and a systematic
+    shared-token penalty.)
 
     The label is a PLANTED signal (doc_id % 4 positives carry one of five
     appended marker tokens — the url_dedup discipline of constructing the
@@ -5662,7 +5657,7 @@ def q_nb_classifier_eval(spark, sf_dir):
     ~0 log-odds (class-frequency normalization), the five marker buckets
     learn strongly positive weights, and held-out accuracy ~1.0 falls out
     ONLY if split isolation, smoothing, and the broadcast scoring join are
-    all right. The weight table is enumerated over ALL 256 buckets
+    all right. The weight table is enumerated over ALL CLF_BUCKETS buckets
     (left-join + zero fill) so an eval-only bucket scores identically in
     both engines."""
     d = _t(spark, sf_dir, "documents")

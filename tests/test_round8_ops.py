@@ -280,3 +280,41 @@ def test_doc_edit_churn_planted_semantics(spark, sf_dir):
             assert r.n_added == 0, r  # boundary alignment: nothing new
             # the first line disappears unless it repeats later in the doc
             assert r.n_lines_b <= r.n_lines_a
+
+
+def test_bloom_corpus_dedup_audit_empty_batch(spark):
+    """An empty ingest day must report (0, 0, true, true) — SUM over zero
+    rows is NULL without the coalesce guards (review r08)."""
+    from cassandra_data_migrator_spark.operators.bloom import (
+        bloom_corpus_dedup_audit,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id LONG, text STRING"
+    )
+    batch = corpus.filter("doc_id < 0")
+    row = bloom_corpus_dedup_audit(corpus, batch).collect()[0]
+    assert (row.n_batch, row.n_dup_exact) == (0, 0)
+    assert row.prefilter_subset_ok is True
+    assert row.verify_exact_ok is True
+
+
+def test_bloom_corpus_dedup_audit_known_corpus_size(spark):
+    """Passing n_corpus must skip the sizing count and produce identical
+    results (the two-scan path a real pipeline with a tracked corpus size
+    uses)."""
+    from cassandra_data_migrator_spark.operators.bloom import (
+        bloom_corpus_dedup_audit,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "brand new")], "doc_id LONG, text STRING"
+    )
+    a = bloom_corpus_dedup_audit(corpus, batch).collect()[0]
+    b = bloom_corpus_dedup_audit(corpus, batch, n_corpus=3).collect()[0]
+    assert a == b
+    assert a.n_dup_exact == 1 and a.prefilter_subset_ok and a.verify_exact_ok

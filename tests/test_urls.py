@@ -149,6 +149,19 @@ def test_canonicalize_userinfo_isolated_from_host(spark):
     assert got[6] == "http://u:p@[::1]:8080/x"
 
 
+def test_canonicalize_userinfo_with_control_chars_stays_distinct(spark):
+    """A newline inside the userinfo (the authority charset [^/?#]* admits
+    it) must not blank the extracted prefix — distinct credentials would
+    collapse to one bare-'@' canonical group (review r08)."""
+    got = _canon(spark, [
+        "http://a\nx@h.com/p",
+        "http://b\ny@h.com/p",
+    ])
+    assert got[0] == "http://a\nx@h.com/p"
+    assert got[1] == "http://b\ny@h.com/p"
+    assert got[0] != got[1]
+
+
 def test_url_dedup_null_url_and_null_id_rows_stay_singletons(spark):
     """Rows missing BOTH url and id must not group together, and is_rep
     must be a real boolean, never NULL (review r07 #1)."""

@@ -105,11 +105,27 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    (old, old_prov), (new, _) = _queries(args.old), _queries(args.new)
+    (old, old_prov), (new, new_prov) = _queries(args.old), _queries(args.new)
     shared = sorted(set(old) & set(new))
     if not shared:
         print("no shared keys between the two sweeps")
         return 2
+    # Sweep-ness per file: recorded "provenance" field (advice r07), with
+    # the >=50-key count heuristic only for legacy files predating it.
+    old_is_sweep = old_prov == "sweep" if old_prov is not None else len(old) >= 50
+    new_is_sweep = new_prov == "sweep" if new_prov is not None else len(new) >= 50
+    # Put BOTH sides on the same (isolated-equivalent) footing BEFORE the
+    # trip decision (review r08: discarding NEW's provenance let an
+    # isolated NEW regression hide under the contended OLD's ~1.27x
+    # inflation and never reach the tripped stage).
+    old_adj = INSWEEP_INFLATION if old_is_sweep and not new_is_sweep else 1.0
+    new_adj = INSWEEP_INFLATION if new_is_sweep and not old_is_sweep else 1.0
+    if old_adj != 1.0 or new_adj != 1.0:
+        print(
+            f"provenance mismatch (old={'sweep' if old_is_sweep else 'isolated'}, "
+            f"new={'sweep' if new_is_sweep else 'isolated'}): the contended "
+            f"side is deflated by {INSWEEP_INFLATION}x before comparison"
+        )
     s_old = sum(old[k] for k in shared)
     s_new = sum(new[k] for k in shared)
     print(
@@ -124,26 +140,18 @@ def main() -> int:
     for k in shared:
         if max(old[k], new[k]) < args.min_sec:
             continue  # sub-noise
-        if new[k] > args.threshold * old[k]:
-            tripped.append((new[k] / old[k], k))
+        if new[k] / new_adj > args.threshold * (old[k] / old_adj):
+            tripped.append((new[k] / new_adj / (old[k] / old_adj), k))
     confirmed = []
     for ratio, k in sorted(tripped, reverse=True):
         if args.isolate:
             iso = _isolated_timing(k, args.sf_dir)
-            # the OLD number comes from a CONTENDED full sweep (~1.27x
+            # the OLD number may come from a CONTENDED full sweep (~1.27x
             # inflated vs isolated, bench.py's own measurement), while iso
             # is uncontended — deflate old accordingly or a true isolated
-            # regression up to threshold*1.27x reads as "noise". Only
-            # applies when OLD really is a full sweep: an isolated
-            # re-measure (BENCH_SUBSET.json) is already uncontended and
-            # deflating it would manufacture regressions. Sweep-ness comes
-            # from the file's recorded "provenance" field (advice r07);
-            # the >=50-key count heuristic survives only as the fallback
-            # for legacy files that predate the field.
-            if old_prov is not None:
-                old_is_sweep = old_prov == "sweep"
-            else:
-                old_is_sweep = len(old) >= 50
+            # regression up to threshold*1.27x reads as "noise"; an
+            # isolated OLD (BENCH_SUBSET.json) is already uncontended and
+            # deflating it would manufacture regressions.
             old_iso_est = old[k] / INSWEEP_INFLATION if old_is_sweep else old[k]
             if iso is None:
                 confirmed.append((ratio, k, new[k]))  # unmeasurable: keep flag
