@@ -5915,16 +5915,148 @@ def q_kn_perplexity(spark, sf_dir):
             F.round(F.log(p), 6).cast("decimal(18,6)").alias("logp6"),
         )
     )
-    avg_logp = F.sum(F.col("n_occ") * F.col("logp6")).cast("double") / F.sum(
-        "n_occ"
-    ).cast("double")
     return (
         dc.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.sum("n_occ").cast("bigint").alias("n_bigrams"),
-            (F.round(-avg_logp, 4) + F.lit(0.0)).alias("kn_nll"),
+            _nll4_exact(
+                -F.sum(F.col("n_occ") * F.col("logp6")), F.sum("n_occ")
+            ).alias("kn_nll"),
         )
+    )
+
+
+KN_OOV_MOD = 9  # mod-9 held-out docs gain two novel tokens (backoff fixture)
+
+
+def _nll4_exact(s6, n):
+    """round(s6/n, 4) as EXACT integer arithmetic — half-up on the exact
+    rational, immune to the double-ROUND half-boundary divergence between
+    Spark (BigDecimal HALF_UP) and DuckDB (round-half-away on binary
+    doubles) that turned one sf0.1 doc red (3.4042 vs 3.4043). ``s6`` is
+    a positive DECIMAL(·,6) sum of 6dp-rounded logprob masses; ``n`` a
+    positive bigint count. a = s6·10⁶ and every intermediate is an exact
+    integer well under 2^53, so the one double division (a−r)/b is exact
+    and both engines compute identical bits; the oracle restates the same
+    arithmetic."""
+    a = (s6 * 1_000_000).cast("bigint")
+    b = n.cast("bigint") * 100
+    r = a % b
+    q4 = ((a - r) / b).cast("bigint") + F.when(2 * r >= b, 1).otherwise(0)
+    return q4.cast("double") / 10_000.0 + F.lit(0.0)
+
+
+def q_kn_holdout_perplexity(spark, sf_dir):
+    """HELD-OUT Kneser-Ney perplexity — the honest LM evaluation
+    kn_perplexity (train == score corpus) never exercises: the model
+    trains ONLY on the md5 train split and scores the held-out docs, so
+    the UNSEEN-event backoff paths actually fire. Three regimes per eval
+    bigram, unified into two expressions:
+
+    - (w1,w2) seen in train: full interpolated KN;
+    - w1 seen, w2 novel after it: same formula with c12=0 — pure
+      discount-mass backoff through the continuation prob;
+    - w1 unseen entirely: the continuation unigram alone.
+
+    The continuation distribution is add-1 smoothed over (bigram types +
+    train vocab + 1) so a completely novel w2 gets nonzero mass (an
+    unsmoothed Pcont of 0 would make log P undefined on real held-out
+    text). Model tables are vocab-bounded; eval counts LEFT-join them
+    (absence IS the signal); the type/vocab totals ride one 1-row
+    broadcast carry. Output also counts backoff occurrences per doc —
+    the OOV-pressure observability a filter threshold needs.
+
+    Fixture note: the synthetic corpus shares one 31-word vocabulary, so
+    the train split observes essentially every bigram and the backoff
+    branches would never fire on raw text; mod-9 HELD-OUT docs therefore
+    gain two novel tokens ' zqa zqb' (absent from every train doc by
+    construction), which deterministically exercises BOTH backoff
+    branches — (last_word, zqa) has a seen w1 with a novel continuation,
+    (zqa, zqb) has an unseen w1 entirely."""
+    d = _t(spark, sf_dir, "documents")
+    split_prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    is_train_x = split_prefix < SPLIT_TRAIN_LT
+    txt = F.when(
+        ~is_train_x & (F.col("doc_id") % KN_OOV_MOD == 0),
+        F.concat(F.col("text"), F.lit(" zqa zqb")),
+    ).otherwise(F.col("text"))
+    arr = d.select(
+        "doc_id",
+        is_train_x.alias("is_train"),
+        tokens(txt).alias("ts"),
+    )
+    ts = F.col("ts")
+    bg = arr.filter(F.size(ts) >= 2).select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.size(ts) - 1),
+                F.slice(ts, 2, F.size(ts) - 1),
+                lambda a, b: F.concat(a, F.lit("\x00"), b),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "is_train",
+        F.substring_index(F.col("p"), "\x00", 1).alias("w1"),
+        F.substring_index(F.col("p"), "\x00", -1).alias("w2"),
+    )
+    c12 = (
+        bg.filter(F.col("is_train"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    bwd = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    totals = c12.agg(F.count(F.lit(1)).cast("bigint").alias("t_types")).crossJoin(
+        arr.filter(F.col("is_train"))
+        .select(F.explode(ts).alias("w"))
+        .agg(F.countDistinct("w").cast("bigint").alias("v_train"))
+    )
+    dc = (
+        bg.filter(~F.col("is_train"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    joined = (
+        dc.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(bwd, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    pc2 = (F.coalesce(F.col("n1b"), F.lit(0)) + 1) / (
+        F.col("t_types") + F.col("v_train") + 1
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - KN_DISCOUNT, F.lit(0.0))
+            + KN_DISCOUNT * F.col("n1f") * pc2
+        )
+        / F.col("c1"),
+    ).otherwise(pc2)
+    scored = joined.select(
+        "doc_id",
+        "n_occ",
+        F.round(F.log(p), 6).cast("decimal(18,6)").alias("logp6"),
+        F.when(F.col("c12").isNull(), F.col("n_occ"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_backoff"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+        F.sum("n_backoff").cast("bigint").alias("n_backoff"),
+        _nll4_exact(
+            -F.sum(F.col("n_occ") * F.col("logp6")), F.sum("n_occ")
+        ).alias("holdout_nll"),
     )
 
 
@@ -6254,6 +6386,7 @@ def queries() -> dict[str, QueryFn]:
         "nb_classifier_eval": q_nb_classifier_eval,
         "quality_ensemble": q_quality_ensemble,
         "kn_perplexity": q_kn_perplexity,
+        "kn_holdout_perplexity": q_kn_holdout_perplexity,
         "bloom_corpus_dedup": q_bloom_corpus_dedup,
         "doc_edit_churn": q_doc_edit_churn,
         "group_ksample": q_group_ksample,
@@ -8072,6 +8205,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS BIGINT) AS resume_rows
             FROM st LEFT JOIN o USING (slice_id)
         """,
+        "kn_holdout_perplexity": f"""
+            WITH aug AS (SELECT doc_id,
+                                (substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                 < '{SPLIT_TRAIN_LT}') AS is_train,
+                                CASE WHEN NOT (substr(md5(CAST(doc_id AS
+                                          VARCHAR)), 1, 2)
+                                          < '{SPLIT_TRAIN_LT}')
+                                      AND doc_id % {KN_OOV_MOD} = 0
+                                     THEN text || ' zqa zqb'
+                                     ELSE text END AS text
+                         FROM documents),
+            t AS (SELECT doc_id, is_train, {TOKS_SQL} AS ts FROM aug),
+            bg AS (SELECT doc_id, is_train, ts[i] AS w1, ts[i + 1] AS w2
+                   FROM (SELECT doc_id, is_train, ts,
+                                unnest(range(1, len(ts))) AS i
+                         FROM t WHERE len(ts) >= 2)),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM bg WHERE is_train GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                          CAST(COUNT(*) AS BIGINT) AS n1f
+                   FROM c12 GROUP BY 1),
+            bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+                    FROM c12 GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c12)
+                               AS t_types,
+                           (SELECT CAST(COUNT(DISTINCT w) AS BIGINT)
+                            FROM (SELECT unnest(ts) AS w FROM t
+                                  WHERE is_train)) AS v_train),
+            dc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM bg WHERE NOT is_train GROUP BY 1, 2, 3),
+            sc AS (SELECT d.doc_id, d.n_occ,
+                          CAST(ROUND(ln(CASE WHEN c.c1 IS NOT NULL
+                               THEN (GREATEST(COALESCE(m.c12, 0)
+                                      - {KN_DISCOUNT}, 0.0)
+                                     + {KN_DISCOUNT} * c.n1f
+                                     * ((COALESCE(b.n1b, 0) + 1)
+                                        / (tot.t_types + tot.v_train + 1)))
+                                    / c.c1
+                               ELSE (COALESCE(b.n1b, 0) + 1)
+                                    / (tot.t_types + tot.v_train + 1) END),
+                               6) AS DECIMAL(18,6)) AS logp6,
+                          CAST(CASE WHEN m.c12 IS NULL THEN d.n_occ
+                               ELSE 0 END AS BIGINT) AS n_backoff
+                   FROM dc d
+                   LEFT JOIN c12 m ON m.w1 = d.w1 AND m.w2 = d.w2
+                   LEFT JOIN c1 c ON c.w1 = d.w1
+                   LEFT JOIN bwd b ON b.w2 = d.w2
+                   CROSS JOIN tot),
+            agg AS (SELECT doc_id,
+                           CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+                           CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
+                           CAST(-SUM(n_occ * logp6) * 1000000 AS BIGINT) AS a,
+                           CAST(SUM(n_occ) * 100 AS BIGINT) AS b
+                    FROM sc GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, n_backoff,
+                   CAST(CAST((a - (a % b)) / b AS BIGINT)
+                        + CASE WHEN 2 * (a % b) >= b THEN 1 ELSE 0 END
+                        AS DOUBLE) / 10000.0 + 0.0 AS holdout_nll
+            FROM agg
+        """,
         "bloom_corpus_dedup": f"""
             WITH corpus AS (SELECT doc_id, text FROM documents
                             WHERE doc_id % {BLOOM_DEDUP_BATCH_MOD} <> 0),
@@ -8359,12 +8552,19 @@ def oracle_sql() -> dict[str, str]:
                                   * (d.n1b / tt.t_types)) / c.c1), 6)
                                   AS DECIMAL(18,6)) AS logp6
                       FROM c12 b JOIN c1 c ON c.w1 = b.w1
-                      JOIN bwd d ON d.w2 = b.w2 CROSS JOIN tt)
-            SELECT d.doc_id, CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
-                   ROUND(-(CAST(SUM(d.n_occ * m.logp6) AS DOUBLE)
-                         / CAST(SUM(d.n_occ) AS DOUBLE)), 4) + 0.0 AS kn_nll
-            FROM dc d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
-            GROUP BY d.doc_id
+                      JOIN bwd d ON d.w2 = b.w2 CROSS JOIN tt),
+            agg AS (SELECT d.doc_id,
+                           CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+                           CAST(-SUM(d.n_occ * m.logp6) * 1000000 AS BIGINT)
+                               AS a,
+                           CAST(SUM(d.n_occ) * 100 AS BIGINT) AS b
+                    FROM dc d JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+                    GROUP BY d.doc_id)
+            SELECT doc_id, n_bigrams,
+                   CAST(CAST((a - (a % b)) / b AS BIGINT)
+                        + CASE WHEN 2 * (a % b) >= b THEN 1 ELSE 0 END
+                        AS DOUBLE) / 10000.0 + 0.0 AS kn_nll
+            FROM agg
         """,
         "url_dedup": """
             WITH u AS (SELECT doc_id,

@@ -447,6 +447,7 @@ BNLJ_KEYS = {
     "nb_classifier_eval": "total",  # 1-row trained log-prior broadcast
     "quality_ensemble": "total",  # 1-row decimal-exact moments broadcast
     "kn_perplexity": "total",  # 1-row bigram-type-count broadcast
+    "kn_holdout_perplexity": "total",  # 1-row type+vocab totals broadcast
     "bloom_corpus_dedup": "total",  # 1-row broadcast bloom word array
 }
 

@@ -318,3 +318,27 @@ def test_bloom_corpus_dedup_audit_known_corpus_size(spark):
     b = bloom_corpus_dedup_audit(corpus, batch, n_corpus=3).collect()[0]
     assert a == b
     assert a.n_dup_exact == 1 and a.prefilter_subset_ok and a.verify_exact_ok
+
+
+def test_kn_holdout_backoff_paths_fire(spark, sf_dir):
+    """The held-out eval must actually exercise the unseen-bigram backoff
+    (the whole point vs kn_perplexity): some eval bigram must miss the
+    train model, every nll must be positive and finite, and backoff
+    counts are bounded by bigram counts."""
+    rows = q.queries()["kn_holdout_perplexity"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_backoff for r in rows) > 0
+    for r in rows:
+        assert 0 < r.holdout_nll < 100, r
+        assert 0 <= r.n_backoff <= r.n_bigrams
+
+
+def test_kn_holdout_nll_exceeds_train_fit(spark, sf_dir):
+    """Sanity: held-out perplexity under the train-split model should on
+    average be at least the full-corpus self-fit nll (a model scoring its
+    own training data is optimistic)."""
+    hold = q.queries()["kn_holdout_perplexity"](spark, sf_dir).collect()
+    fit = {r.doc_id: r.kn_nll for r in q.queries()["kn_perplexity"](spark, sf_dir).collect()}
+    mean_hold = sum(r.holdout_nll for r in hold) / len(hold)
+    mean_fit = sum(fit.values()) / len(fit)
+    assert mean_hold > mean_fit
