@@ -4788,6 +4788,180 @@ def q_sql_frontend_q19(spark, sf_dir):
     return spark.sql(TPCH_Q19_SQL)
 
 
+TPCH_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.06
+      AND l_quantity < 24
+"""
+
+
+def q_sql_frontend_q6(spark, sf_dir):
+    """TPC-H Q6 as SQL text (forecast revenue change): the all-predicate
+    single-table scan — every filter must reach the parquet scan as a
+    pushed predicate and the aggregate runs with no shuffle beyond the
+    final 1-row reduce. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(TPCH_Q6_SQL)
+
+
+TPCH_Q8_SQL = """
+    SELECT o_year,
+           CAST(ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1'
+                               THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE)
+                      / CAST(SUM(vol) AS DOUBLE), 4) AS DOUBLE) + 0.0
+               AS mkt_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4)) AS vol,
+                 n_name AS nation
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey) all_nations
+    GROUP BY o_year
+"""
+
+
+def q_sql_frontend_q8(spark, sf_dir):
+    """TPC-H Q8 shape as SQL text (national market share): the
+    share-of-aggregate pattern — a CASE-gated sum divided by the total of
+    the SAME grouped pass, both sums DECIMAL-exact and the ratio computed
+    double-from-exact (the q14 discipline). Fixture adaptation: no
+    partsupp/region chain on the customer side; the supplier's nation
+    carries the market-share semantics. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "supplier", "orders", "nation"])
+    return spark.sql(TPCH_Q8_SQL)
+
+
+TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_sql_frontend_q10(spark, sf_dir):
+    """TPC-H Q10 shape as SQL text (returned-item losses): grouped join
+    rollup ordered by its own aggregate with LIMIT — the top-N-customers
+    report. Ordering on the exact DECIMAL sum with a c_custkey tiebreak
+    makes the LIMIT boundary deterministic on both engines. IDENTICAL
+    text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(TPCH_Q10_SQL)
+
+
+TPCH_Q11_SQL = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+           > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 1.2
+              / COUNT(DISTINCT l_partkey)
+              FROM lineitem)
+"""
+
+
+def q_sql_frontend_q11(spark, sf_dir):
+    """TPC-H Q11 shape as SQL text (important stock): HAVING against an
+    UNCORRELATED scalar subquery over the SAME table — the
+    share-of-global-total gate, which the optimizer must plan as one extra
+    full aggregate broadcast into the HAVING filter (not per-group
+    re-scans). The gate keeps parts 20% above the AVERAGE part value
+    (Q2's fixed 0.0001 fraction is scale-sensitive: it passed everything
+    at sf0.001 and nothing at sf0.1); exact DECIMAL total, one double
+    division inside the subquery so both engines compare the identical
+    threshold. Fixture adaptation: lineitem value stands in for
+    partsupp stock value. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(TPCH_Q11_SQL)
+
+
+TPCH_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_sql_frontend_q15(spark, sf_dir):
+    """TPC-H Q15 shape as SQL text (top supplier): a named CTE consumed
+    TWICE — once as the join input and once inside the scalar MAX subquery
+    — the view-reuse pattern; equality against the MAX is safe because
+    total_revenue is an exact DECIMAL sum (double equality on exact
+    decimals cast late). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(TPCH_Q15_SQL)
+
+
+TPCH_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%00000001%')
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_sql_frontend_q16(spark, sf_dir):
+    """TPC-H Q16 shape as SQL text (supplier-part relationships): NOT IN
+    over a subquery (null-aware anti-join — a DIFFERENT rewrite from
+    q22's NOT EXISTS) feeding a COUNT(DISTINCT) rollup over attribute
+    groups. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["part", "lineitem", "supplier"])
+    return spark.sql(TPCH_Q16_SQL)
+
+
 TPCH_Q2_SQL = """
     SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
            l_extendedprice AS min_supplycost
@@ -6391,7 +6565,13 @@ def queries() -> dict[str, QueryFn]:
         "doc_edit_churn": q_doc_edit_churn,
         "group_ksample": q_group_ksample,
         "dhash_near_dup": q_dhash_near_dup,
+        "sql_frontend_q6": q_sql_frontend_q6,
         "sql_frontend_q7": q_sql_frontend_q7,
+        "sql_frontend_q8": q_sql_frontend_q8,
+        "sql_frontend_q10": q_sql_frontend_q10,
+        "sql_frontend_q11": q_sql_frontend_q11,
+        "sql_frontend_q15": q_sql_frontend_q15,
+        "sql_frontend_q16": q_sql_frontend_q16,
         "sql_frontend_q9": q_sql_frontend_q9,
         "sql_frontend_q12": q_sql_frontend_q12,
         "sql_frontend_q14": q_sql_frontend_q14,
@@ -7134,7 +7314,13 @@ def oracle_sql() -> dict[str, str]:
         "sql_frontend_q17": TPCH_Q17_SQL,
         "sql_frontend_q20": TPCH_Q20_SQL,
         "sql_frontend_q21": TPCH_Q21_SQL,
+        "sql_frontend_q6": TPCH_Q6_SQL,
         "sql_frontend_q7": TPCH_Q7_SQL,
+        "sql_frontend_q8": TPCH_Q8_SQL,
+        "sql_frontend_q10": TPCH_Q10_SQL,
+        "sql_frontend_q11": TPCH_Q11_SQL,
+        "sql_frontend_q15": TPCH_Q15_SQL,
+        "sql_frontend_q16": TPCH_Q16_SQL,
         "sql_frontend_q9": TPCH_Q9_SQL,
         "sql_frontend_q12": TPCH_Q12_SQL,
         "sql_frontend_q14": TPCH_Q14_SQL,
