@@ -449,6 +449,8 @@ BNLJ_KEYS = {
     "kn_perplexity": "total",  # 1-row bigram-type-count broadcast
     "kn_holdout_perplexity": "total",  # 1-row type+vocab totals broadcast
     "bloom_corpus_dedup": "total",  # 1-row broadcast bloom word array
+    "pq_recall_audit": "total",  # 1-row hit-count broadcast carry
+    "pq_recall_clustered": "total",  # 1-row hit-count broadcast carry
 }
 
 
