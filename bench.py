@@ -152,11 +152,13 @@ def main() -> None:
         "cpus": CPUS,
         "runs": RUNS,
         "spark_version": spark.version,
-        # explicit provenance (advice r07): a SPARK_GRAFT_KEYS run is an
-        # uncontended isolated re-measure; a full registry run is the
-        # contended sweep (~+27% in-sweep inflation). bench_compare.py
-        # reads this field instead of inferring sweep-ness from key count.
-        "provenance": "isolated" if keys_env else "sweep",
+        # explicit provenance (advice r07, tightened r09): only a FEW-key
+        # SPARK_GRAFT_KEYS run is an uncontended isolated re-measure; a
+        # many-key subset run is still a contended sweep (~+27% in-sweep
+        # inflation) and must not trigger bench_compare's 1.27x deflation.
+        # key_count is recorded so the comparison can audit the label.
+        "provenance": "isolated" if keys_env and len(registry) <= 3 else "sweep",
+        "key_count": len(registry),
     }
     spark.stop()
     # The driver captures only the TAIL (last ~2000 chars) of stdout, so a

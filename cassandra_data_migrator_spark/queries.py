@@ -4882,8 +4882,9 @@ TPCH_Q11_SQL = """
                AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-           > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 1.2
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE) * 1.2
               / COUNT(DISTINCT l_partkey)
               FROM lineitem)
 """
@@ -8722,18 +8723,18 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(0, h * {PPM_W - 1})) AS b
                   FROM media),
             px AS (SELECT media_id, h, b,
-                          (ord(substr(s, CAST((b // 3) * {PPM_W * 3}
-                               + (b % 3) * 3 + 1 AS INT), 1))
-                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
-                               + (b % 3) * 3 + 2 AS INT), 1))
-                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
-                               + (b % 3) * 3 + 3 AS INT), 1))) // 3 AS g1,
-                          (ord(substr(s, CAST((b // 3) * {PPM_W * 3}
-                               + (b % 3) * 3 + 4 AS INT), 1))
-                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
-                               + (b % 3) * 3 + 5 AS INT), 1))
-                         + ord(substr(s, CAST((b // 3) * {PPM_W * 3}
-                               + (b % 3) * 3 + 6 AS INT), 1))) // 3 AS g2
+                          (ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 1 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 2 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 3 AS INT), 1))) // 3 AS g1,
+                          (ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 4 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 5 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 6 AS INT), 1))) // 3 AS g2
                    FROM g),
             hsh AS (SELECT media_id, h,
                            CAST(SUM(CASE WHEN g1 > g2

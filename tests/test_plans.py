@@ -191,7 +191,7 @@ GLOBAL_WINDOW_KEYS = {
     "bm25_topk": "pruned",  # rank.top_k_rows
     "oov_rate": "pruned",  # rank.top_k_rows (vocab selection)
     "ks_drift": "histogram",  # ECDF cumsum over the <=64-bin histogram
-    "nb_classifier_eval": "histogram",  # totals over the 256-bucket weight table
+    "nb_classifier_eval": "histogram",  # totals over the 4096-bucket weight table
     "quality_ensemble": "histogram",  # rank.global_rank over the 4dp-bounded score histogram
     "skipgram_cooc": "pruned",  # rank.top_k_rows over pair counts
 }
