@@ -6138,15 +6138,42 @@ def _pq_codebooks(spark, base, cache_key):
     return _PQ_CODEBOOKS_CACHE[key]
 
 
-def _pq_audit(spark, emb, brute, floor, cache_key):
+def _pq_audit(spark, emb, brute, floor, cache_key, cents, nprobe=None,
+              query_pred=TOPK_QUERY_PRED, _measure=False):
     """Shared PQ recall audit body (see q_pq_recall_audit): train per-block
-    codebooks, encode, ADC-shortlist, exact re-rank, hit-join vs brute."""
+    codebooks, encode (+ coarse IVF cell) into ONE standing index, ADC
+    shortlist, exact re-rank of the shortlist, hit-join vs brute force.
+
+    ADC is DATA, not code (round-8 verdict #1): the query-side table
+    carries a ``__luts`` column — PQ_BLOCKS arrays of PQ_CODES per-block
+    squared distances, computed IN-PLAN from the (unit) query vector
+    against the codebook literals — and the scoring expression is a fixed
+    sum of PQ_BLOCKS ``F.get`` lookups into the joined LUT arrays. The
+    codebook literals cost O(BLOCKS·CODES·dim) plan nodes ONCE; query
+    count adds rows, never branches (pinned by tests/test_plans.py::
+    test_pq_adc_plan_query_count_invariant). The previous shape collected
+    each query and baked its LUT in as ``F.lit`` arrays chained with
+    unionByName — O(#queries) Catalyst branches, which would blow plan
+    compilation at real serving query counts (10³–10⁶).
+
+    ``nprobe=None`` ADC-scores every corpus row (plain PQ; the bounded
+    probe-broadcast class). ``nprobe=k`` is IVFADC — the faiss production
+    composition (coarse quantizer prunes WHICH rows, PQ compresses HOW
+    each survivor is scored): the index rows carry their nearest coarse
+    cell, each query probes its k nearest cells, and the scoring join
+    becomes a (cell) equi-join, so at 100 TB the index is scanned with a
+    cell-partition prune and the stream never shuffles (queries are the
+    broadcast side). A (query, vec) pair meets at most once — a corpus
+    row lives in exactly ONE cell — so no post-join dedup is needed
+    (unlike banded LSH).
+    """
     from cassandra_data_migrator_spark.functions.vectors import (
         as_double_array,
         dot,
         norm,
     )
     from cassandra_data_migrator_spark.operators import cluster as cl
+    from cassandra_data_migrator_spark.operators import similarity
 
     v = as_double_array("embedding")
     unit = F.transform(v, lambda x: x / norm(v))
@@ -6165,54 +6192,102 @@ def _pq_audit(spark, emb, brute, floor, cache_key):
         )
         return F.array_min(scored)["c"]
 
-    # the ENCODED table is the PQ index a real system persists — build it
-    # once per session as a standing parquet artifact (the _brute_topk
-    # precedent); without this, every query branch below re-ran the
-    # 128-fold decimal argmin over the corpus (measured 13 s/key -> ~2 s)
-    enc = _session_artifact(
-        spark,
-        f"pq_index|{cache_key}",
-        lambda: base.select(
+    # ONE standing index feeds both the plain-PQ and the IVFADC audits:
+    # (vec_id, coarse cell, unit vector, 8 one-byte codes) — exactly what a
+    # real IVFADC index persists. Built once per session as a parquet
+    # artifact (the _brute_topk precedent; without it every consumer re-ran
+    # the 128-fold decimal argmin over the corpus — measured 13 s → ~2 s).
+    def _build_index():
+        cells = similarity.assign_ivf_cells(emb, cents, "embedding", nprobe=1)
+        b = cells.select(
+            "vec_id", F.element_at("cells", 1).alias("cell"), unit.alias("__v")
+        )
+        return b.select(
             "vec_id",
+            "cell",
             "__v",
             *[code_expr(m).alias(f"c{m}") for m in range(PQ_BLOCKS)],
-        ),
-    )
-    qrows = base.join(
-        emb.filter(TOPK_QUERY_PRED).select("vec_id"), "vec_id"
-    ).collect()
-    per_query = []
-    for qr in qrows:
-        qv = list(qr["__v"])
-        adc = None
-        for m in range(PQ_BLOCKS):
-            lut = [
-                float(
-                    sum(
-                        (qv[m * bs + j] - c[j]) * (qv[m * bs + j] - c[j])
-                        for j in range(bs)
-                    )
-                )
-                for c in codebooks[m]
-            ]
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in lut]), F.col(f"c{m}") + 1
-            )
-            adc = term if adc is None else adc + term
-        qvec = F.array(*[F.lit(float(x)) for x in qv])
-        # exact refine metric on unit vectors: L2^2 = 2 - 2*cos
-        exact_d = 2.0 - 2.0 * dot(qvec, F.col("__v"))
-        per_query.append(
-            enc.filter(F.col("vec_id") != qr["vec_id"]).select(
-                F.lit(qr["vec_id"]).alias("query_id"),
-                "vec_id",
-                adc.alias("__adc"),
-                exact_d.alias("__ed"),
-            )
         )
-    scored = per_query[0]
-    for df_q in per_query[1:]:
-        scored = scored.unionByName(df_q)
+
+    enc = _session_artifact(spark, f"pq_index|{cache_key}", _build_index)
+
+    # The codebook is DATA too — a 128-row (block, code, centroid) table
+    # persisted beside the index. Building the LUTs as a query x codebook
+    # join keeps the scoring plan at ONE fixed-size expression: the first
+    # rewrite computed the 8x16 distance table as 128 aggregate expressions
+    # on the query column, which was correct and query-count-invariant but
+    # cost ~5.5 s of DRIVER-side py4j Column construction on EVERY call
+    # (measured; execution itself was 0.2 s).
+    def _build_books():
+        rows = [
+            (m, i, [float(x) for x in c])
+            for m, bk in enumerate(codebooks)
+            for i, c in enumerate(bk)
+        ]
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            schema="block int, code int, cvec array<double>",
+        )
+
+    books = _session_artifact(spark, f"pq_books|{cache_key}", _build_books)
+
+    qraw = emb.filter(query_pred)
+    if nprobe:
+        qdf = similarity.assign_ivf_cells(
+            qraw, cents, "embedding", nprobe=nprobe
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            unit.alias("__qv"),
+            F.explode("cells").alias("cell"),
+        )
+    else:
+        qdf = qraw.select(F.col("vec_id").alias("query_id"), unit.alias("__qv"))
+
+    # per-(query, block, code) squared distance — one expression, any count
+    blk = F.slice(F.col("__qv"), F.col("block") * bs + 1, bs)
+    d = F.aggregate(
+        F.zip_with(blk, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    luts = (
+        qraw.select(F.col("vec_id").alias("query_id"), unit.alias("__qv"))
+        .join(F.broadcast(books), F.lit(True))
+        .select("query_id", "block", "code", d.alias("d"))
+        .groupBy("query_id", "block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d"))),
+                lambda s: s["d"],
+            ).alias("lut")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block", "lut"))),
+                lambda s: s["lut"],
+            ).alias("__luts")
+        )
+    )
+    qdf = qdf.join(F.broadcast(luts), "query_id")
+    if nprobe:
+        cand = enc.join(F.broadcast(qdf), ["cell"]).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        cand = enc.join(F.broadcast(qdf), F.col("vec_id") != F.col("query_id"))
+
+    adc = None
+    for m in range(PQ_BLOCKS):
+        term = F.get(F.get(F.col("__luts"), m), F.col(f"c{m}"))
+        adc = term if adc is None else adc + term
+    # exact refine metric on unit vectors: L2² = 2 − 2·cos
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        adc.alias("__adc"),
+        (2.0 - 2.0 * dot(F.col("__qv"), F.col("__v"))).alias("__ed"),
+    )
     w1 = Window.partitionBy("query_id").orderBy(F.col("__adc"), F.col("vec_id"))
     shortlist = scored.withColumn("__r1", F.row_number().over(w1)).filter(
         F.col("__r1") <= PQ_SHORTLIST
@@ -6227,14 +6302,21 @@ def _pq_audit(spark, emb, brute, floor, cache_key):
     n_hit = brute.join(pq_topk, ["query_id", "vec_id"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit")
     )
-    return n_brute.crossJoin(F.broadcast(n_hit)).select(
-        "n_brute",
+    out_cols = [
+        F.col("n_brute"),
         F.lit(PQ_BLOCKS * PQ_CODES).cast("bigint").alias("n_codewords"),
+    ]
+    if nprobe:
+        out_cols.append(F.lit(len(cents)).cast("bigint").alias("n_cells"))
+    out_cols.append(
         (
             (F.col("n_brute") == 0)
             | (F.col("n_hit") / F.col("n_brute") >= floor)
-        ).alias("recall_ok"),
+        ).alias("recall_ok")
     )
+    if _measure:
+        out_cols.append(F.col("n_hit"))  # floor-setting/tests only, never oracled
+    return n_brute.crossJoin(F.broadcast(n_hit)).select(*out_cols)
 
 
 def q_pq_recall_audit(spark, sf_dir):
@@ -6250,12 +6332,13 @@ def q_pq_recall_audit(spark, sf_dir):
     kmeans/BPE class of bounded driver state — 8 blocks x 16 centroids);
     ENCODING is a codegen'd projection (exact-decimal argmin per block,
     the assign_clusters_exact discipline — the corpus never shuffles);
-    ADC bakes each of the <=5 collected query vectors' 16x8 lookup
-    tables in as literals (the probe-set bound of the brute-force
-    broadcast), so every corpus row pays PQ_BLOCKS array lookups + adds;
-    the exact refine touches only the shortlist. Cosine ground truth via
-    L2-normalized vectors (cosine ranking == L2 ranking on the unit
-    sphere).
+    ADC is a broadcast-LUT join — the query table carries its 8x16
+    distance tables as an ARRAY COLUMN computed in-plan, and the scoring
+    expression is 8 F.get lookups, so the plan has ONE branch at any
+    query count (r08 verdict #1; see _pq_audit); every corpus row pays
+    PQ_BLOCKS array lookups + adds; the exact refine touches only the
+    shortlist. Cosine ground truth via L2-normalized vectors (cosine
+    ranking == L2 ranking on the unit sphere).
 
     Floors: ADC-only recall on this fixture is 0.26-0.36 (quantization
     error dominates when vectors are near-uniform AND when the clustered
@@ -6267,7 +6350,8 @@ def q_pq_recall_audit(spark, sf_dir):
     state, the ivf_recall_audit discipline)."""
     emb = _t(spark, sf_dir, "embeddings")
     brute = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
-    return _pq_audit(spark, emb, brute, PQ_RECALL_MIN, f"pq|{sf_dir}")
+    cents = _ivf_centroids(spark, sf_dir)
+    return _pq_audit(spark, emb, brute, PQ_RECALL_MIN, f"pq|{sf_dir}", cents)
 
 
 def q_pq_recall_clustered(spark, sf_dir):
@@ -6276,7 +6360,57 @@ def q_pq_recall_clustered(spark, sf_dir):
     ground truth are shared with ann/ivf_recall_clustered)."""
     emb = _clustered_emb(spark, sf_dir)
     brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
-    return _pq_audit(spark, emb, brute, PQ_RECALL_CLUSTERED_MIN, f"pqc|{sf_dir}")
+    cents = _ivf_centroids(spark, sf_dir, variant="clustered", emb_df=emb)
+    return _pq_audit(
+        spark, emb, brute, PQ_RECALL_CLUSTERED_MIN, f"pqc|{sf_dir}", cents
+    )
+
+
+PQ_IVF_NPROBE = 2  # coarse cells probed per query (matches topk_similarity_ivf)
+# IVFADC floors: composition recall <= min(IVF-alone, PQ-alone) in theory;
+# measured across sf0.001/0.01/0.1 (see BASELINE.md r09): uniform
+# 0.88/0.90/0.88 (the cell prune REMOVES distractors that crowd true
+# neighbors off the ADC shortlist, so it beats plain PQ's 0.76 at sf0.1),
+# clustered 0.96/1.00/1.00 — floors bracket both regimes with the same
+# margin discipline as the PQ/LSH audits.
+PQ_IVF_RECALL_MIN = 0.6
+PQ_IVF_RECALL_CLUSTERED_MIN = 0.85
+
+
+def q_pq_ivf_recall_audit(spark, sf_dir):
+    """IVFADC recall contract — the faiss production composition (r08
+    verdict #1): the trained IVF coarse quantizer prunes WHICH index rows
+    are scored (queries probe their PQ_IVF_NPROBE nearest of the
+    KMEANS_K lloyd cells; the index stores each row's cell), and PQ's ADC
+    compresses HOW each survivor is scored (8 LUT lookups), followed by
+    the exact re-rank of the PQ_SHORTLIST. Measures the INTERACTION the
+    separate audits can't: cell-edge loss (true neighbor in an unprobed
+    cell) stacked on quantization loss (ADC misranks the shortlist cut).
+
+    Spark shape: scoring join is a (cell) equi-join with the query side
+    broadcast — at 100 TB the index scan prunes to the probed cells
+    (cell-partitioned at rest) and never shuffles. Same one-plan ADC as
+    pq_recall_audit. Oracle pins exact counts + the floor boolean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    cents = _ivf_centroids(spark, sf_dir)
+    return _pq_audit(
+        spark, emb, brute, PQ_IVF_RECALL_MIN, f"pq|{sf_dir}", cents,
+        nprobe=PQ_IVF_NPROBE,
+    )
+
+
+def q_pq_ivf_recall_clustered(spark, sf_dir):
+    """IVFADC recall contract on the CLUSTERED fixture (the realistic
+    regime — see q_pq_ivf_recall_audit; fixture, ground truth, codebooks
+    and index are all shared with pq_recall_clustered)."""
+    emb = _clustered_emb(spark, sf_dir)
+    brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
+    cents = _ivf_centroids(spark, sf_dir, variant="clustered", emb_df=emb)
+    return _pq_audit(
+        spark, emb, brute, PQ_IVF_RECALL_CLUSTERED_MIN, f"pqc|{sf_dir}",
+        cents, nprobe=PQ_IVF_NPROBE,
+    )
 
 
 KN_OOV_MOD = 9  # mod-9 held-out docs gain two novel tokens (backoff fixture)
@@ -6741,6 +6875,8 @@ def queries() -> dict[str, QueryFn]:
         "kn_holdout_perplexity": q_kn_holdout_perplexity,
         "pq_recall_audit": q_pq_recall_audit,
         "pq_recall_clustered": q_pq_recall_clustered,
+        "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
+        "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "bloom_corpus_dedup": q_bloom_corpus_dedup,
         "doc_edit_churn": q_doc_edit_churn,
         "group_ksample": q_group_ksample,
@@ -8583,6 +8719,22 @@ def oracle_sql() -> dict[str, str]:
                                                WHERE {TOPK_QUERY_PRED})
                        AS n_brute,
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
+                   TRUE AS recall_ok
+        """,
+        "pq_ivf_recall_audit": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED})
+                       AS n_brute,
+                   CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
+                   CAST({KMEANS_K} AS BIGINT) AS n_cells,
+                   TRUE AS recall_ok
+        """,
+        "pq_ivf_recall_clustered": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED})
+                       AS n_brute,
+                   CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
+                   CAST({KMEANS_K} AS BIGINT) AS n_cells,
                    TRUE AS recall_ok
         """,
         "kn_holdout_perplexity": f"""

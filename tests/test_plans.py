@@ -449,8 +449,10 @@ BNLJ_KEYS = {
     "kn_perplexity": "total",  # 1-row bigram-type-count broadcast
     "kn_holdout_perplexity": "total",  # 1-row type+vocab totals broadcast
     "bloom_corpus_dedup": "total",  # 1-row broadcast bloom word array
-    "pq_recall_audit": "total",  # 1-row hit-count broadcast carry
-    "pq_recall_clustered": "total",  # 1-row hit-count broadcast carry
+    "pq_recall_audit": "probe",  # broadcast LUT-table probe join + 1-row hit carry
+    "pq_recall_clustered": "probe",  # broadcast LUT-table probe join + 1-row hit carry
+    "pq_ivf_recall_audit": "total",  # scoring join is equi on cell; 1-row hit carry
+    "pq_ivf_recall_clustered": "total",  # scoring join is equi on cell; 1-row hit carry
 }
 
 
@@ -490,3 +492,48 @@ def test_validate_diff_sampled_filters_before_join(spark, sf_dir):
     exchange moves 1/MOD of each side, not the full tables."""
     p = _plan(spark, sf_dir, "validate_diff_sampled", mode="simple")
     assert p.count("% 10") >= 2, f"sample filter not on both sides:\n{p}"
+
+
+def test_pq_adc_plan_query_count_invariant(spark, sf_dir):
+    """The r08 verdict's scale-killer: ADC must be DATA, not code. The old
+    shape collected each probe query and baked its 16x8 LUT in as literals
+    chained with unionByName — O(#queries) Catalyst branches, which blows
+    plan compilation at real serving query counts. The rebuilt path joins a
+    broadcast LUT-carrying query table to the encoded index with ONE fixed
+    scoring expression, so the plan must be structurally IDENTICAL whether
+    5 or 50 queries probe it (only the filter literal differs)."""
+    from cassandra_data_migrator_spark import queries as qq
+
+    emb = qq._t(spark, sf_dir, "embeddings")
+    brute = qq._brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    cents = qq._ivf_centroids(spark, sf_dir)
+
+    def plan_nodes(pred, nprobe):
+        df = qq._pq_audit(
+            spark, emb, brute, qq.PQ_RECALL_MIN, f"pq|{sf_dir}", cents,
+            nprobe=nprobe, query_pred=pred,
+        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        # the node-CLASS sequence is the structure; literals (the filter
+        # bound) and expression ids are invisible to it
+        return [n.getClass().getSimpleName() for n in _walk_jvm_plan(plan)]
+
+    for nprobe in (None, 2):
+        p5 = plan_nodes("vec_id < 5", nprobe)
+        p50 = plan_nodes("vec_id < 50", nprobe)
+        assert "Union" not in p5, "per-query union branches crept back in"
+        assert p5 == p50, (
+            "ADC plan structure varies with query count (nprobe=%s):\n%s\nvs\n%s"
+            % (nprobe, p5, p50)
+        )
+
+
+def test_pq_ivf_scoring_join_is_cell_equi_join(spark, sf_dir):
+    """IVFADC's scoring join must be a hash equi-join on the probed cell —
+    the 100 TB contract is that only probed cells are scanned/scored, never
+    a nested loop of index x queries (that is plain PQ's bounded-probe
+    shape). The only BroadcastNestedLoopJoin allowed in the plan is the
+    1-row hit-count carry."""
+    p = _plan(spark, sf_dir, "pq_ivf_recall_audit", mode="simple")
+    assert "BroadcastHashJoin [cell" in p, f"cell equi-join missing:\n{p}"
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # n_brute x n_hit carries
