@@ -569,19 +569,23 @@ def encode_jpeg_gray(width: int, height: int, blocks: bytes) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL baseline JPEG decode — pure Python, stdlib-only (the last
-    compressed-codec stub retired for the decode path it can honestly
-    verify): baseline sequential DCT (SOF0), 8-bit, single-component
-    grayscale, no subsampling. Implements the full pipeline — marker walk
-    (APPn/COM skipped by their declared lengths), DQT (8-bit tables), DHT
-    huffman table builds, SOS entropy-coded segment with byte-stuffing
-    removal, DC prediction + EXTEND, AC run-length/EOB/ZRL decode, zigzag,
-    dequantization, float 2-D IDCT, level shift and clamp. Returns
-    (width, height, n_components, pixel_bytes row-major). Raises
-    ValueError on anything else (color/subsampled/progressive JPEG needs
-    a chroma pipeline this container can't verify end-to-end; refusing
+    """REAL baseline JPEG decode — pure Python, stdlib-only: baseline
+    sequential DCT (SOF0), 8-bit, single-component grayscale OR
+    3-component 4:4:4 color (r09 — real corpora are color; every comp
+    must declare 1x1 sampling). Implements the full pipeline — marker
+    walk (APPn/COM skipped by their declared lengths), DQT (8-bit
+    tables), DHT huffman table builds (multiple slots), SOS entropy-coded
+    segment with byte-stuffing removal, interleaved-MCU decode with
+    per-component DC prediction + EXTEND, AC run-length/EOB/ZRL decode,
+    zigzag, dequantization, float 2-D IDCT, level shift and clamp, and
+    for color the JFIF YCbCr→RGB conversion with floor(x+0.5) rounding
+    (chosen over round() so an ANSI-SQL oracle computes identical IEEE
+    arithmetic). Returns (width, height, n_components, pixel_bytes
+    row-major, RGB-interleaved when n_components == 3). Raises
+    ValueError on anything else (subsampled/progressive JPEG needs an
+    upsampling pipeline this container can't verify end-to-end; refusing
     loudly beats silent garbage). Bounded: output allocation is
-    width*height from SOF0, validated against 65535x65535 max."""
+    width*height*nc from SOF0, validated against 65535x65535 max."""
     import math
     import struct
 
@@ -591,6 +595,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = 0
+    comps: list[tuple[int, int]] = []  # (component_id, quant_table_id)
+    scan_ids: list[tuple[int, int]] = []  # (dc_table_id, ac_table_id)
     scan_start = -1
     while i < n:
         if payload[i] != 0xFF:
@@ -636,45 +642,55 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 j += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
-            # a 1-component SOF0 payload is exactly 9 bytes; shorter means
-            # a truncated segment and must surface as ValueError (the
-            # quarantine contract), not struct.error/IndexError
-            if len(data) < 9:
+            if len(data) < 6:
                 raise ValueError("truncated SOF0")
             precision, height, width, nc = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
-            if nc != 1:
+            if nc not in (1, 3):
                 raise ValueError(
-                    "only single-component (grayscale) baseline JPEG decodes"
+                    "only 1-component (grayscale) or 3-component 4:4:4 "
+                    "baseline JPEG decodes"
                 )
-            if data[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            comp_q = data[8]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) JPEG decodes")
         elif marker == 0xDA:  # SOS
             if width == 0:
                 raise ValueError("SOS before SOF0")
-            if len(data) < 3:
+            if len(data) < 1 + 2 * len(comps) + 3:
                 raise ValueError("truncated SOS")
-            dc_id, ac_id = data[2] >> 4, data[2] & 0xF
+            if data[0] != len(comps):
+                raise ValueError("SOS component count differs from SOF0")
+            scan_ids = []
+            for ci in range(len(comps)):
+                sel, tids = data[1 + 2 * ci], data[2 + 2 * ci]
+                if sel != comps[ci][0]:
+                    raise ValueError("SOS component order differs from SOF0")
+                scan_ids.append((tids >> 4, tids & 0xF))
             scan_start = i
             break
-        # APPn / COM / DRI etc.: skipped by length (DRI unsupported below)
+        # APPn / COM etc.: skipped by length (DRI unsupported below)
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
     if scan_start < 0:
         raise ValueError("JPEG has no SOS marker")
     if width < 1 or height < 1 or width > 65535 or height > 65535:
         raise ValueError(f"invalid JPEG dimensions {width}x{height}")
-    if comp_q not in qtables:
-        raise ValueError(f"missing quantization table {comp_q}")
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("missing huffman table")
-    qt = qtables[comp_q]
-    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+    nc = len(comps)
+    for ci in range(nc):
+        if comps[ci][1] not in qtables:
+            raise ValueError(f"missing quantization table {comps[ci][1]}")
+        if (0, scan_ids[ci][0]) not in huff or (1, scan_ids[ci][1]) not in huff:
+            raise ValueError("missing huffman table")
 
     # entropy-coded bytes: unstuff 0xFF00, stop at the next marker
     bits_data = bytearray()
@@ -733,77 +749,205 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     c = [1 / math.sqrt(2)] + [1.0] * 7
 
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = bytearray(width * height)
-    prev_dc = 0
+    planes = [bytearray(width * height) for _ in range(nc)]
+    prev_dc = [0] * nc
     for by in range(bh):
         for bx in range(bw):
-            coeffs = [0] * 64
-            cat = read_huff(dc_tbl)
-            prev_dc += receive_extend(cat)
-            coeffs[0] = prev_dc * qt[0]
-            k = 1
-            while k < 64:
-                rs = read_huff(ac_tbl)
-                r, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows the block")
-                coeffs[JPEG_ZIGZAG[k]] = receive_extend(size) * qt[JPEG_ZIGZAG[k]]
-                k += 1
-            # sparse IDCT: iterate only the nonzero coefficients (a typical
-            # block has a handful; a FLAT block has one). 64 adds per
-            # nonzero coefficient instead of 64 probes per pixel — same
-            # float math, ~50x less work on sparse spectra.
-            nz = [(idx, cf) for idx, cf in enumerate(coeffs) if cf]
-            if not nz or (len(nz) == 1 and nz[0][0] == 0):
-                # DC-only fast path: every sample = DC/8 (identical to the
-                # general path: c0*c0*DC/4 = DC/8, exact for integer DC)
-                val = int(round(coeffs[0] / 8)) + 128
-                val = 0 if val < 0 else (255 if val > 255 else val)
-                block = [float(val)] * 64
-                flat_done = True
-            else:
-                acc = [0.0] * 64
-                for idx, cf in nz:
-                    v, u = idx // 8, idx % 8
-                    cvu = c[v] * c[u] * cf
-                    for y in range(8):
-                        cy = cos_t[y][v] * cvu
-                        row = y * 8
-                        for x in range(8):
-                            acc[row + x] += cy * cos_t[x][u]
-                block = acc
-                flat_done = False
-            for y in range(8):
-                py = by * 8 + y
-                if py >= height:
-                    break
-                row_off = py * width
-                brow = y * 8
-                for x in range(8):
-                    px = bx * 8 + x
-                    if px >= width:
-                        continue
-                    if flat_done:
-                        out[row_off + px] = int(block[brow + x])
-                    else:
-                        val = int(round(block[brow + x] / 4)) + 128
-                        out[row_off + px] = (
-                            0 if val < 0 else (255 if val > 255 else val)
-                        )
-    return width, height, 1, bytes(out)
+            for ci in range(nc):  # interleaved MCU: one block per component
+                qt = qtables[comps[ci][1]]
+                dc_tbl = huff[(0, scan_ids[ci][0])]
+                ac_tbl = huff[(1, scan_ids[ci][1])]
+                coeffs = [0] * 64
+                cat = read_huff(dc_tbl)
+                prev_dc[ci] += receive_extend(cat)
+                coeffs[0] = prev_dc[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    rs = read_huff(ac_tbl)
+                    r, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows the block")
+                    coeffs[JPEG_ZIGZAG[k]] = receive_extend(size) * qt[JPEG_ZIGZAG[k]]
+                    k += 1
+                # sparse IDCT: iterate only the nonzero coefficients (a
+                # typical block has a handful; a FLAT block has one). 64
+                # adds per nonzero coefficient instead of 64 probes per
+                # pixel — same float math, ~50x less work on sparse spectra.
+                nz = [(idx, cf) for idx, cf in enumerate(coeffs) if cf]
+                if not nz or (len(nz) == 1 and nz[0][0] == 0):
+                    # DC-only fast path: every sample = DC/8 (identical to
+                    # the general path: c0*c0*DC/4 = DC/8, exact for
+                    # integer DC)
+                    val = int(round(coeffs[0] / 8)) + 128
+                    val = 0 if val < 0 else (255 if val > 255 else val)
+                    block = [float(val)] * 64
+                    flat_done = True
+                else:
+                    acc = [0.0] * 64
+                    for idx, cf in nz:
+                        v, u = idx // 8, idx % 8
+                        cvu = c[v] * c[u] * cf
+                        for y in range(8):
+                            cy = cos_t[y][v] * cvu
+                            row = y * 8
+                            for x in range(8):
+                                acc[row + x] += cy * cos_t[x][u]
+                    block = acc
+                    flat_done = False
+                out = planes[ci]
+                for y in range(8):
+                    py = by * 8 + y
+                    if py >= height:
+                        break
+                    row_off = py * width
+                    brow = y * 8
+                    for x in range(8):
+                        px = bx * 8 + x
+                        if px >= width:
+                            continue
+                        if flat_done:
+                            out[row_off + px] = int(block[brow + x])
+                        else:
+                            val = int(round(block[brow + x] / 4)) + 128
+                            out[row_off + px] = (
+                                0 if val < 0 else (255 if val > 255 else val)
+                            )
+    if nc == 1:
+        return width, height, 1, bytes(planes[0])
+    # JFIF YCbCr -> RGB. floor(x + 0.5) instead of round(): Python round()
+    # is half-even, SQL ROUND is half-away — floor(+0.5) is the ONE
+    # rounding both engines state identically on identical IEEE doubles.
+    rgb = bytearray(width * height * 3)
+    yp, cbp, crp = planes
+    for px in range(width * height):
+        yv, cb, cr = yp[px], cbp[px] - 128, crp[px] - 128
+        r = math.floor(yv + 1.402 * cr + 0.5)
+        g = math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+        b = math.floor(yv + 1.772 * cb + 0.5)
+        o = px * 3
+        rgb[o] = 0 if r < 0 else (255 if r > 255 else r)
+        rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+        rgb[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return width, height, 3, bytes(rgb)
+
+
+# Annex-K recommended chrominance huffman tables (ITU-T T.81 Tables
+# K.4/K.6) — second DHT slot pair so a 3-component file carries the real
+# four-table layout a camera JPEG has.
+JPEG_DC_BITS_CHROMA = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+JPEG_DC_VALS_CHROMA = list(range(12))
+JPEG_AC_BITS_CHROMA = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+JPEG_AC_VALS_CHROMA = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def encode_jpeg_color(width: int, height: int, blocks: bytes) -> bytes:
+    """REAL baseline JPEG encode for FLAT-BLOCK 4:4:4 COLOR images — pure
+    Python, stdlib-only: every 3 bytes of ``blocks`` are the (Y, Cb, Cr)
+    levels of one 8x8 block (row-major over the block grid), stored
+    through the full 3-component baseline machinery: interleaved MCUs
+    (Y, Cb, Cr block per MCU), per-component DC prediction, luminance
+    huffman tables in DHT slot 0 and the Annex-K chrominance tables in
+    slot 1, one shared DQT, byte stuffing. Flat blocks make the lossy
+    pipeline EXACT per component: DC = 8·(s−128) quantized by 8 stores
+    s−128 verbatim, so decode_jpeg recovers the integer YCbCr planes
+    bit-exactly and only the documented floor(x+0.5) RGB conversion adds
+    arithmetic an oracle must (and can) replicate."""
+    import struct
+
+    if width % 8 or height % 8 or width < 8 or height < 8:
+        raise ValueError(
+            f"flat-block JPEG needs multiple-of-8 dims, got {width}x{height}"
+        )
+    bw, bh = width // 8, height // 8
+    if len(blocks) != bw * bh * 3:
+        raise ValueError(
+            f"block section is {len(blocks)} bytes, expected {bw * bh * 3}"
+        )
+    maps = [
+        (
+            _jpeg_huff_encode_map(JPEG_DC_BITS, JPEG_DC_VALS),
+            _jpeg_huff_encode_map(JPEG_AC_BITS, JPEG_AC_VALS),
+        ),
+        (
+            _jpeg_huff_encode_map(JPEG_DC_BITS_CHROMA, JPEG_DC_VALS_CHROMA),
+            _jpeg_huff_encode_map(JPEG_AC_BITS_CHROMA, JPEG_AC_VALS_CHROMA),
+        ),
+    ]
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    for mcu in range(bw * bh):
+        for ci in range(3):
+            dc_map, ac_map = maps[0] if ci == 0 else maps[1]
+            v = blocks[mcu * 3 + ci]
+            dc = v - 128
+            diff = dc - prev_dc[ci]
+            prev_dc[ci] = dc
+            cat = _jpeg_category(diff)
+            code, length = dc_map[cat]
+            w.put(code, length)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            code, length = ac_map[0x00]  # EOB
+            w.put(code, length)
+    scan = w.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    dqt = seg(
+        0xFFDB, bytes([0]) + bytes(JPEG_QTABLE[JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dhts = (
+        seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS[1:]) + bytes(JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS[1:]) + bytes(JPEG_AC_VALS))
+        + seg(
+            0xFFC4,
+            bytes([0x01])
+            + bytes(JPEG_DC_BITS_CHROMA[1:])
+            + bytes(JPEG_DC_VALS_CHROMA),
+        )
+        + seg(
+            0xFFC4,
+            bytes([0x11])
+            + bytes(JPEG_AC_BITS_CHROMA[1:])
+            + bytes(JPEG_AC_VALS_CHROMA),
+        )
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dhts + sos + scan + b"\xff\xd9"
 
 
 def decode_image(payload: bytes) -> object:
     """Image decode dispatch: binary PPM, 8-bit truecolor PNG, and
     baseline grayscale JPEG decode for real (decode_ppm / decode_png /
-    decode_jpeg — stdlib-only, no PIL); color/progressive JPEG stays
-    honestly unimplemented."""
+    decode_jpeg — stdlib-only, no PIL; grayscale AND 4:4:4 color since
+    r09); subsampled/progressive JPEG stays honestly unimplemented."""
     if payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload and payload.startswith(PNG_SIGNATURE):
@@ -1754,6 +1898,423 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(res)
 
     return df.mapInPandas(_batches, JPEG_STATS_SCHEMA)
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pix", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("rgb_min", IntegerType()),
+        StructField("rgb_max", IntegerType()),
+    ]
+)
+
+
+def jpeg_encode_color(df: DataFrame, block_width: int) -> DataFrame:
+    """Arrow-batched flat-block 4:4:4 COLOR JPEG encode over mapInPandas:
+    each input row carries per-block (Y, Cb, Cr) levels (``blocks`` binary
+    column, THREE bytes per 8x8 block, ``block_width`` blocks per row);
+    the kernel runs the full 3-component baseline pipeline (interleaved
+    MCUs, per-component DC prediction, luma DHT slot 0 + Annex-K chroma
+    slot 1, byte stuffing). Closure captures only data constants and
+    inlines the logic (workers never import this package). Pinned
+    byte-identical to encode_jpeg_color by tests/test_multimodal.py."""
+    dc_bits, dc_vals = JPEG_DC_BITS, JPEG_DC_VALS
+    ac_bits, ac_vals = JPEG_AC_BITS, JPEG_AC_VALS
+    cdc_bits, cdc_vals = JPEG_DC_BITS_CHROMA, JPEG_DC_VALS_CHROMA
+    cac_bits, cac_vals = JPEG_AC_BITS_CHROMA, JPEG_AC_VALS_CHROMA
+    qtable, zigzag = JPEG_QTABLE, JPEG_ZIGZAG
+
+    def _batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def huff_map(bits, vals):
+            out, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length]):
+                    out[vals[k]] = (code, length)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        maps = [
+            (huff_map(dc_bits, dc_vals), huff_map(ac_bits, ac_vals)),
+            (huff_map(cdc_bits, cdc_vals), huff_map(cac_bits, cac_vals)),
+        ]
+
+        def category(v):
+            mag, cat = abs(v), 0
+            while mag:
+                mag >>= 1
+                cat += 1
+            return cat
+
+        def encode(blocks: bytes) -> bytes:
+            bw = block_width
+            if not blocks or len(blocks) % (bw * 3):
+                raise ValueError(
+                    f"color block section is {len(blocks)} bytes, not a "
+                    f"multiple of {bw * 3}"
+                )
+            bh = len(blocks) // (bw * 3)
+            buf, acc, nb = bytearray(), 0, 0
+
+            def put(code, length):
+                nonlocal acc, nb
+                acc = (acc << length) | (code & ((1 << length) - 1))
+                nb += length
+                while nb >= 8:
+                    b = (acc >> (nb - 8)) & 0xFF
+                    buf.append(b)
+                    if b == 0xFF:
+                        buf.append(0x00)
+                    nb -= 8
+
+            prev_dc = [0, 0, 0]
+            for mcu in range(bw * bh):
+                for ci in range(3):
+                    dc_map, ac_map = maps[0] if ci == 0 else maps[1]
+                    v = blocks[mcu * 3 + ci]
+                    dc = v - 128
+                    diff = dc - prev_dc[ci]
+                    prev_dc[ci] = dc
+                    cat = category(diff)
+                    code, ln = dc_map[cat]
+                    put(code, ln)
+                    if cat:
+                        put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                    code, ln = ac_map[0x00]
+                    put(code, ln)
+            if nb:
+                pad = 8 - nb
+                put((1 << pad) - 1, pad)
+
+            def seg(marker, data):
+                return struct.pack(">HH", marker, len(data) + 2) + data
+
+            width, height = bw * 8, bh * 8
+            return (
+                b"\xff\xd8"
+                + seg(0xFFDB, bytes([0]) + bytes(qtable[zigzag[i]] for i in range(64)))
+                + seg(
+                    0xFFC0,
+                    struct.pack(">BHHB", 8, height, width, 3)
+                    + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+                )
+                + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(dc_vals))
+                + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits[1:]) + bytes(ac_vals))
+                + seg(0xFFC4, bytes([0x01]) + bytes(cdc_bits[1:]) + bytes(cdc_vals))
+                + seg(0xFFC4, bytes([0x11]) + bytes(cac_bits[1:]) + bytes(cac_vals))
+                + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+                + bytes(buf)
+                + b"\xff\xd9"
+            )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for media_id, blocks in zip(pdf["media_id"], pdf["blocks"]):
+                ids.append(media_id)
+                payloads.append(encode(bytes(blocks)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(_batches, PNG_PAYLOAD_SCHEMA)
+
+
+def jpeg_color_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL 3-component baseline-JPEG decode over
+    mapInPandas: full marker walk, four-slot huffman decode, interleaved
+    MCUs with per-component DC prediction, dequant, zigzag, float IDCT,
+    level shift, then the JFIF YCbCr→RGB conversion with floor(x+0.5)
+    rounding (the one rounding an ANSI-SQL oracle restates exactly) —
+    exact integer channel stats out. Closure inlines the decoder (repo
+    kernel convention); pinned byte-identical to decode_jpeg by
+    tests/test_multimodal.py."""
+    zigzag = JPEG_ZIGZAG
+
+    def _batches(it: Iterator) -> Iterator:
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        cos_t = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+        half_sqrt = 1 / math.sqrt(2)
+        c = [half_sqrt] + [1.0] * 7
+
+        def huff_table(bits, vals):
+            out, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length]):
+                    out[(length, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        def decode(payload: bytes):
+            if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG (SOI missing)")
+            i, n = 2, len(payload)
+            qtables, huff = {}, {}
+            width = height = 0
+            comps, scan_ids = [], []
+            scan_start = -1
+            while i < n:
+                if payload[i] != 0xFF:
+                    raise ValueError(f"expected a marker at offset {i}")
+                marker = payload[i + 1]
+                i += 2
+                if marker == 0xD9:
+                    raise ValueError("JPEG has no scan data")
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    continue
+                if i + 2 > n:
+                    raise ValueError("truncated JPEG segment header")
+                (seglen,) = struct.unpack(">H", payload[i : i + 2])
+                if seglen < 2 or i + seglen > n:
+                    raise ValueError("truncated JPEG segment")
+                data = payload[i + 2 : i + seglen]
+                i += seglen
+                if marker == 0xDB:
+                    j = 0
+                    while j < len(data):
+                        pq, tq = data[j] >> 4, data[j] & 0xF
+                        if pq != 0:
+                            raise ValueError("16-bit quantization tables unsupported")
+                        if j + 65 > len(data):
+                            raise ValueError("truncated DQT")
+                        zz = data[j + 1 : j + 65]
+                        tbl = [0] * 64
+                        for k in range(64):
+                            tbl[zigzag[k]] = zz[k]
+                        qtables[tq] = tbl
+                        j += 65
+                elif marker == 0xC4:
+                    j = 0
+                    while j < len(data):
+                        if j + 17 > len(data):
+                            raise ValueError("truncated DHT")
+                        tc, th = data[j] >> 4, data[j] & 0xF
+                        bits = [0] + list(data[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(data[j + 17 : j + 17 + nv])
+                        if len(vals) != nv:
+                            raise ValueError("truncated DHT")
+                        huff[(tc, th)] = huff_table(bits, vals)
+                        j += 17 + nv
+                elif marker == 0xC0:
+                    if len(data) < 6:
+                        raise ValueError("truncated SOF0")
+                    precision, height, width, nc = struct.unpack(">BHHB", data[:6])
+                    if precision != 8:
+                        raise ValueError(f"unsupported JPEG precision {precision}")
+                    if nc != 3:
+                        raise ValueError("jpeg_color_stats expects 3-component JPEG")
+                    if len(data) < 15:
+                        raise ValueError("truncated SOF0")
+                    comps = []
+                    for ci in range(3):
+                        cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
+                        if hv != 0x11:
+                            raise ValueError("subsampled JPEG unsupported")
+                        comps.append((cid, tq))
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                                0xCB, 0xCD, 0xCE, 0xCF):
+                    raise ValueError("only baseline sequential (SOF0) JPEG decodes")
+                elif marker == 0xDD:
+                    raise ValueError("restart intervals unsupported")
+                elif marker == 0xDA:
+                    if width == 0:
+                        raise ValueError("SOS before SOF0")
+                    if len(data) < 1 + 2 * len(comps) + 3:
+                        raise ValueError("truncated SOS")
+                    if data[0] != len(comps):
+                        raise ValueError("SOS component count differs from SOF0")
+                    scan_ids = []
+                    for ci in range(len(comps)):
+                        sel, tids = data[1 + 2 * ci], data[2 + 2 * ci]
+                        if sel != comps[ci][0]:
+                            raise ValueError("SOS component order differs from SOF0")
+                        scan_ids.append((tids >> 4, tids & 0xF))
+                    scan_start = i
+                    break
+            if scan_start < 0:
+                raise ValueError("JPEG has no SOS marker")
+            if width < 1 or height < 1 or width > 65535 or height > 65535:
+                raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+            for ci in range(3):
+                if comps[ci][1] not in qtables:
+                    raise ValueError(f"missing quantization table {comps[ci][1]}")
+                if (0, scan_ids[ci][0]) not in huff or (1, scan_ids[ci][1]) not in huff:
+                    raise ValueError("missing huffman table")
+            bits_data = bytearray()
+            j = scan_start
+            while j < n:
+                b = payload[j]
+                if b == 0xFF:
+                    if j + 1 >= n:
+                        raise ValueError("truncated JPEG scan")
+                    if payload[j + 1] == 0x00:
+                        bits_data.append(0xFF)
+                        j += 2
+                        continue
+                    break
+                bits_data.append(b)
+                j += 1
+            if payload[j : j + 2] != b"\xff\xd9":
+                raise ValueError("JPEG scan not terminated by EOI")
+            if j + 2 != n:
+                raise ValueError("trailing bytes after JPEG EOI")
+            pos = 0
+
+            def read_bit():
+                nonlocal pos
+                if pos >> 3 >= len(bits_data):
+                    raise ValueError("JPEG entropy stream exhausted mid-block")
+                bit = (bits_data[pos >> 3] >> (7 - (pos & 7))) & 1
+                pos += 1
+                return bit
+
+            def read_huff(tbl):
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | read_bit()
+                    if (length, code) in tbl:
+                        return tbl[(length, code)]
+                raise ValueError("invalid huffman code in JPEG scan")
+
+            def receive_extend(cat):
+                if cat == 0:
+                    return 0
+                v = 0
+                for _ in range(cat):
+                    v = (v << 1) | read_bit()
+                if v < (1 << (cat - 1)):
+                    v -= (1 << cat) - 1
+                return v
+
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            planes = [bytearray(width * height) for _ in range(3)]
+            prev_dc = [0, 0, 0]
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci in range(3):
+                        qt = qtables[comps[ci][1]]
+                        dc_tbl = huff[(0, scan_ids[ci][0])]
+                        ac_tbl = huff[(1, scan_ids[ci][1])]
+                        coeffs = [0] * 64
+                        cat = read_huff(dc_tbl)
+                        prev_dc[ci] += receive_extend(cat)
+                        coeffs[0] = prev_dc[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(ac_tbl)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows the block")
+                            coeffs[zigzag[k]] = receive_extend(size) * qt[zigzag[k]]
+                            k += 1
+                        nz = [(idx, cf) for idx, cf in enumerate(coeffs) if cf]
+                        if not nz or (len(nz) == 1 and nz[0][0] == 0):
+                            val = int(round(coeffs[0] / 8)) + 128
+                            val = 0 if val < 0 else (255 if val > 255 else val)
+                            block = [float(val)] * 64
+                            flat_done = True
+                        else:
+                            acc = [0.0] * 64
+                            for idx, cf in nz:
+                                v, u = idx // 8, idx % 8
+                                cvu = c[v] * c[u] * cf
+                                for y in range(8):
+                                    cy = cos_t[y][v] * cvu
+                                    row = y * 8
+                                    for x in range(8):
+                                        acc[row + x] += cy * cos_t[x][u]
+                            block = acc
+                            flat_done = False
+                        out = planes[ci]
+                        if flat_done and by * 8 + 8 <= height and bx * 8 + 8 <= width:
+                            # flat block fully in bounds: 8 row slice writes
+                            row8 = bytes([int(block[0])]) * 8
+                            for y in range(8):
+                                row_off = (by * 8 + y) * width + bx * 8
+                                out[row_off : row_off + 8] = row8
+                            continue
+                        for y in range(8):
+                            py = by * 8 + y
+                            if py >= height:
+                                break
+                            row_off = py * width
+                            brow = y * 8
+                            for x in range(8):
+                                px = bx * 8 + x
+                                if px >= width:
+                                    continue
+                                if flat_done:
+                                    out[row_off + px] = int(block[brow + x])
+                                else:
+                                    val = int(round(block[brow + x] / 4)) + 128
+                                    out[row_off + px] = (
+                                        0 if val < 0 else (255 if val > 255 else val)
+                                    )
+            # YCbCr -> RGB vectorized: numpy float64 ops are the SAME IEEE
+            # arithmetic as the module reference's per-pixel math.floor path
+            # (pinned identical by tests), ~50x faster on the Arrow batch
+            yv = np.frombuffer(bytes(planes[0]), dtype=np.uint8).astype(np.float64)
+            cb = np.frombuffer(bytes(planes[1]), dtype=np.uint8).astype(np.float64) - 128.0
+            cr = np.frombuffer(bytes(planes[2]), dtype=np.uint8).astype(np.float64) - 128.0
+            r = np.clip(np.floor(yv + 1.402 * cr + 0.5), 0.0, 255.0)
+            g = np.clip(
+                np.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5), 0.0, 255.0
+            )
+            b = np.clip(np.floor(yv + 1.772 * cb + 0.5), 0.0, 255.0)
+            mn = int(min(r.min(), g.min(), b.min()))
+            mx = int(max(r.max(), g.max(), b.max()))
+            return (
+                width, height,
+                int(r.sum()), int(g.sum()), int(b.sum()), mn, mx,
+            )
+
+        for pdf in it:
+            res = {
+                k: []
+                for k in (
+                    "media_id", "width", "height", "n_pix",
+                    "r_sum", "g_sum", "b_sum", "rgb_min", "rgb_max",
+                )
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rs, gs, bs, mn, mx = decode(bytes(payload))
+                res["media_id"].append(media_id)
+                res["width"].append(w)
+                res["height"].append(h)
+                res["n_pix"].append(w * h)
+                res["r_sum"].append(rs)
+                res["g_sum"].append(gs)
+                res["b_sum"].append(bs)
+                res["rgb_min"].append(mn)
+                res["rgb_max"].append(mx)
+            yield pd.DataFrame(res)
+
+    return df.mapInPandas(_batches, JPEG_COLOR_STATS_SCHEMA)
 
 
 WAV_STATS_SCHEMA = StructType(

@@ -3277,14 +3277,82 @@ def q_multimodal_jpeg(spark, sf_dir):
         ).alias("__bh"),
     ).filter(F.col("__bh") >= 1)
     blocks = F.col("__s").substr(F.lit(1), F.col("__bh") * F.lit(JPEG_BW)).cast("binary")
+    # one fixture parquet file -> one scan task; round-robin the tiny rows
+    # so the CPU-bound huffman kernels use every core (see the color twin)
     encoded = jpeg_encode_gray(
-        media.select("media_id", blocks.alias("blocks")), block_width=JPEG_BW
+        media.select("media_id", blocks.alias("blocks")).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        block_width=JPEG_BW,
     )
     stats = jpeg_stats(encoded)
     return stats.select(
         "media_id", "width", "height", "n_pix",
         "px_sum", "px_min", "px_max",
         F.round(F.col("px_sum") / F.col("n_pix"), 4).alias("px_mean"),
+    )
+
+
+JPEGC_BW = 4  # color fixture width in 8x8 blocks (image width = 32 px)
+JPEGC_MAX_BH = 2  # color height cap in blocks (3 bytes/block; 8 MCUs x 3
+# comps = 24 block-codes/doc, the gray key's budget — bh>=2 still exercises
+# cross-row per-component DC prediction)
+
+
+def q_multimodal_jpeg_color(spark, sf_dir):
+    """REAL 3-component baseline-JPEG decode under the DRIVER check (r08
+    verdict #2 — real corpora are color): documents become flat-block
+    4:4:4 COLOR JPEGs (every THREE printable-ASCII text bytes = one 8x8
+    block's integer Y/Cb/Cr levels, encoded through the full 3-component
+    machinery — interleaved MCUs, per-component DC prediction, luma DHT
+    slot 0 + Annex-K chroma slot 1, byte stuffing), and a second Arrow
+    kernel runs the complete color decoder back to RGB. Flat blocks make
+    the lossy pipeline EXACT per component (DC = 8·(s−128) quantized by
+    8 stores s−128 verbatim → integer YCbCr planes recovered
+    bit-exactly), and the one lossy-looking step left — YCbCr→RGB — is
+    pinned to floor(x+0.5) on IEEE doubles so the oracle recomputes the
+    IDENTICAL conversion in SQL from the original text bytes (explicit
+    DOUBLE casts keep DuckDB from evaluating 1.402·k in exact DECIMAL,
+    where floor could disagree with the double path). A single
+    mis-decoded chroma table slot, mis-predicted per-component DC, or
+    mis-rounded conversion term turns the key red. Subsampled (4:2:0)
+    and progressive JPEG keep refusing loudly."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        jpeg_color_stats,
+        jpeg_encode_color,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = JPEGC_BW * 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(JPEGC_MAX_BH), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__bh"),
+    ).filter(F.col("__bh") >= 1)
+    blocks = (
+        F.col("__s").substr(F.lit(1), F.col("__bh") * F.lit(row_bytes)).cast("binary")
+    )
+    # the documents fixture is ONE parquet file -> one scan task; the
+    # CPU-bound huffman kernels need every core, so spread the tiny
+    # (media_id, blocks) rows round-robin before entering Python. At real
+    # scale the scan has thousands of splits and this exchange is a no-op
+    # cost; locally it is 5k rows x ~50 B.
+    encoded = jpeg_encode_color(
+        media.select("media_id", blocks.alias("blocks")).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        block_width=JPEGC_BW,
+    )
+    stats = jpeg_color_stats(encoded)
+    return stats.select(
+        "media_id", "width", "height", "n_pix",
+        "r_sum", "g_sum", "b_sum", "rgb_min", "rgb_max",
+        F.round(F.col("r_sum") / F.col("n_pix"), 4).alias("r_mean"),
+        F.round(F.col("g_sum") / F.col("n_pix"), 4).alias("g_mean"),
+        F.round(F.col("b_sum") / F.col("n_pix"), 4).alias("b_mean"),
     )
 
 
@@ -6923,6 +6991,7 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_video": q_multimodal_video,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_jpeg_color": q_multimodal_jpeg_color,
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
         "gopher_rules": q_gopher_rules,
@@ -8374,6 +8443,53 @@ def oracle_sql() -> dict[str, str]:
         # JPEG roundtrip oracle: DuckDB re-slices the ORIGINAL text bytes
         # (never sees a JPEG); each byte is one flat 8x8 block, so pixel
         # stats derive analytically (64 pixels per block at the byte value).
+        "multimodal_jpeg_color": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({JPEGC_MAX_BH},
+                                 CAST(LENGTH(s) // {JPEGC_BW * 3} AS INT)) AS bh
+                    FROM san),
+            ok AS (SELECT doc_id, s, bh FROM dim WHERE bh >= 1),
+            blk AS (SELECT doc_id, bh,
+                           ord(substr(s, CAST(3 * b + 1 AS INT), 1)) AS y,
+                           ord(substr(s, CAST(3 * b + 2 AS INT), 1)) - 128 AS cb,
+                           ord(substr(s, CAST(3 * b + 3 AS INT), 1)) - 128 AS cr
+                    FROM (SELECT doc_id, bh, s,
+                                 unnest(range(0, bh * {JPEGC_BW})) AS b
+                          FROM ok)),
+            -- floor(x + 0.5) on IEEE doubles, same association order as the
+            -- kernel; explicit DOUBLE casts keep DuckDB out of exact DECIMAL
+            px AS (SELECT doc_id, bh,
+                          GREATEST(0, LEAST(255, CAST(FLOOR(
+                              CAST(y AS DOUBLE)
+                              + CAST(1.402 AS DOUBLE) * cr + 0.5) AS INT)))
+                              AS r,
+                          GREATEST(0, LEAST(255, CAST(FLOOR(
+                              CAST(y AS DOUBLE)
+                              - CAST(0.344136 AS DOUBLE) * cb
+                              - CAST(0.714136 AS DOUBLE) * cr + 0.5) AS INT)))
+                              AS g,
+                          GREATEST(0, LEAST(255, CAST(FLOOR(
+                              CAST(y AS DOUBLE)
+                              + CAST(1.772 AS DOUBLE) * cb + 0.5) AS INT)))
+                              AS b
+                   FROM blk)
+            SELECT doc_id AS media_id,
+                   CAST({JPEGC_BW} * 8 AS INT) AS width,
+                   CAST(bh * 8 AS INT) AS height,
+                   CAST({JPEGC_BW} * 8 * bh * 8 AS BIGINT) AS n_pix,
+                   CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+                   CAST(64 * SUM(g) AS BIGINT) AS g_sum,
+                   CAST(64 * SUM(b) AS BIGINT) AS b_sum,
+                   CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS INT) AS rgb_min,
+                   CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS INT) AS rgb_max,
+                   ROUND(64.0 * SUM(r) / ({JPEGC_BW} * 8 * bh * 8), 4) AS r_mean,
+                   ROUND(64.0 * SUM(g) / ({JPEGC_BW} * 8 * bh * 8), 4) AS g_mean,
+                   ROUND(64.0 * SUM(b) / ({JPEGC_BW} * 8 * bh * 8), 4) AS b_mean
+            FROM px GROUP BY doc_id, bh
+        """,
         "multimodal_jpeg": f"""
             WITH san AS (SELECT doc_id,
                                 regexp_replace(text, '[^ -~]', '', 'g') AS s

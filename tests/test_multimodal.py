@@ -856,11 +856,16 @@ def test_decode_jpeg_rejects_malformed():
     bad[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(bad))
-    # multi-component (color) must refuse: patch nc byte in SOF
+    # 2-component SOF0 must refuse (only grayscale or 4:4:4 color decode)
     bad2 = bytearray(good)
-    bad2[sof + 9] = 3
+    bad2[sof + 9] = 2
     with pytest.raises(ValueError, match="grayscale"):
         decode_jpeg(bytes(bad2))
+    # nc=3 claimed but the SOF only carries one component spec: truncated
+    bad3 = bytearray(good)
+    bad3[sof + 9] = 3
+    with pytest.raises(ValueError, match="truncated SOF0"):
+        decode_jpeg(bytes(bad3))
 
 
 def test_decode_jpeg_truncated_segments_raise_valueerror():
@@ -904,3 +909,106 @@ def test_decode_image_dispatches_jpeg():
 
     w, h, nc, px = decode_image(encode_jpeg_gray(8, 8, bytes([7])))
     assert (w, h, nc) == (8, 8, 1) and set(px) == {7}
+
+
+def test_jpeg_color_flat_roundtrip_exact():
+    """Flat-block color: integer YCbCr planes survive the full 3-component
+    pipeline bit-exactly; RGB equals the documented floor(x+0.5) JFIF
+    conversion with clamps (low-side clamps exercised by extreme chroma)."""
+    import math
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = random.Random(11)
+    for bw, bh in ((1, 1), (4, 2), (3, 5)):
+        blocks = bytes(rng.randrange(32, 127) for _ in range(bw * bh * 3))
+        w, h, nc, rgb = decode_jpeg(encode_jpeg_color(bw * 8, bh * 8, blocks))
+        assert (w, h, nc) == (bw * 8, bh * 8, 3)
+        for bidx in range(bw * bh):
+            yv = blocks[bidx * 3]
+            cb = blocks[bidx * 3 + 1] - 128
+            cr = blocks[bidx * 3 + 2] - 128
+            exp = (
+                max(0, min(255, math.floor(yv + 1.402 * cr + 0.5))),
+                max(0, min(255, math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))),
+                max(0, min(255, math.floor(yv + 1.772 * cb + 0.5))),
+            )
+            bx, by = bidx % bw, bidx // bw
+            for y in range(8):
+                for x in range(8):
+                    px = (by * 8 + y) * (bw * 8) + bx * 8 + x
+                    assert tuple(rgb[px * 3 : px * 3 + 3]) == exp, (bidx, y, x)
+
+
+def test_jpeg_color_kernels_match_reference(spark):
+    """The inlined mapInPandas closures must agree BYTE-identically with
+    encode_jpeg_color / decode_jpeg (the PNG/JPEG kernel discipline)."""
+    import math
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        jpeg_color_stats,
+        jpeg_encode_color,
+    )
+
+    rng = random.Random(13)
+    width_blocks = 4
+    blocks_list = [
+        bytes(rng.randrange(32, 127) for _ in range(width_blocks * 3 * bh))
+        for bh in (1, 3, 4, 2)
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blocks_list)], "media_id LONG, blocks BINARY"
+    )
+    encoded = {
+        r.media_id: bytes(r.payload)
+        for r in jpeg_encode_color(df, width_blocks).collect()
+    }
+    for i, blocks in enumerate(blocks_list):
+        bh = len(blocks) // (width_blocks * 3)
+        assert encoded[i] == encode_jpeg_color(width_blocks * 8, bh * 8, blocks)
+
+    pdf = spark.createDataFrame(
+        sorted(encoded.items()), "media_id LONG, payload BINARY"
+    )
+    got = {r.media_id: r for r in jpeg_color_stats(pdf).collect()}
+    for i in encoded:
+        w, h, nc, rgb = decode_jpeg(encoded[i])
+        r = got[i]
+        assert (r.width, r.height, r.n_pix) == (w, h, w * h)
+        assert (r.r_sum, r.g_sum, r.b_sum) == (
+            sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]),
+        )
+        assert r.rgb_min == min(rgb) and r.rgb_max == max(rgb)
+
+
+def test_jpeg_color_refusals():
+    """Subsampled, SOS/SOF mismatch, and progressive stay loud errors."""
+    import pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    good = encode_jpeg_color(8, 8, bytes([100, 90, 110]))
+    i = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 11] = 0x22  # Y sampling 2x2 -> 4:2:0
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[i + 1] = 0xC2  # progressive SOF2
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(bad2))
+    j = good.index(b"\xff\xda")
+    bad3 = bytearray(good)
+    bad3[j + 5] = 9  # scan names a component SOF0 never declared
+    with pytest.raises(ValueError, match="component"):
+        decode_jpeg(bytes(bad3))

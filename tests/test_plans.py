@@ -388,6 +388,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_resize",  # real box-filter downsample kernel (multimodal.ppm_resize_stats)
     "multimodal_png",  # real PNG deflate+inflate kernels (multimodal.png_encode_rgb/png_stats)
     "multimodal_jpeg",  # real baseline-JPEG encode+decode kernels (multimodal.jpeg_encode_gray/jpeg_stats)
+    "multimodal_jpeg_color",  # real 3-component JPEG kernels (multimodal.jpeg_encode_color/jpeg_color_stats)
     "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
 }
 
