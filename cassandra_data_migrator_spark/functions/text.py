@@ -28,6 +28,36 @@ def token_count_ws(c: Column | str) -> Column:
     return F.size(tokens(c)).cast("bigint")
 
 
+# --- script-aware tokenization (r09, verdict #3) -------------------------
+# Whitespace tokenization silently collapses no-whitespace scripts (CJK,
+# Thai) to one token per run, skewing every token-count-derived statistic
+# on multilingual crawls. The script-aware path emits each Han / Hiragana /
+# Katakana / Thai character as its own token (the char-segmentation
+# baseline real BPE tokenizers approximate) and keeps whitespace-delimited
+# chunks for everything else. Two regex dialects, one semantics: Java
+# (Spark) needs the Is prefix on script properties; RE2 (DuckDB) takes the
+# bare script name — cross-engine agreement is pinned by the
+# tokenizer_cjk_fertility oracle and tests/test_text_functions.py.
+CJK_CLASS_JAVA = r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsThai}"
+CJK_CLASS_RE2 = r"\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}"
+SCRIPT_TOKEN_RE_JAVA = f"([{CJK_CLASS_JAVA}]|[^\\s{CJK_CLASS_JAVA}]+)"
+SCRIPT_TOKEN_RE_RE2 = f"([{CJK_CLASS_RE2}]|[^\\s{CJK_CLASS_RE2}]+)"
+CJK_SINGLE_RE_JAVA = f"^[{CJK_CLASS_JAVA}]$"
+CJK_SINGLE_RE_RE2 = f"^[{CJK_CLASS_RE2}]$"
+
+
+def tokens_script(c: Column | str) -> Column:
+    """Lowercased script-aware tokens: one token per CJK/Thai character,
+    whitespace-delimited runs elsewhere. A JVM regexp_extract_all — stays
+    inside codegen like tokens()."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(F.lower(c), F.lit(SCRIPT_TOKEN_RE_JAVA), 1)
+
+
+def token_count_script(c: Column | str) -> Column:
+    return F.size(tokens_script(c)).cast("bigint")
+
+
 WORD_CHUNK_RE = "[A-Za-z0-9]+"
 PUNCT_RE = "[^A-Za-z0-9 ]"
 

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from cassandra_data_migrator_spark.functions import codecs
 from cassandra_data_migrator_spark.functions.json_ops import explode_map, extract_json, json_to_map
 from cassandra_data_migrator_spark.functions.text import (
+    CJK_SINGLE_RE_RE2,
     FINGERPRINT_SQL,
     LANG_MARKERS,
+    SCRIPT_TOKEN_RE_RE2,
     STOPWORDS,
     fingerprint,
     lang_id,
@@ -5682,6 +5684,75 @@ def q_tokenizer_fertility(spark, sf_dir):
     )
 
 
+# CJK tokenizer fixture (r09 — the fixture corpus is Latin-only, so the
+# no-whitespace failure mode is planted IN-PLAN, the dedup-clone
+# discipline): doc_id % 4 selects a deterministic script suffix.
+CJK_SUFFIXES = [
+    "",  # 0: untouched Latin baseline
+    " 你好世界模型",  # 1: six Han chars — ONE ws token, six script tokens
+    " ai人工智能こんにちはmodel",  # 2: mixed Latin/Han/Hiragana run
+    " สวัสดีโลก",  # 3: Thai incl. combining marks (script=Thai singles)
+]
+
+
+def q_tokenizer_cjk_fertility(spark, sf_dir):
+    """SCRIPT-AWARE tokenization audit (r08 verdict #3): whitespace
+    tokenization collapses CJK/Thai runs to one token, silently skewing
+    every token-count-derived key on multilingual crawls. Documents gain
+    a deterministic script suffix (doc_id % 4: none / Han / mixed
+    Latin+Han+Hiragana / Thai) and the key measures, per planted group,
+    the whitespace count vs the script-aware count (one token per
+    Han/Hiragana/Katakana/Thai char, whitespace chunks elsewhere) plus
+    the single-CJK-token tally — fertility > 1 on groups 1-3 IS the
+    collapse made visible. Same regex semantics stated in two dialects
+    (Java p{IsHan} / RE2 p{Han}); cross-engine token-level agreement
+    pinned in tests. One scan, one 4-row groupBy.
+
+    Which keys stay whitespace-scoped: every token-derived key over the
+    Latin-only fixture (token budgets, shard balance, LM/KN keys, Gopher
+    rules, fertility E23) keeps tokens() — correct there by construction;
+    COVERAGE.md's r09 note records the per-key rationale and this key
+    guards the script-aware path a multilingual deployment would swap in."""
+    from cassandra_data_migrator_spark.functions.text import (
+        CJK_SINGLE_RE_JAVA,
+        tokens_script,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(CJK_SUFFIXES[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(CJK_SUFFIXES[2]))
+        .when(F.col("doc_id") % 4 == 3, F.lit(CJK_SUFFIXES[3]))
+        .otherwise(F.lit(""))
+    )
+    aug = F.concat(F.col("text"), suffix)
+    st = tokens_script(aug)
+    base = d.select(
+        (F.col("doc_id") % 4).cast("int").alias("script_group"),
+        F.size(tokens(aug)).cast("bigint").alias("n_ws"),
+        F.size(st).cast("bigint").alias("n_script"),
+        F.size(
+            F.filter(st, lambda t: t.rlike(CJK_SINGLE_RE_JAVA))
+        ).cast("bigint").alias("n_cjk"),
+    )
+    agg = base.groupBy("script_group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_script").cast("bigint").alias("script_tokens"),
+        F.sum("n_cjk").cast("bigint").alias("cjk_tokens"),
+    )
+    return agg.select(
+        "script_group",
+        "n_docs",
+        "ws_tokens",
+        "script_tokens",
+        "cjk_tokens",
+        F.round(
+            F.col("script_tokens") / F.nullif(F.col("ws_tokens"), F.lit(0)), 4
+        ).alias("fertility_r4"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-8 north-star additions: site-level filtering, distribution drift
 # testing, co-occurrence statistics, hashed linear classification, signal
@@ -6983,6 +7054,7 @@ def queries() -> dict[str, QueryFn]:
         "binaryfile_ingest": q_binaryfile_ingest,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "tokenizer_cjk_fertility": q_tokenizer_cjk_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
         "substring_dedup_spans": q_substring_dedup_spans,
         "validate_diff_sampled": q_validate_diff_sampled,
@@ -7244,6 +7316,31 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS flagged_subset_ok,
                    TRUE AS catch_rate_ok
             FROM orders
+        """,
+        "tokenizer_cjk_fertility": f"""
+            WITH aug AS (SELECT CAST(doc_id % 4 AS INT) AS script_group,
+                                text || CASE CAST(doc_id % 4 AS INT)
+                                        WHEN 1 THEN '{CJK_SUFFIXES[1]}'
+                                        WHEN 2 THEN '{CJK_SUFFIXES[2]}'
+                                        WHEN 3 THEN '{CJK_SUFFIXES[3]}'
+                                        ELSE '' END AS t
+                         FROM documents),
+            tok AS (SELECT script_group,
+                           len(list_filter(string_split_regex(lower(t),
+                               '\\s+'), x -> x <> '')) AS n_ws,
+                           regexp_extract_all(lower(t),
+                               '{SCRIPT_TOKEN_RE_RE2}', 1) AS st
+                    FROM aug)
+            SELECT script_group,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(st)) AS BIGINT) AS script_tokens,
+                   CAST(SUM(len(list_filter(st, x -> regexp_matches(x,
+                       '{CJK_SINGLE_RE_RE2}')))) AS BIGINT)
+                       AS cjk_tokens,
+                   ROUND(CAST(SUM(len(st)) AS DOUBLE)
+                         / NULLIF(SUM(n_ws), 0), 4) AS fertility_r4
+            FROM tok GROUP BY script_group
         """,
         "tokenizer_fertility": f"""
             SELECT lang,
