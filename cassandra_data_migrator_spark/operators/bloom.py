@@ -323,3 +323,45 @@ def bloom_corpus_dedup_audit(
             == 0
         ).alias("verify_exact_ok"),
     )
+
+
+def bloom_corpus_dedup_keep(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """Row-level routing twin of :func:`bloom_corpus_dedup_audit`: return
+    the batch rows whose content does NOT already exist in the standing
+    corpus — the stage a nightly curation pipeline actually chains on.
+
+    Exact by construction: definitely-new rows (no bloom bit match) skip
+    the verify join entirely under the no-false-negative law; candidate
+    rows are confirmed by ONE equi-join of the candidate SLIVER against
+    the corpus hash column. The survivor set is therefore row-identical
+    to an md5 anti-join — the bloom changes only COST (the corpus never
+    joins the full batch), which is what keeps the shape viable when the
+    standing corpus is 100 TB and the batch is a day of crawl."""
+    key_batch = F.md5(F.col(text_col).cast("binary"))
+    corpus_h = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__h"))
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    m = sized_bits(n_corpus)
+    packed = build_bloom(corpus_h, "__h", m)
+    probed = with_bloom_flag(
+        batch.withColumn("__h", key_batch), "__h", packed, m,
+        flag_col="__dnew",
+    )
+    survivors_new = probed.filter(F.col("__dnew"))
+    survivors_cand = (
+        probed.filter(~F.col("__dnew"))
+        .join(
+            corpus_h.distinct().withColumn("__dup", F.lit(1)),
+            "__h",
+            "left",
+        )
+        .filter(F.col("__dup").isNull())
+        .drop("__dup")
+    )
+    return survivors_new.unionByName(survivors_cand).drop("__h", "__dnew")

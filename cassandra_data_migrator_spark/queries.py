@@ -431,6 +431,13 @@ def q_url_dedup(spark, sf_dir):
     from cassandra_data_migrator_spark.functions.urls import url_dedup
 
     d = _t(spark, sf_dir, "documents")
+    return url_dedup(d.withColumn("url", _crawl_url_expr()), "url", "doc_id")
+
+
+def _crawl_url_expr():
+    """The deterministic noisy crawl URL planted on each document (see
+    q_url_dedup for the per-mod noise/identity design) — shared by
+    url_dedup and the curation_pipeline composition."""
     m12 = (F.col("doc_id") % 12).cast("string")
     m9 = (F.col("doc_id") % 9).cast("string")
     v = F.col("doc_id") % 7
@@ -447,11 +454,10 @@ def q_url_dedup(spark, sf_dir):
         F.lit("")
     )
     user = F.when(v == 6, F.lit("u:P@")).otherwise(F.lit(""))
-    url = F.concat(
+    return F.concat(
         scheme, F.lit("://"), user, host, port, F.lit("/Docs/Page-"), m12, trail,
         qq, frag,
     )
-    return url_dedup(d.withColumn("url", url), "url", "doc_id")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -6715,6 +6721,194 @@ def q_bloom_corpus_dedup(spark, sf_dir):
     return bloom.bloom_corpus_dedup_audit(corpus, batch)
 
 
+CURATION_BUDGET = 6_000  # tokens — the nightly batch's training-mix budget
+CURATION_SHARDS = 4  # output shards of the batch manifest
+
+
+def _curation_survivors(spark, sf_dir):
+    """Stages 1-3 of the nightly curation pipeline (domain gate → URL
+    keep-first → bloom corpus dedup), materialized ONCE per session as a
+    standing parquet artifact — exactly the stage boundary a real
+    pipeline checkpoints at (and without which every downstream
+    self-reference would replay the gating windows). The documents
+    fixture is scanned only inside this build."""
+
+    def _build():
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") % BLOOM_DEDUP_BATCH_MOD != 0)
+        clones = corpus.filter(
+            F.col("doc_id") % BLOOM_DEDUP_CLONE_MOD == 0
+        ).select((F.col("doc_id") + BLOOM_DEDUP_CLONE_SHIFT).alias("doc_id"), "text")
+        batch = d.filter(F.col("doc_id") % BLOOM_DEDUP_BATCH_MOD == 0).unionByName(
+            clones
+        )
+        # 1) domain gating (domain_stats semantics, exact-integer gate:
+        #    dup_ratio <= 0.2  <=>  5*(n - n_distinct) <= n)
+        domain = F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % DOMAIN_SITES).cast("string"),
+            F.lit(".example-"),
+            (F.col("doc_id") % DOMAIN_TLDS).cast("string"),
+            F.lit(".com"),
+        )
+        dom = batch.withColumn("domain", domain)
+        stats = dom.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.count_distinct(F.md5(F.col("text").cast("binary")))
+            .cast("bigint")
+            .alias("__nd"),
+        )
+        good = stats.filter(
+            (F.col("__n") >= DOMAIN_MIN_DOCS)
+            & (5 * (F.col("__n") - F.col("__nd")) <= F.col("__n"))
+        ).select("domain")
+        gated = dom.join(F.broadcast(good), "domain")
+        # 2) URL keep-first (full parser path — canonicalize_url, the same
+        #    expression url_dedup deploys; keep min doc_id per canon)
+        from cassandra_data_migrator_spark.functions.urls import canonicalize_url
+
+        canon = gated.withColumn(
+            "__canon", canonicalize_url(_crawl_url_expr())
+        )
+        w = Window.partitionBy("__canon")
+        reps = (
+            canon.withColumn("__min", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("__min"))
+            .select("doc_id", "text")
+        )
+        # 3) bloom corpus dedup: drop batch content already in the corpus
+        from cassandra_data_migrator_spark.operators import bloom
+
+        return bloom.bloom_corpus_dedup_keep(corpus, reps).select(
+            "doc_id", "text"
+        )
+
+    return _session_artifact(spark, f"curation_surv|{sf_dir}", _build)
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END nightly curation composition (r08 verdict #5) — the job
+    a real 100 TB crawl pipeline runs per ingest batch, chained as ONE
+    declared surface key so cross-operator fusion/alias bugs that no
+    single-operator key can catch turn a driver row red:
+
+      batch (new docs + re-arrived clones)
+        → domain gating            (corpus-stats broadcast gate)
+        → URL canonical keep-first (full parser, one window)
+        → bloom corpus dedup       (exact anti-join semantics, bloom cost)
+        → quality-signal ensemble  (decimal-exact z-moments broadcast)
+        → token-budget selection   (histogram-bounded greedy prefix)
+        → token-balanced shards    (global_rank % N manifest)
+
+    Scan discipline: the documents fixture is touched only inside the
+    survivors artifact build (stage-boundary checkpoint, the real
+    pipeline's materialization point); the returned plan reads the tiny
+    survivor parquet — pinned by tests/test_plans.py (zero documents
+    scans in the final plan). Output is the per-shard manifest the
+    trainer's loader consumes. The oracle restates the ENTIRE chain in
+    SQL (analytic canon form, md5 anti-join, identical IEEE z-arithmetic,
+    running-sum budget, ROW_NUMBER shard assignment)."""
+    from cassandra_data_migrator_spark.operators import rank as rank_ops
+
+    surv = _curation_survivors(spark, sf_dir)
+    # 4) quality ensemble over survivors (quality_ensemble's arithmetic,
+    #    s2 from length(text) — survivors carry only (doc_id, text))
+    arr = surv.select(
+        "doc_id", F.length("text").alias("n_chars"), tokens("text").alias("ts")
+    )
+    ts = F.col("ts")
+    sig = arr.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("s1"),
+        F.round(
+            F.col("n_chars") / F.nullif(F.size(ts).cast("bigint"), F.lit(0)), 4
+        )
+        .cast("decimal(18,4)")
+        .alias("s2"),
+        F.round(
+            F.size(F.array_distinct(ts))
+            / F.nullif(F.size(ts).cast("bigint"), F.lit(0)),
+            4,
+        )
+        .cast("decimal(18,4)")
+        .alias("s3"),
+    ).filter(F.col("s2").isNotNull())
+    moments = sig.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s1").cast("decimal(38,8)").alias("t1"),
+        F.sum(F.col("s1") * F.col("s1")).cast("decimal(38,8)").alias("q1"),
+        F.sum("s2").cast("decimal(38,8)").alias("t2"),
+        F.sum(F.col("s2") * F.col("s2")).cast("decimal(38,8)").alias("q2"),
+        F.sum("s3").cast("decimal(38,8)").alias("t3"),
+        F.sum(F.col("s3") * F.col("s3")).cast("decimal(38,8)").alias("q3"),
+    )
+
+    def z(s, t, q):
+        mean = t.cast("double") / F.col("n")
+        var = q.cast("double") / F.col("n") - mean * mean
+        std = F.sqrt(var)
+        return F.when(std == 0, F.lit(0.0)).otherwise(
+            (s.cast("double") - mean) / std
+        )
+
+    scored = sig.crossJoin(F.broadcast(moments)).select(
+        "doc_id",
+        F.col("s1").alias("n_tok"),
+        F.round(
+            (
+                z(F.col("s1"), F.col("t1"), F.col("q1"))
+                + z(F.col("s2"), F.col("t2"), F.col("q2"))
+                + z(F.col("s3"), F.col("t3"), F.col("q3"))
+            )
+            / 3,
+            4,
+        )
+        .cast("decimal(18,4)")
+        .alias("ens4"),
+    )
+    # 5) token-budget greedy prefix by (ens4 desc, doc_id) — the
+    #    histogram-bounded cumsum (token_budget_select's shape keyed on
+    #    the 4dp-bounded ensemble score)
+    hist = scored.groupBy("ens4").agg(F.sum("n_tok").alias("__qtok"))
+    w_cum = Window.orderBy(F.col("ens4").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offsets = hist.select(
+        "ens4", (F.sum("__qtok").over(w_cum) - F.col("__qtok")).alias("__before")
+    )
+    w_in = (
+        Window.partitionBy("ens4")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    selected = (
+        scored.join(F.broadcast(offsets), "ens4")
+        .withColumn(
+            "__cum", (F.col("__before") + F.sum("n_tok").over(w_in)).cast("bigint")
+        )
+        .filter(F.col("__cum") <= CURATION_BUDGET)
+        .select("doc_id", "n_tok")
+    )
+    # 6) token-balanced shards over the selection (shard_balance's shape)
+    ranked = rank_ops.global_rank(
+        selected.withColumn("__neg", -F.col("n_tok")), "__neg", "doc_id",
+        pos_col="pos",
+    )
+    per = ranked.select(
+        "n_tok", (F.col("pos") % CURATION_SHARDS).cast("bigint").alias("shard")
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+    )
+    total = per.agg(F.sum("sum_tok").cast("bigint").alias("__tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "sum_tok",
+        F.round(F.col("sum_tok") / F.col("__tot"), 4).alias("share_r"),
+    )
+
+
 CHURN_EDIT_MOD = 3  # recrawl fixture: mod-3 docs lose their first line
 
 
@@ -7017,6 +7211,7 @@ def queries() -> dict[str, QueryFn]:
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "bloom_corpus_dedup": q_bloom_corpus_dedup,
+        "curation_pipeline": q_curation_pipeline,
         "doc_edit_churn": q_doc_edit_churn,
         "group_ksample": q_group_ksample,
         "dhash_near_dup": q_dhash_near_dup,
@@ -9009,6 +9204,83 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN 2 * (a % b) >= b THEN 1 ELSE 0 END
                         AS DOUBLE) / 10000.0 + 0.0 AS holdout_nll
             FROM agg
+        """,
+        "curation_pipeline": f"""
+            WITH d AS (SELECT doc_id, text FROM documents),
+            corpus AS (SELECT doc_id, text FROM d
+                       WHERE doc_id % {BLOOM_DEDUP_BATCH_MOD} != 0),
+            batch AS (SELECT doc_id, text FROM d
+                      WHERE doc_id % {BLOOM_DEDUP_BATCH_MOD} = 0
+                      UNION ALL
+                      SELECT doc_id + {BLOOM_DEDUP_CLONE_SHIFT}, text
+                      FROM corpus WHERE doc_id % {BLOOM_DEDUP_CLONE_MOD} = 0),
+            dom AS (SELECT doc_id, text,
+                           'site' || (doc_id % {DOMAIN_SITES}) || '.example-'
+                           || (doc_id % {DOMAIN_TLDS}) || '.com' AS domain
+                    FROM batch),
+            gate AS (SELECT domain
+                     FROM (SELECT domain, COUNT(*) AS n,
+                                  COUNT(DISTINCT md5(text)) AS nd
+                           FROM dom GROUP BY domain)
+                     WHERE n >= {DOMAIN_MIN_DOCS} AND 5 * (n - nd) <= n),
+            gated AS (SELECT doc_id, text FROM dom JOIN gate USING (domain)),
+            canon AS (SELECT doc_id, text,
+                             'http://'
+                             || CASE WHEN doc_id % 7 = 6 THEN 'u:P@' ELSE '' END
+                             || 'www.crawl.example.com/Docs/Page-' || (doc_id % 12)
+                             || '?a=' || (doc_id % 9) || '&z=9' AS cu
+                      FROM gated),
+            reps AS (SELECT doc_id, text
+                     FROM (SELECT doc_id, text,
+                                  doc_id = MIN(doc_id) OVER (PARTITION BY cu)
+                                      AS is_rep
+                           FROM canon)
+                     WHERE is_rep),
+            surv AS (SELECT doc_id, text FROM reps
+                     WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+            sig AS (SELECT doc_id,
+                           CAST(len(ts) AS BIGINT) AS s1,
+                           CAST(ROUND(length(text) / CAST(len(ts) AS BIGINT),
+                                4) AS DECIMAL(18,4)) AS s2,
+                           CAST(ROUND(CAST(len(list_distinct(ts)) AS BIGINT)
+                                / CAST(len(ts) AS BIGINT), 4)
+                                AS DECIMAL(18,4)) AS s3
+                    FROM (SELECT doc_id, text, {TOKS_SQL} AS ts FROM surv)
+                    WHERE len(ts) > 0),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(s1) AS DECIMAL(38,8)) AS t1,
+                         CAST(SUM(s1 * s1) AS DECIMAL(38,8)) AS q1,
+                         CAST(SUM(s2) AS DECIMAL(38,8)) AS t2,
+                         CAST(SUM(s2 * s2) AS DECIMAL(38,8)) AS q2,
+                         CAST(SUM(s3) AS DECIMAL(38,8)) AS t3,
+                         CAST(SUM(s3 * s3) AS DECIMAL(38,8)) AS q3
+                  FROM sig),
+            scored AS (SELECT doc_id, s1 AS n_tok,
+                              CAST(ROUND((
+                                   {_ENSEMBLE_Z_SQL('s1', 't1', 'q1')}
+                                   + {_ENSEMBLE_Z_SQL('s2', 't2', 'q2')}
+                                   + {_ENSEMBLE_Z_SQL('s3', 't3', 'q3')}
+                                   ) / 3, 4) AS DECIMAL(18,4)) AS ens4
+                       FROM sig CROSS JOIN m),
+            sel AS (SELECT doc_id, n_tok
+                    FROM (SELECT doc_id, n_tok,
+                                 SUM(n_tok) OVER (ORDER BY ens4 DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+                          FROM scored)
+                    WHERE cum <= {CURATION_BUDGET}),
+            rk AS (SELECT n_tok,
+                          ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1
+                              AS pos
+                   FROM sel),
+            per AS (SELECT CAST(pos % {CURATION_SHARDS} AS BIGINT) AS shard,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+                    FROM rk GROUP BY 1),
+            tot AS (SELECT CAST(SUM(sum_tok) AS BIGINT) AS t FROM per)
+            SELECT shard, n_docs, sum_tok,
+                   ROUND(CAST(sum_tok AS DOUBLE) / t, 4) AS share_r
+            FROM per CROSS JOIN tot
         """,
         "bloom_corpus_dedup": f"""
             WITH corpus AS (SELECT doc_id, text FROM documents

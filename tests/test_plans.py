@@ -194,6 +194,7 @@ GLOBAL_WINDOW_KEYS = {
     "nb_classifier_eval": "histogram",  # totals over the 4096-bucket weight table
     "quality_ensemble": "histogram",  # rank.global_rank over the 4dp-bounded score histogram
     "skipgram_cooc": "pruned",  # rank.top_k_rows over pair counts
+    "curation_pipeline": "histogram",  # budget cumsum + global_rank over bounded histograms
 }
 
 
@@ -454,6 +455,7 @@ BNLJ_KEYS = {
     "pq_recall_clustered": "probe",  # broadcast LUT-table probe join + 1-row hit carry
     "pq_ivf_recall_audit": "total",  # scoring join is equi on cell; 1-row hit carry
     "pq_ivf_recall_clustered": "total",  # scoring join is equi on cell; 1-row hit carry
+    "curation_pipeline": "total",  # 1-row z-moments + shard-total broadcasts
 }
 
 
@@ -538,3 +540,14 @@ def test_pq_ivf_scoring_join_is_cell_equi_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "pq_ivf_recall_audit", mode="simple")
     assert "BroadcastHashJoin [cell" in p, f"cell equi-join missing:\n{p}"
     assert p.count("BroadcastNestedLoopJoin") <= 2  # n_brute x n_hit carries
+
+
+def test_curation_pipeline_scan_discipline(spark, sf_dir):
+    """The composition key's returned plan must read the materialized
+    survivor artifact, never re-scan the documents fixture — the
+    stage-boundary checkpoint is the declared scan discipline (without
+    it, every downstream self-reference replays the gating windows and
+    the bloom probe)."""
+    p = _plan(spark, sf_dir, "curation_pipeline", mode="simple")
+    assert "documents.parquet" not in p, "final plan re-scans documents"
+    assert "curation_surv" in p, "final plan does not read the artifact"
