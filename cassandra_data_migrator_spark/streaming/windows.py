@@ -46,6 +46,12 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
+    return _normalize_ts(stream)
+
+
+def _normalize_ts(stream: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column (BIGINT nanos on the nanosAsLong
+    read path, timestamp otherwise) to a true timestamp + ``ts_us``."""
     ts_type = dict(stream.dtypes)["ts"]
     if ts_type == "bigint":
         stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
@@ -54,6 +60,25 @@ def read_events_stream(
     else:
         stream = stream.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     return stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
+def read_parquet_stream_dir(
+    spark: SparkSession,
+    schema_df: DataFrame,
+    directory: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over an ARBITRARY directory of arriving event
+    files — the checkpoint-restart tests stage their own file batches into
+    it between runs (the production arrival shape). Same ts normalization
+    as read_events_stream."""
+    configure_session(spark)
+    stream = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+    return _normalize_ts(stream)
 
 
 def streaming_tumbling(
