@@ -105,6 +105,77 @@ KNOWN_KEYS: dict[str, tuple[type, Any]] = {
     "spark.cdm.trackRun.runInfo.path": (str, ""),
 }
 
+# ---------------------------------------------------------------------------
+# Accepted-but-not-implemented tier (r09, verdict #7). REAL knobs from CDM
+# 6.0.1's cdm-detailed.properties (the file the reference pins,
+# Dockerfile:60-61) that this engine deliberately does not implement — they
+# configure live-cluster driver behavior (hosts, TLS, consistency levels,
+# paging) or CDM internals this engine replaces with Spark-native
+# equivalents (documented per key). A production properties file must port
+# WITHOUT edits: these keys are accepted with a warning and recorded in
+# ``MigrationConfig.noop_values``; a key in NEITHER registry is still the
+# hard error the wrapper raises (entrypoint.sh:145-149). Three tiers total:
+#   implemented (KNOWN_KEYS) | accepted-noop (this) | unknown (error).
+ACCEPTED_NOOP_KEYS: dict[str, str] = {
+    # live-cluster connection endpoints — sources/cassandra.py is an honest
+    # interface stub in this sandbox; paths/formats replace host:port
+    "spark.cdm.connect.origin.host": "live-cluster endpoint (connector stub)",
+    "spark.cdm.connect.origin.port": "live-cluster endpoint (connector stub)",
+    "spark.cdm.connect.origin.scb": "Astra secure connect bundle (connector stub)",
+    "spark.cdm.connect.target.host": "live-cluster endpoint (connector stub)",
+    "spark.cdm.connect.target.port": "live-cluster endpoint (connector stub)",
+    "spark.cdm.connect.target.scb": "Astra secure connect bundle (connector stub)",
+    # TLS material — driver-level; Spark passes these to the connector
+    "spark.cdm.connect.origin.tls.enabled": "driver TLS (connector-level)",
+    "spark.cdm.connect.origin.tls.trustStore.path": "driver TLS (connector-level)",
+    "spark.cdm.connect.origin.tls.trustStore.password": "driver TLS (connector-level)",
+    "spark.cdm.connect.origin.tls.trustStore.type": "driver TLS (connector-level)",
+    "spark.cdm.connect.origin.tls.keyStore.path": "driver TLS (connector-level)",
+    "spark.cdm.connect.origin.tls.keyStore.password": "driver TLS (connector-level)",
+    "spark.cdm.connect.origin.tls.enabledAlgorithms": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.enabled": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.trustStore.path": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.trustStore.password": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.trustStore.type": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.keyStore.path": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.keyStore.password": "driver TLS (connector-level)",
+    "spark.cdm.connect.target.tls.enabledAlgorithms": "driver TLS (connector-level)",
+    # keyspace.table naming — this engine addresses tables by path/format
+    "spark.cdm.schema.origin.keyspaceTable": "addressed by connect.*.path here",
+    "spark.cdm.schema.target.keyspaceTable": "addressed by connect.*.path here",
+    # per-row TTL/writetime SINK semantics — SURVEY §4.3.1 connector gap;
+    # the COMPUTATION is implemented (functions/writetime.py)
+    "spark.cdm.schema.origin.column.ttl.automatic": "per-row TTL sink (SURVEY 4.3.1)",
+    "spark.cdm.schema.origin.column.ttl.names": "per-row TTL sink (SURVEY 4.3.1)",
+    "spark.cdm.schema.origin.column.writetime.automatic": "per-row writetime sink (SURVEY 4.3.1)",
+    "spark.cdm.schema.origin.column.writetime.names": "per-row writetime sink (SURVEY 4.3.1)",
+    "spark.cdm.schema.ttlwritetime.calc.useCollections": "per-row TTL/writetime sink (SURVEY 4.3.1)",
+    # consistency levels / paging / stats cadence — connector & logging level
+    "spark.cdm.perfops.consistency.read": "connector input.consistency.level",
+    "spark.cdm.perfops.consistency.write": "connector output.consistency.level",
+    "spark.cdm.perfops.printStatsAfter": "progress-log cadence (JobCounter logs instead)",
+    "spark.cdm.perfops.printStatsPerPart": "progress-log cadence (JobCounter logs instead)",
+    "spark.cdm.perfops.errorLimit": "spark.task.maxFailures + slice-manifest retry",
+    # codec fine-tuning — codecs are implemented as expressions; these CDM
+    # string-format knobs configure its Java codec registry
+    "spark.cdm.transform.codecs": "codec conversions are typed expressions here",
+    "spark.cdm.transform.codecs.timestamp.string.format": "codec registry knob",
+    "spark.cdm.transform.codecs.timestamp.string.zone": "codec registry knob",
+    "spark.cdm.transform.missing.key.ts.replace.value": "CDM collection-key repair",
+    "spark.cdm.transform.map.remove.null.value": "CDM map-codec repair",
+    "spark.cdm.feature.constantColumns.splitRegex": "constant columns split on ',' here",
+    # token-range partition files — the slice planner + run tracking replace
+    # CDM's file-based range lists (operators/partition.py, plans/tracking.py)
+    "spark.cdm.tokenrange.partitionFile.input": "slice planner replaces range files",
+    "spark.cdm.tokenrange.partitionFile.output": "slice planner replaces range files",
+    "spark.cdm.tokenrange.partitionFile.appendOnDiff": "slice planner replaces range files",
+}
+
+
+class ConfigNoopWarning(UserWarning):
+    """A real CDM knob was accepted but has no effect in this engine."""
+
+
 JOB_ALIASES = {
     "migrate": "migrate",
     "validate": "validate",
@@ -235,17 +306,34 @@ def env_var_to_key(env_name: str) -> str:
 
 
 _LOWER_KEY_INDEX = {k.lower(): k for k in KNOWN_KEYS}
+_LOWER_NOOP_INDEX = {k.lower(): k for k in ACCEPTED_NOOP_KEYS}
 
 
 @dataclass
 class MigrationConfig:
     values: dict[str, Any] = field(default_factory=dict)
+    # accepted-but-not-implemented knobs land here (tier 2; see
+    # ACCEPTED_NOOP_KEYS) — raw string values, warned once at construction
+    noop_values: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        import warnings
+
         normalized: dict[str, Any] = {}
+        noops: dict[str, str] = dict(self.noop_values)
         for key, value in self.values.items():
             canonical = _LOWER_KEY_INDEX.get(key.lower())
             if canonical is None:
+                noop = _LOWER_NOOP_INDEX.get(key.lower())
+                if noop is not None:
+                    noops[noop] = str(_resolve_env_indirection(value))
+                    warnings.warn(
+                        f"{noop} is a real CDM property this engine accepts "
+                        f"but does not implement ({ACCEPTED_NOOP_KEYS[noop]})",
+                        ConfigNoopWarning,
+                        stacklevel=2,
+                    )
+                    continue
                 raise UnknownConfigKeyError(
                     f"Error: {key} is not a known spark.cdm property"
                 )
@@ -257,6 +345,7 @@ class MigrationConfig:
                 " — the run-tracking manifest is numParts driver-side rows"
             )
         self.values = normalized
+        self.noop_values = noops
 
     @classmethod
     def from_env(cls, environ: dict[str, str] | None = None) -> "MigrationConfig":
@@ -275,6 +364,9 @@ class MigrationConfig:
         return cls(raw)
 
     def get(self, key: str) -> Any:
+        if key in ACCEPTED_NOOP_KEYS:
+            # tier 2: readable for observability, never consulted by plans
+            return self.noop_values.get(key)
         if key not in KNOWN_KEYS:
             raise UnknownConfigKeyError(f"Error: {key} is not a known spark.cdm property")
         return self.values.get(key, KNOWN_KEYS[key][1])
@@ -282,7 +374,10 @@ class MigrationConfig:
     def with_overrides(self, **kv: Any) -> "MigrationConfig":
         merged = dict(self.values)
         merged.update(kv)
-        return MigrationConfig(merged)
+        # carried noop values ride the dedicated field so they are not
+        # re-warned on every derived config; NEW noop keys in kv still
+        # route (and warn) through the constructor
+        return MigrationConfig(merged, noop_values=dict(self.noop_values))
 
     # parsed feature accessors -------------------------------------------------
 

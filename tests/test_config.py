@@ -238,3 +238,92 @@ def test_credentials_reach_connector_auth_options(tmp_path):
     assert connector_auth_options_from_config(cfg, "target") == {}
     with pytest.raises(ValueError, match="role"):
         connector_auth_options_from_config(cfg, "both")
+
+
+class TestConfigTiers:
+    """The three-tier surface (r08 verdict #7): implemented (KNOWN_KEYS) /
+    accepted-noop (real CDM 6.0.1 knobs, warned + recorded) / unknown
+    (hard error, the wrapper's entrypoint.sh:145-149 behavior)."""
+
+    def test_noop_key_accepted_with_warning_and_recorded(self):
+        import warnings
+
+        from cassandra_data_migrator_spark.config import (
+            ConfigNoopWarning,
+            MigrationConfig,
+        )
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cfg = MigrationConfig(
+                {
+                    "spark.cdm.perfops.consistency.read": "LOCAL_QUORUM",
+                    "spark.cdm.schema.pk": "user_id",
+                }
+            )
+        assert any(issubclass(x.category, ConfigNoopWarning) for x in w)
+        # tier 2 is observable but never enters the implemented values
+        assert cfg.get("spark.cdm.perfops.consistency.read") == "LOCAL_QUORUM"
+        assert "spark.cdm.perfops.consistency.read" not in cfg.values
+        assert cfg.noop_values == {
+            "spark.cdm.perfops.consistency.read": "LOCAL_QUORUM"
+        }
+        # implemented tier untouched
+        assert cfg.get("spark.cdm.schema.pk") == "user_id"
+
+    def test_unknown_key_still_hard_errors(self):
+        import pytest
+
+        from cassandra_data_migrator_spark.config import (
+            MigrationConfig,
+            UnknownConfigKeyError,
+        )
+
+        with pytest.raises(UnknownConfigKeyError):
+            MigrationConfig({"spark.cdm.perfops.consistency.raed": "ONE"})  # typo
+        with pytest.raises(UnknownConfigKeyError):
+            MigrationConfig({"spark.cdm.not.a.real.knob": "1"})
+
+    def test_noop_key_case_insensitive_and_env_injected(self):
+        import warnings
+
+        from cassandra_data_migrator_spark.config import MigrationConfig
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg = MigrationConfig.from_env(
+                {
+                    "CDM_PROPERTY_SPARK_CDM_CONNECT_ORIGIN_TLS_ENABLED": "true",
+                    "CDM_PROPERTY_SPARK_CDM_SCHEMA_PK": "k",
+                }
+            )
+        assert cfg.get("spark.cdm.connect.origin.tls.enabled") == "true"
+        assert cfg.get("spark.cdm.schema.pk") == "k"
+
+    def test_with_overrides_carries_noops_without_rewarning(self):
+        import warnings
+
+        from cassandra_data_migrator_spark.config import MigrationConfig
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg = MigrationConfig(
+                {"spark.cdm.perfops.printStatsAfter": "100000"}
+            )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cfg2 = cfg.with_overrides(**{"spark.cdm.schema.pk": "id"})
+        assert not w, "carried noop values must not re-warn"
+        assert cfg2.noop_values == {
+            "spark.cdm.perfops.printStatsAfter": "100000"
+        }
+        assert cfg2.get("spark.cdm.schema.pk") == "id"
+
+    def test_every_noop_key_reason_documented(self):
+        from cassandra_data_migrator_spark.config import ACCEPTED_NOOP_KEYS
+
+        assert all(reason.strip() for reason in ACCEPTED_NOOP_KEYS.values())
+        # the two registries never overlap (a key has exactly one tier)
+        from cassandra_data_migrator_spark.config import KNOWN_KEYS
+
+        assert not set(ACCEPTED_NOOP_KEYS) & set(KNOWN_KEYS)
