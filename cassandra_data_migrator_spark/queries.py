@@ -7187,17 +7187,28 @@ def queries() -> dict[str, QueryFn]:
     """Declared surface, in DRIVER VERIFICATION ORDER.
 
     The driver's correctness check covers the first 50 entries of this dict
-    per round (observed r01-r05 behavior). r07 ordering: the fifteen keys
-    NEW or BEHAVIOR-CHANGED this round lead (run tracking, URL dedup, CCNet
-    buckets, backfill overwrite, DSIR, diversity/drift metrics, the TPC-H
-    decorrelation shapes, PNG, the clustered recall audits, shard balance),
-    then the r06 head, then the keys whose last driver row is OLDEST so the
-    fleet-wide re-verification cadence keeps rolling. Later keys retain local DuckDB parity coverage via
+    per round (observed r01-r05 behavior). r09 ordering: the ten keys NEW
+    or BEHAVIOR-CHANGED this round lead (the IVFADC pair, the reworked PQ
+    pair, color JPEG, CJK tokenization, the curation pipeline, the Q11
+    cast fix, the dhash oracle fix, the repartitioned gray JPEG), then the
+    r07/r08 head (driver-green in r08), then the keys whose last driver
+    row is OLDEST so the fleet-wide re-verification cadence keeps rolling. Later keys retain local DuckDB parity coverage via
     tests/test_oracle_parity.py and tools/parity_check.py --all. See
     COVERAGE.md for the per-key verified-in-round ledger.
     """
     return {
-        # --- r07 window head: new or behavior-changed this round ---
+        # --- r09 window head: new or behavior-changed this round ---
+        "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
+        "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
+        "pq_recall_audit": q_pq_recall_audit,
+        "pq_recall_clustered": q_pq_recall_clustered,
+        "multimodal_jpeg_color": q_multimodal_jpeg_color,
+        "tokenizer_cjk_fertility": q_tokenizer_cjk_fertility,
+        "curation_pipeline": q_curation_pipeline,
+        "sql_frontend_q11": q_sql_frontend_q11,
+        "dhash_near_dup": q_dhash_near_dup,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        # --- r08 window head (r07/r08 keys, driver-green in r08) ---
         "run_tracking_resume": q_run_tracking_resume,
         "domain_stats": q_domain_stats,
         "ks_drift": q_ks_drift,
@@ -7211,15 +7222,12 @@ def queries() -> dict[str, QueryFn]:
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "bloom_corpus_dedup": q_bloom_corpus_dedup,
-        "curation_pipeline": q_curation_pipeline,
         "doc_edit_churn": q_doc_edit_churn,
         "group_ksample": q_group_ksample,
-        "dhash_near_dup": q_dhash_near_dup,
         "sql_frontend_q6": q_sql_frontend_q6,
         "sql_frontend_q7": q_sql_frontend_q7,
         "sql_frontend_q8": q_sql_frontend_q8,
         "sql_frontend_q10": q_sql_frontend_q10,
-        "sql_frontend_q11": q_sql_frontend_q11,
         "sql_frontend_q15": q_sql_frontend_q15,
         "sql_frontend_q16": q_sql_frontend_q16,
         "sql_frontend_q9": q_sql_frontend_q9,
@@ -7249,7 +7257,6 @@ def queries() -> dict[str, QueryFn]:
         "binaryfile_ingest": q_binaryfile_ingest,
         "bloom_prefilter_audit": q_bloom_prefilter_audit,
         "tokenizer_fertility": q_tokenizer_fertility,
-        "tokenizer_cjk_fertility": q_tokenizer_cjk_fertility,
         "zorder_prune_audit": q_zorder_prune_audit,
         "substring_dedup_spans": q_substring_dedup_spans,
         "validate_diff_sampled": q_validate_diff_sampled,
@@ -7257,8 +7264,6 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_video": q_multimodal_video,
         "multimodal_png": q_multimodal_png,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_jpeg_color": q_multimodal_jpeg_color,
         "bpe_apply_audit": q_bpe_apply_audit,
         "multimodal_decode": q_multimodal_decode,
         "gopher_rules": q_gopher_rules,
