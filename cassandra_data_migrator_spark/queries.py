@@ -3770,6 +3770,86 @@ def q_event_paths(spark, sf_dir):
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")  # ordered product funnel
+
+
+def q_funnel_ordered_stages(spark, sf_dir):
+    """Ordered-funnel conversion (view → click → purchase, first-touch):
+    a user converts a stage only with an event STRICTLY AFTER their
+    previous stage's first event — the product-analytics query event_paths
+    only prepares input for (and the STRICT multi-stage upgrade of
+    funnel_conversion's single signup→purchase check). Spark-first: three chained MIN-CASE window
+    expressions over ONE partitionBy(user_id) — the sequential dependency
+    (click after first view, purchase after that click) rides the same
+    exchange, never a self-join per stage; the per-user row collapses via
+    the reusable partitioning and the 1-row stage counts explode into the
+    4-row report. NULL chaining does the funnel logic: no view ⇒ v NULL ⇒
+    ts > v NULL ⇒ click stage NULL — identical three-valued logic in SQL."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "__v",
+        F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts_us"))).over(w),
+    )
+    e = e.withColumn(
+        "__c",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[1])
+                & (F.col("ts_us") > F.col("__v")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "__p",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STAGES[2])
+                & (F.col("ts_us") > F.col("__c")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per = e.groupBy("user_id").agg(
+        F.min("__v").alias("v"), F.min("__c").alias("c"), F.min("__p").alias("p")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.count("v").cast("bigint").alias("n1"),
+        F.count("c").cast("bigint").alias("n2"),
+        F.count("p").cast("bigint").alias("n3"),
+    )
+
+    def stage(idx, name, n, prev):
+        return F.struct(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(n).alias("n_users"),
+            F.col(prev).alias("__prev"),
+            F.col("n0").alias("__top"),
+        )
+
+    rows = F.array(
+        stage(0, "all_users", "n0", "n0"),
+        stage(1, FUNNEL_STAGES[0], "n1", "n0"),
+        stage(2, FUNNEL_STAGES[1], "n2", "n1"),
+        stage(3, FUNNEL_STAGES[2], "n3", "n2"),
+    )
+    x = agg.select(F.explode(rows).alias("s")).select("s.*")
+    return x.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.nullif(F.col("__prev"), F.lit(0)), 4).alias(
+            "conv_from_prev_r"
+        ),
+        F.round(F.col("n_users") / F.nullif(F.col("__top"), F.lit(0)), 4).alias(
+            "conv_from_top_r"
+        ),
+    )
+
+
 def q_migrate_null_policy(spark, sf_dir):
     """CQL null-vs-unset write semantics under the DRIVER check (SURVEY §7
     'What's hard' #2 — previously pytest-only): a delta batch nulls
@@ -6558,6 +6638,223 @@ def q_pq_ivf_recall_clustered(spark, sf_dir):
     )
 
 
+# Residual-encoding IVFADC floors (measured across sf0.001/0.01/0.1, see
+# BASELINE.md r09): training the PQ codebooks on WITHIN-CELL residuals is
+# the actual faiss IVFADC recipe — the codebooks model a tighter
+# distribution than the global vectors, so the ADC shortlist is cleaner.
+IVFADC_RES_RECALL_MIN = 0.6
+IVFADC_RES_RECALL_CLUSTERED_MIN = 0.85
+
+
+def _ivfadc_residual_audit(spark, emb, brute, floor, cache_key, cents,
+                           nprobe=PQ_IVF_NPROBE, query_pred=TOPK_QUERY_PRED,
+                           _measure=False):
+    """Residual-encoding IVFADC (the faiss IndexIVFPQ recipe, completing
+    the composition q_pq_ivf_recall_audit runs on GLOBAL codebooks): each
+    vector is decomposed as unit(x) = unit(c_cell) + residual, per-block
+    codebooks lloyd-train on the RESIDUALS (a tighter distribution than
+    the global unit vectors — the whole point of residual coding), the
+    index stores (cell, 8 residual codes), and ADC scores
+    ||q − x||² = ||q_res − codeword(x_res)||² summed per block, where
+    q_res = unit(q) − unit(c_cell) depends on the PROBED cell — so the
+    broadcast LUT table is keyed (query_id, cell): still DATA, still one
+    plan branch at any query count, one extra tiny join key. Exact
+    re-rank of the shortlist unchanged."""
+    from cassandra_data_migrator_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        norm,
+    )
+    from cassandra_data_migrator_spark.operators import cluster as cl
+    from cassandra_data_migrator_spark.operators import similarity
+
+    v = as_double_array("embedding")
+    unit = F.transform(v, lambda x: x / norm(v))
+    dim = 64
+    bs = dim // PQ_BLOCKS
+
+    def _cents_build():
+        import math
+
+        rows = []
+        for cid, cv in cents:
+            nrm = math.sqrt(sum(float(x) * float(x) for x in cv)) or 1.0
+            rows.append((int(cid), [float(x) / nrm for x in cv]))
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            schema="cell int, ucvec array<double>",
+        )
+
+    cents_df = _session_artifact(spark, f"ivfadc_cents|{cache_key}", _cents_build)
+
+    def _residual_base():
+        a = similarity.assign_ivf_cells(emb, cents, "embedding", nprobe=1)
+        b = a.select(
+            "vec_id", F.element_at("cells", 1).alias("cell"), unit.alias("__v")
+        )
+        return b.join(F.broadcast(cents_df), "cell").select(
+            "vec_id",
+            "cell",
+            "__v",
+            F.zip_with("__v", "ucvec", lambda a_, b_: a_ - b_).alias("__r"),
+        )
+
+    # residual codebooks: lloyd per block on the residual table (same
+    # bounded driver state class as _pq_codebooks; per-session memo)
+    key = (spark.sparkContext.applicationId, "res", cache_key)
+    if key not in _PQ_CODEBOOKS_CACHE:
+        rb = _residual_base()
+        books = []
+        for m in range(PQ_BLOCKS):
+            blk = rb.select("vec_id", F.slice("__r", m * bs + 1, bs).alias("__b"))
+            _, cbs = cl.lloyd_kmeans(blk, "__b", "vec_id", k=PQ_CODES, iters=PQ_ITERS)
+            books.append(cbs)
+        _PQ_CODEBOOKS_CACHE[key] = books
+    codebooks = _PQ_CODEBOOKS_CACHE[key]
+
+    def code_expr(m):
+        blk = F.slice("__r", m * bs + 1, bs)
+        scored = F.array(
+            *[
+                F.struct(cl._sq_dist_exact(blk, c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(codebooks[m])
+            ]
+        )
+        return F.array_min(scored)["c"]
+
+    def _build_index():
+        rb = _residual_base()
+        return rb.select(
+            "vec_id",
+            "cell",
+            "__v",
+            *[code_expr(m).alias(f"c{m}") for m in range(PQ_BLOCKS)],
+        )
+
+    enc = _session_artifact(spark, f"ivfadc_res_index|{cache_key}", _build_index)
+
+    def _build_books():
+        rows = [
+            (m, i, [float(x) for x in c])
+            for m, bk in enumerate(codebooks)
+            for i, c in enumerate(bk)
+        ]
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            schema="block int, code int, cvec array<double>",
+        )
+
+    books_df = _session_artifact(spark, f"ivfadc_res_books|{cache_key}", _build_books)
+
+    qraw = emb.filter(query_pred)
+    qdf = (
+        similarity.assign_ivf_cells(qraw, cents, "embedding", nprobe=nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            unit.alias("__qv"),
+            F.explode("cells").alias("cell"),
+        )
+        .join(F.broadcast(cents_df), "cell")
+        .select(
+            "query_id",
+            "cell",
+            "__qv",
+            F.zip_with("__qv", "ucvec", lambda a_, b_: a_ - b_).alias("__qr"),
+        )
+    )
+    blk = F.slice(F.col("__qr"), F.col("block") * bs + 1, bs)
+    d = F.aggregate(
+        F.zip_with(blk, F.col("cvec"), lambda a_, b_: (a_ - b_) * (a_ - b_)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    luts = (
+        qdf.join(F.broadcast(books_df), F.lit(True))
+        .select("query_id", "cell", "block", "code", d.alias("d"))
+        .groupBy("query_id", "cell", "block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d"))),
+                lambda st: st["d"],
+            ).alias("lut")
+        )
+        .groupBy("query_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block", "lut"))),
+                lambda st: st["lut"],
+            ).alias("__luts")
+        )
+    )
+    q_full = qdf.join(F.broadcast(luts), ["query_id", "cell"]).select(
+        "query_id", "cell", "__qv", "__luts"
+    )
+    cand = enc.join(F.broadcast(q_full), ["cell"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = None
+    for m in range(PQ_BLOCKS):
+        term = F.get(F.get(F.col("__luts"), m), F.col(f"c{m}"))
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        adc.alias("__adc"),
+        (2.0 - 2.0 * dot(F.col("__qv"), F.col("__v"))).alias("__ed"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("__adc"), F.col("vec_id"))
+    shortlist = scored.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= PQ_SHORTLIST
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__ed"), F.col("vec_id"))
+    topk = (
+        shortlist.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= TOPK_K)
+        .select("query_id", "vec_id")
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
+    n_hit = brute.join(topk, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    out_cols = [
+        F.col("n_brute"),
+        F.lit(PQ_BLOCKS * PQ_CODES).cast("bigint").alias("n_codewords"),
+        F.lit(len(cents)).cast("bigint").alias("n_cells"),
+        (
+            (F.col("n_brute") == 0)
+            | (F.col("n_hit") / F.col("n_brute") >= floor)
+        ).alias("recall_ok"),
+    ]
+    if _measure:
+        out_cols.append(F.col("n_hit"))
+    return n_brute.crossJoin(F.broadcast(n_hit)).select(*out_cols)
+
+
+def q_ivfadc_residual_recall_audit(spark, sf_dir):
+    """Residual-encoding IVFADC recall contract on the uniform fixture —
+    see _ivfadc_residual_audit (the faiss IndexIVFPQ recipe: coarse cell
+    + PQ over within-cell residuals + per-(query, cell) LUT table + exact
+    re-rank). Oracle pins exact counts + the floor boolean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    cents = _ivf_centroids(spark, sf_dir)
+    return _ivfadc_residual_audit(
+        spark, emb, brute, IVFADC_RES_RECALL_MIN, f"pq|{sf_dir}", cents
+    )
+
+
+def q_ivfadc_residual_recall_clustered(spark, sf_dir):
+    """Residual-encoding IVFADC on the CLUSTERED fixture (the regime where
+    residual coding matters most: within-cluster spread ≪ global spread,
+    so residual codewords resolve what global codewords blur)."""
+    emb = _clustered_emb(spark, sf_dir)
+    brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
+    cents = _ivf_centroids(spark, sf_dir, variant="clustered", emb_df=emb)
+    return _ivfadc_residual_audit(
+        spark, emb, brute, IVFADC_RES_RECALL_CLUSTERED_MIN, f"pqc|{sf_dir}", cents
+    )
+
+
 KN_OOV_MOD = 9  # mod-9 held-out docs gain two novel tokens (backoff fixture)
 
 
@@ -7208,6 +7505,9 @@ def queries() -> dict[str, QueryFn]:
         "sql_frontend_q11": q_sql_frontend_q11,
         "dhash_near_dup": q_dhash_near_dup,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "funnel_ordered_stages": q_funnel_ordered_stages,
+        "ivfadc_residual_recall_audit": q_ivfadc_residual_recall_audit,
+        "ivfadc_residual_recall_clustered": q_ivfadc_residual_recall_clustered,
         # --- r08 window head (r07/r08 keys, driver-green in r08) ---
         "run_tracking_resume": q_run_tracking_resume,
         "domain_stats": q_domain_stats,
@@ -9134,6 +9434,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
         """,
+        "ivfadc_residual_recall_audit": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED})
+                       AS n_brute,
+                   CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
+                   CAST({KMEANS_K} AS BIGINT) AS n_cells,
+                   TRUE AS recall_ok
+        """,
+        "ivfadc_residual_recall_clustered": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED})
+                       AS n_brute,
+                   CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
+                   CAST({KMEANS_K} AS BIGINT) AS n_cells,
+                   TRUE AS recall_ok
+        """,
         "pq_ivf_recall_audit": f"""
             SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
                                                WHERE {TOPK_QUERY_PRED})
@@ -10266,6 +10582,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(value), 4) AS min_v,
                    ROUND(MAX(value), 4) AS max_v
             FROM events GROUP BY 1
+        """,
+        "funnel_ordered_stages": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            w1 AS (SELECT user_id, event_type, us,
+                          MIN(CASE WHEN event_type = 'view' THEN us END)
+                              OVER (PARTITION BY user_id) AS v
+                   FROM e),
+            w2 AS (SELECT user_id, event_type, us, v,
+                          MIN(CASE WHEN event_type = 'click' AND us > v
+                                   THEN us END)
+                              OVER (PARTITION BY user_id) AS c
+                   FROM w1),
+            w3 AS (SELECT user_id, v, c,
+                          MIN(CASE WHEN event_type = 'purchase' AND us > c
+                                   THEN us END)
+                              OVER (PARTITION BY user_id) AS p
+                   FROM w2),
+            per AS (SELECT user_id, MIN(v) AS v, MIN(c) AS c, MIN(p) AS p
+                    FROM w3 GROUP BY user_id),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                         CAST(COUNT(v) AS BIGINT) AS n1,
+                         CAST(COUNT(c) AS BIGINT) AS n2,
+                         CAST(COUNT(p) AS BIGINT) AS n3
+                  FROM per)
+            SELECT CAST(0 AS INT) AS stage_idx, 'all_users' AS stage,
+                   n0 AS n_users,
+                   ROUND(CAST(n0 AS DOUBLE) / NULLIF(n0, 0), 4)
+                       AS conv_from_prev_r,
+                   ROUND(CAST(n0 AS DOUBLE) / NULLIF(n0, 0), 4)
+                       AS conv_from_top_r
+            FROM a
+            UNION ALL SELECT CAST(1 AS INT), 'view', n1,
+                   ROUND(CAST(n1 AS DOUBLE) / NULLIF(n0, 0), 4),
+                   ROUND(CAST(n1 AS DOUBLE) / NULLIF(n0, 0), 4) FROM a
+            UNION ALL SELECT CAST(2 AS INT), 'click', n2,
+                   ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 4),
+                   ROUND(CAST(n2 AS DOUBLE) / NULLIF(n0, 0), 4) FROM a
+            UNION ALL SELECT CAST(3 AS INT), 'purchase', n3,
+                   ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 4),
+                   ROUND(CAST(n3 AS DOUBLE) / NULLIF(n0, 0), 4) FROM a
         """,
         "funnel_conversion": """
             WITH per_user AS (

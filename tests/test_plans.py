@@ -468,6 +468,8 @@ BNLJ_KEYS = {
     "pq_ivf_recall_audit": "total",  # scoring join is equi on cell; 1-row hit carry
     "pq_ivf_recall_clustered": "total",  # scoring join is equi on cell; 1-row hit carry
     "curation_pipeline": "total",  # 1-row z-moments + shard-total broadcasts
+    "ivfadc_residual_recall_audit": "total",  # cell equi-join; 1-row hit carry
+    "ivfadc_residual_recall_clustered": "total",  # cell equi-join; 1-row hit carry
 }
 
 
@@ -549,9 +551,13 @@ def test_pq_ivf_scoring_join_is_cell_equi_join(spark, sf_dir):
     a nested loop of index x queries (that is plain PQ's bounded-probe
     shape). The only BroadcastNestedLoopJoin allowed in the plan is the
     1-row hit-count carry."""
-    p = _plan(spark, sf_dir, "pq_ivf_recall_audit", mode="simple")
-    assert "BroadcastHashJoin [cell" in p, f"cell equi-join missing:\n{p}"
-    assert p.count("BroadcastNestedLoopJoin") <= 2  # n_brute x n_hit carries
+    for key in ("pq_ivf_recall_audit", "ivfadc_residual_recall_audit"):
+        p = _plan(spark, sf_dir, key, mode="simple")
+        assert "BroadcastHashJoin [cell" in p, f"{key}: cell equi-join missing"
+        assert "Union" not in p, f"{key}: per-query branches crept back in"
+        # allowed BNLJs: the 1-row hit-count carry + the query x codebook
+        # LUT build (128-row broadcast build side)
+        assert p.count("BroadcastNestedLoopJoin") <= 2, key
 
 
 def test_curation_pipeline_scan_discipline(spark, sf_dir):
