@@ -7348,6 +7348,117 @@ def q_dhash_near_dup(spark, sf_dir):
     )
 
 
+DHASH_HAM_MOD = 11  # mod-11 docs gain a single-pixel-edit twin
+DHASH_HAM_SHIFT = 20_000_000
+DHASH_BAND_BITS = 10  # 3 x 10-bit bands cover the <=30-bit fixture hashes
+DHASH_BANDS = 3
+DHASH_HAM_MAX = 2  # report pairs at Hamming <= 2 (pigeonhole: any pair
+# within Hamming <= DHASH_BANDS-1 shares at least one equal band)
+
+
+def q_dhash_banded_near_dup(spark, sf_dir):
+    """BANDED-Hamming perceptual near-dup — the scale path dhash_near_dup's
+    exact-equality grouping lacks (a re-encode that flips ONE gradient bit
+    escapes an equality bucket forever): split each dHash into
+    DHASH_BANDS bit-bands (the SimHash pigeonhole move applied to
+    images), candidates = same (height, band, value) in ANY band — an
+    equi-join, never an all-pairs scan — then the exact Hamming
+    distance (ONE bit_count(xor) per candidate pair) keeps pairs at
+    <= DHASH_HAM_MAX. Pigeonhole guarantees completeness for distance
+    < DHASH_BANDS; the oracle runs the IDENTICAL algorithm so parity is
+    exact regardless.
+
+    Fixture plants BOTH twin families: the brightness-shifted twins
+    (provably Hamming 0 — see dhash_near_dup) and new SINGLE-PIXEL-EDIT
+    twins (mod-11 docs; the first channel byte of pixel (0,0) is
+    deterministically permuted, which can flip ONLY the row-0 (0,1)
+    gradient bit — Hamming <= 1 BY CONSTRUCTION, the controlled near-miss
+    an equality bucket loses and banding must recover)."""
+    from cassandra_data_migrator_spark.operators.multimodal import ppm_dhash
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = PPM_W * 3
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__h"),
+    ).filter(F.col("__h") >= 1)
+    shifted = F.array_join(
+        F.transform(F.split(F.col("__s"), ""), lambda c: F.char(F.ascii(c) + 1)),
+        "",
+    )
+    bright = base.filter(F.col("media_id") % DHASH_TWIN_MOD == 0).select(
+        (F.col("media_id") + DHASH_TWIN_SHIFT).alias("media_id"),
+        shifted.alias("__s"),
+        "__h",
+    )
+    # pixel-(0,0) channel edit: deterministic printable permutation of the
+    # FIRST byte — only gray(0,0) changes, so only row-0's (0,1) bit can flip
+    edited = F.concat(
+        F.char(((F.ascii(F.substring(F.col("__s"), 1, 1)) - 32 + 47) % 95) + 32),
+        F.expr("substring(__s, 2)"),
+    )
+    near = base.filter(F.col("media_id") % DHASH_HAM_MOD == 0).select(
+        (F.col("media_id") + DHASH_HAM_SHIFT).alias("media_id"),
+        edited.alias("__s"),
+        "__h",
+    )
+    media = base.unionByName(bright).unionByName(near)
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+        F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
+    ).cast("binary")
+    hashed = ppm_dhash(media.select("media_id", payload.alias("payload")))
+    # production dHash is FIXED-SIZE (a 9x8 resample -> 72 bits); the
+    # variable-height fixture analog is the full-height stratum (30 bits).
+    # Short hashes (h=1 -> 3 bits) are meaningless for near-dup AND make
+    # the candidate join quadratic in the short-image population — a real
+    # 100x hazard, so they are excluded by CONTRACT, not by luck.
+    hashed = hashed.filter(F.col("height") == PPM_MAX_H)
+    bands = hashed.select(
+        "media_id",
+        "height",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        # (dhash div 2^(band*10)) % 1024 — integer arithmetic stated the
+        # same way in the DuckDB twin (shiftright takes no column numBits)
+        "val",
+        F.expr(
+            f"(dhash div shiftleft(cast(1 as bigint), band * {DHASH_BAND_BITS}))"
+            f" % {1 << DHASH_BAND_BITS}"
+        ),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash").alias("__ha"),
+        "height",
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash").alias("__hb"),
+        "height",
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["height", "band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_HAM_MAX)
+
+
 # Morton/bucket math lives with the other layout levers (compaction, hive
 # partitioning, zorder_binned/write_zordered) in sources/layout.py; the
 # audit key and its DuckDB oracle below use the SAME formula string so
@@ -7508,6 +7619,7 @@ def queries() -> dict[str, QueryFn]:
         "funnel_ordered_stages": q_funnel_ordered_stages,
         "ivfadc_residual_recall_audit": q_ivfadc_residual_recall_audit,
         "ivfadc_residual_recall_clustered": q_ivfadc_residual_recall_clustered,
+        "dhash_banded_near_dup": q_dhash_banded_near_dup,
         # --- r08 window head (r07/r08 keys, driver-green in r08) ---
         "run_tracking_resume": q_run_tracking_resume,
         "domain_stats": q_domain_stats,
@@ -9659,6 +9771,68 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM documents)
             WHERE rnk <= {KSAMPLE_K}
+        """,
+        "dhash_banded_near_dup": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({PPM_MAX_H},
+                                 CAST(LENGTH(s) // {PPM_W * 3} AS INT)) AS h
+                    FROM san),
+            ok AS (SELECT doc_id, s, h FROM dim WHERE h >= 1),
+            media AS (SELECT doc_id AS media_id, s, h FROM ok
+                      UNION ALL
+                      -- brightness twin: hash provably identical (see
+                      -- dhash_near_dup) — hash the ORIGINAL bytes
+                      SELECT doc_id + {DHASH_TWIN_SHIFT}, s, h FROM ok
+                      WHERE doc_id % {DHASH_TWIN_MOD} = 0
+                      UNION ALL
+                      -- single-pixel-edit twin: first channel byte of
+                      -- pixel (0,0) deterministically permuted
+                      SELECT doc_id + {DHASH_HAM_SHIFT},
+                             chr(((ord(substr(s, 1, 1)) - 32 + 47) % 95) + 32)
+                                 || substr(s, 2),
+                             h
+                      FROM ok WHERE doc_id % {DHASH_HAM_MOD} = 0),
+            g AS (SELECT media_id, h, s,
+                         unnest(range(0, h * {PPM_W - 1})) AS b
+                  FROM media),
+            px AS (SELECT media_id, h, b,
+                          (ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 1 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 2 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 3 AS INT), 1))) // 3 AS g1,
+                          (ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 4 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 5 AS INT), 1))
+                         + ord(substr(s, CAST((b // {PPM_W - 1}) * {PPM_W * 3}
+                               + (b % {PPM_W - 1}) * 3 + 6 AS INT), 1))) // 3 AS g2
+                   FROM g),
+            hsh AS (SELECT media_id, h,
+                           CAST(SUM(CASE WHEN g1 > g2
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT) AS dhash
+                    FROM px GROUP BY media_id, h),
+            bands AS (SELECT media_id, h, dhash,
+                             unnest(range(0, {DHASH_BANDS})) AS band
+                      FROM hsh WHERE h = {PPM_MAX_H}),
+            bv AS (SELECT media_id, h, dhash, band,
+                          (dhash // (CAST(1 AS BIGINT)
+                               << CAST(band * {DHASH_BAND_BITS} AS INT)))
+                              % {1 << DHASH_BAND_BITS} AS val
+                   FROM bands),
+            cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                                     a.dhash AS ha, b.dhash AS hb
+                     FROM bv a JOIN bv b
+                       ON a.h = b.h AND a.band = b.band AND a.val = b.val
+                          AND a.media_id < b.media_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= {DHASH_HAM_MAX}
         """,
         "dhash_near_dup": f"""
             WITH san AS (SELECT doc_id,

@@ -403,6 +403,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_jpeg",  # real baseline-JPEG encode+decode kernels (multimodal.jpeg_encode_gray/jpeg_stats)
     "multimodal_jpeg_color",  # real 3-component JPEG kernels (multimodal.jpeg_encode_color/jpeg_color_stats)
     "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
+    "dhash_banded_near_dup",  # same kernel feeding the banded-Hamming join
 }
 
 
