@@ -7595,10 +7595,11 @@ def queries() -> dict[str, QueryFn]:
     """Declared surface, in DRIVER VERIFICATION ORDER.
 
     The driver's correctness check covers the first 50 entries of this dict
-    per round (observed r01-r05 behavior). r09 ordering: the ten keys NEW
-    or BEHAVIOR-CHANGED this round lead (the IVFADC pair, the reworked PQ
-    pair, color JPEG, CJK tokenization, the curation pipeline, the Q11
-    cast fix, the dhash oracle fix, the repartitioned gray JPEG), then the
+    per round (observed r01-r05 behavior). r09 ordering: the fourteen keys
+    NEW or BEHAVIOR-CHANGED this round lead (both IVFADC pairs, the
+    reworked PQ pair, color JPEG, CJK tokenization, the curation pipeline,
+    the ordered funnel, banded dhash, the Q11 cast fix, the dhash oracle
+    fix, the repartitioned gray JPEG), then the
     r07/r08 head (driver-green in r08), then the keys whose last driver
     row is OLDEST so the fleet-wide re-verification cadence keeps rolling. Later keys retain local DuckDB parity coverage via
     tests/test_oracle_parity.py and tools/parity_check.py --all. See
