@@ -6031,35 +6031,11 @@ CLF_LABEL_MOD = 4  # planted positives: doc_id % 4 == 0
 CLF_MARKER_MOD = 5  # positives carry ONE of five marker tokens 'mq0'..'mq4'
 
 
-def q_nb_classifier_eval(spark, sf_dir):
-    """Train-and-evaluate a fastText-style hashed linear classifier as one
-    declarative plan — the model-based filtering step (CCNet's fastText
-    lang-id / DataComp's quality classifier) expressed Spark-first.
-    Features = word unigrams hashed into CLF_BUCKETS (4096) md5-prefix
-    buckets; model = per-bucket Naive-Bayes log-odds with add-k
-    (CLF_SMOOTH_K = 0.1) smoothing trained ONLY on the md5 train split
-    (hash_split's cut points), plus a doc-count log-prior; inference =
-    broadcast-join the 4096-row weight table onto held-out docs' bucket
-    counts, score = prior + sum n_occ*logodds (6dp-DECIMAL weights make
-    per-doc sums exact and order-free), predict = score > 0. Output: the
-    held-out confusion matrix — the artifact a filtering pipeline
-    actually gates on. (Why not 256 buckets / add-1: see the constants'
-    comments — measured marker-vocab collisions and a systematic
-    shared-token penalty.)
-
-    The label is a PLANTED signal (doc_id % 4 positives carry one of five
-    appended marker tokens — the url_dedup discipline of constructing the
-    fixture in-plan with an analytically-known answer): the raw fixture's
-    ``lang`` column is unlearnable from text because every language shares
-    one 31-word vocabulary, so a real-column label would only certify that
-    NB converges to the majority class. With the planted markers the
-    training actually has to generalize: shared-vocabulary buckets learn
-    ~0 log-odds (class-frequency normalization), the five marker buckets
-    learn strongly positive weights, and held-out accuracy ~1.0 falls out
-    ONLY if split isolation, smoothing, and the broadcast scoring join are
-    all right. The weight table is enumerated over ALL CLF_BUCKETS buckets
-    (left-join + zero fill) so an eval-only bucket scores identically in
-    both engines."""
+def _nb_heldout_scores(spark, sf_dir):
+    """Shared NB train+score pipeline (see q_nb_classifier_eval for the
+    full design rationale): returns the held-out per-doc EXACT-decimal
+    scores (doc_id, y, score6 = logodds sum + prior) that both the
+    confusion-matrix key and the calibration key consume."""
     d = _t(spark, sf_dir, "documents")
     label = F.col("doc_id") % CLF_LABEL_MOD == 0
     # the marker appears CLF_MARKER_REPEAT times: one occurrence's ~+4
@@ -6141,19 +6117,105 @@ def q_nb_classifier_eval(spark, sf_dir):
     per_doc = bucketed.filter(~F.col("is_train")).groupBy(
         "doc_id", "y", "bkt"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
-    scored = (
+    return (
         per_doc.join(F.broadcast(weights), "bkt")
         .groupBy("doc_id", "y")
         .agg(F.sum(F.col("n_occ") * F.col("logodds6")).alias("__s"))
         .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id", "y", (F.col("__s") + F.col("prior6")).alias("score6")
+        )
     )
+
+
+def q_nb_classifier_eval(spark, sf_dir):
+    """Train-and-evaluate a fastText-style hashed linear classifier as one
+    declarative plan — the model-based filtering step (CCNet's fastText
+    lang-id / DataComp's quality classifier) expressed Spark-first.
+    Features = word unigrams hashed into CLF_BUCKETS (4096) md5-prefix
+    buckets; model = per-bucket Naive-Bayes log-odds with add-k
+    (CLF_SMOOTH_K = 0.1) smoothing trained ONLY on the md5 train split
+    (hash_split's cut points), plus a doc-count log-prior; inference =
+    broadcast-join the 4096-row weight table onto held-out docs' bucket
+    counts, score = prior + sum n_occ*logodds (6dp-DECIMAL weights make
+    per-doc sums exact and order-free), predict = score > 0. Output: the
+    held-out confusion matrix — the artifact a filtering pipeline
+    actually gates on. (Why not 256 buckets / add-1: see the constants'
+    comments — measured marker-vocab collisions and a systematic
+    shared-token penalty.)
+
+    The label is a PLANTED signal (doc_id % 4 positives carry one of five
+    appended marker tokens — the url_dedup discipline of constructing the
+    fixture in-plan with an analytically-known answer): the raw fixture's
+    ``lang`` column is unlearnable from text because every language shares
+    one 31-word vocabulary, so a real-column label would only certify that
+    NB converges to the majority class. With the planted markers the
+    training actually has to generalize: shared-vocabulary buckets learn
+    ~0 log-odds (class-frequency normalization), the five marker buckets
+    learn strongly positive weights, and held-out accuracy ~1.0 falls out
+    ONLY if split isolation, smoothing, and the broadcast scoring join are
+    all right. The weight table is enumerated over ALL CLF_BUCKETS buckets
+    (left-join + zero fill) so an eval-only bucket scores identically in
+    both engines."""
+    scored = _nb_heldout_scores(spark, sf_dir)
     return (
         scored.select(
             F.col("y").alias("label"),
-            ((F.col("__s") + F.col("prior6")) > 0).alias("predicted"),
+            (F.col("score6") > 0).alias("predicted"),
         )
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+CAL_BINS = 10  # calibration bins over the held-out score range
+
+
+def q_nb_calibration(spark, sf_dir):
+    """Reliability table for the trained NB filter — the calibration
+    check a model-based quality/lang filter needs before its scores gate
+    a corpus (a well-ranked but mis-calibrated filter moves the budget
+    knob unpredictably): held-out docs bucket into CAL_BINS equal-width
+    bins over the OBSERVED score range, each bin reporting doc count,
+    positive count, observed positive rate, and the mean score. Scores
+    are exact decimals (6dp logodds sums), the bin bounds ride a 1-row
+    broadcast (the ks_drift pattern), and bin assignment is the identical
+    double expression both engines state — so every cell is oracled, not
+    just a boolean."""
+    scored = _nb_heldout_scores(spark, sf_dir)
+    ext = scored.agg(
+        F.min("score6").alias("__lo"), F.max("score6").alias("__hi")
+    )
+    b = scored.crossJoin(F.broadcast(ext))
+    lo = F.col("__lo").cast("double")
+    hi = F.col("__hi").cast("double")
+    sc = F.col("score6").cast("double")
+    binned = b.select(
+        "y",
+        "score6",
+        F.when(hi == lo, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(CAL_BINS - 1),
+                F.floor((sc - lo) / ((hi - lo) / CAL_BINS)).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
+        F.sum("score6").alias("__ssum"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n_docs"), 4).alias("pos_rate_r"),
+        (
+            F.round(F.col("__ssum").cast("double") / F.col("n_docs"), 4) + 0.0
+        ).alias("mean_score_r"),
     )
 
 
@@ -6855,6 +6917,117 @@ def q_ivfadc_residual_recall_clustered(spark, sf_dir):
     )
 
 
+JL_DIM_OUT = 16  # random-projection target dimensionality (64 -> 16)
+JL_HASH_MOD = 1_000_003  # prime modulus of the integer-hash matrix entries
+JL_HASH_MULT = 2_654_435_761  # Knuth multiplicative constant (tok()'s family)
+JL_PAIR_MOD = 50  # sampled corpus side of the audited pair set
+JL_J_MULT = 999_983  # row/col mixing primes: chosen so the measured mean
+JL_I_MULT = 7_919  # distortion is ~1.0 (the 10007/101 grid correlated rows
+# under one Knuth multiplier and systematically SHRANK distances to 0.64)
+
+
+def _jl_matrix(spark):
+    """The deterministic JL projection matrix as a 16-row DATA table
+    (j, pvec[64]) — entries from EXACT integer hash arithmetic
+    (((j·10007 + i·101)·KNUTH mod P) / P − 0.5, uniform in [−0.5, 0.5)),
+    NOT sin(): libm sin() is not bit-identical across engines, integer
+    modular arithmetic plus one double division is. Session artifact —
+    the matrix is what a real pipeline ships with its index."""
+
+    def _build():
+        rows = []
+        for j in range(JL_DIM_OUT):
+            pv = [
+                ((j * JL_J_MULT + i * JL_I_MULT) * JL_HASH_MULT % JL_HASH_MOD)
+                / JL_HASH_MOD
+                - 0.5
+                for i in range(64)
+            ]
+            rows.append((j, pv))
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            schema="j int, pvec array<double>",
+        )
+
+    return _session_artifact(spark, "jl_matrix", _build)
+
+
+def q_jl_projection_audit(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection distance audit: project the
+    embeddings 64 → 16 dims through the deterministic integer-hash matrix
+    and report, for every (probe, sampled-corpus) pair, the squared-
+    distance distortion ||Py_a − Py_b||² / (E·||x_a − x_b||²) with
+    E = k·Var(entry) = 16/12 — the dimensionality-reduction primitive a
+    100 TB ANN pipeline uses to cut index width before IVF/PQ.
+
+    Spark-first AND oracle-exact end-to-end: the matrix is a broadcast
+    16-row table (projection = one join + one DECIMAL-exact fold per
+    output dim — order-free, so DuckDB's unordered SUM reproduces it
+    bit-for-bit); distances fold the same way; the final ratio is one
+    double expression both engines state identically (×12 / ×16 integer
+    literals, never the rounded 4/3). Unlike the recall audits, every
+    VALUE here crosses the oracle — no floor boolean needed."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_array("embedding").alias("__x"))
+    mat = _jl_matrix(spark)
+    yj = base.join(F.broadcast(mat), F.lit(True)).select(
+        "vec_id",
+        "j",
+        F.aggregate(
+            F.zip_with("__x", "pvec", lambda a, b: (a * b).cast("decimal(28,12)")),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        )
+        .cast("double")
+        .alias("yj"),
+    )
+    proj = yj.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "yj"))), lambda st: st["yj"]
+        ).alias("__y")
+    )
+    both = base.join(proj, "vec_id")
+    a = both.filter(TOPK_QUERY_PRED).select(
+        F.col("vec_id").alias("id_a"), F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = both.filter(
+        (F.col("vec_id") % JL_PAIR_MOD == 0) & ~F.expr(TOPK_QUERY_PRED)
+    ).select(
+        F.col("vec_id").alias("id_b"), F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+
+    def sqd(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: ((p - q) * (p - q)).cast("decimal(28,12)")),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, x: (acc + x).cast("decimal(38,12)"),
+        )
+
+    pairs = b.join(F.broadcast(a), F.lit(True)).select(
+        "id_a",
+        "id_b",
+        sqd(F.col("__xa"), F.col("__xb")).alias("__dx2"),
+        sqd(F.col("__ya"), F.col("__yb")).alias("__dy2"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__dx2").cast("double"), 4).alias("dx2_r"),
+        (
+            F.round(
+                (F.col("__dy2").cast("double") * 12.0)
+                / (F.col("__dx2").cast("double") * F.lit(float(JL_DIM_OUT))),
+                4,
+            )
+            + 0.0
+        ).alias("distortion_r"),
+    )
+
+
 KN_OOV_MOD = 9  # mod-9 held-out docs gain two novel tokens (backoff fixture)
 
 
@@ -7413,7 +7586,13 @@ def q_dhash_banded_near_dup(spark, sf_dir):
         F.lit("\n255\n"),
         F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
     ).cast("binary")
-    hashed = ppm_dhash(media.select("media_id", payload.alias("payload")))
+    # one-file fixture scan -> one task; round-robin the tiny payload rows
+    # so the decode kernel uses every core (the JPEG-key discipline)
+    hashed = ppm_dhash(
+        media.select("media_id", payload.alias("payload")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     # production dHash is FIXED-SIZE (a 9x8 resample -> 72 bits); the
     # variable-height fixture analog is the full-height stratum (30 bits).
     # Short hashes (h=1 -> 3 bits) are meaningless for near-dup AND make
@@ -7621,6 +7800,8 @@ def queries() -> dict[str, QueryFn]:
         "ivfadc_residual_recall_audit": q_ivfadc_residual_recall_audit,
         "ivfadc_residual_recall_clustered": q_ivfadc_residual_recall_clustered,
         "dhash_banded_near_dup": q_dhash_banded_near_dup,
+        "jl_projection_audit": q_jl_projection_audit,
+        "nb_calibration": q_nb_calibration,
         # --- r08 window head (r07/r08 keys, driver-green in r08) ---
         "run_tracking_resume": q_run_tracking_resume,
         "domain_stats": q_domain_stats,
@@ -9547,6 +9728,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
         """,
+        "jl_projection_audit": f"""
+            WITH mat AS (SELECT j, i,
+                                CAST((j * {JL_J_MULT} + i * {JL_I_MULT})
+                                     * {JL_HASH_MULT}
+                                     % {JL_HASH_MOD} AS DOUBLE)
+                                    / {JL_HASH_MOD} - 0.5 AS p
+                         FROM (SELECT unnest(range(0, {JL_DIM_OUT})) AS j),
+                              (SELECT unnest(range(0, 64)) AS i)),
+            xe AS (SELECT vec_id, i,
+                          CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS xv
+                   FROM embeddings,
+                        (SELECT unnest(range(0, 64)) AS i)),
+            y AS (SELECT vec_id, j,
+                         CAST(CAST(SUM(CAST(xv * p AS DECIMAL(28,12)))
+                              AS DECIMAL(38,12)) AS DOUBLE) AS yj
+                  FROM xe JOIN mat USING (i) GROUP BY vec_id, j),
+            pa AS (SELECT vec_id AS id_a FROM embeddings
+                   WHERE {TOPK_QUERY_PRED}),
+            pb AS (SELECT vec_id AS id_b FROM embeddings
+                   WHERE vec_id % {JL_PAIR_MOD} = 0
+                     AND NOT ({TOPK_QUERY_PRED})),
+            dx AS (SELECT a.id_a, b.id_b,
+                          CAST(SUM(CAST((xa.xv - xb.xv) * (xa.xv - xb.xv)
+                               AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS dx2
+                   FROM pa a, pb b, xe xa, xe xb
+                   WHERE xa.vec_id = a.id_a AND xb.vec_id = b.id_b
+                     AND xb.i = xa.i
+                   GROUP BY a.id_a, b.id_b),
+            dy AS (SELECT a.id_a, b.id_b,
+                          CAST(SUM(CAST((ya.yj - yb.yj) * (ya.yj - yb.yj)
+                               AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS dy2
+                   FROM pa a, pb b, y ya, y yb
+                   WHERE ya.vec_id = a.id_a AND yb.vec_id = b.id_b
+                     AND yb.j = ya.j
+                   GROUP BY a.id_a, b.id_b)
+            SELECT id_a, id_b,
+                   ROUND(CAST(dx2 AS DOUBLE), 4) AS dx2_r,
+                   ROUND((CAST(dy2 AS DOUBLE) * 12.0)
+                         / (CAST(dx2 AS DOUBLE) * {float(JL_DIM_OUT)}), 4)
+                       + 0.0 AS distortion_r
+            FROM dx JOIN dy USING (id_a, id_b)
+        """,
         "ivfadc_residual_recall_audit": f"""
             SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
                                                WHERE {TOPK_QUERY_PRED})
@@ -10007,6 +10230,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM sc CROSS JOIN prior
             GROUP BY 1, 2
+        """,
+        "nb_calibration": f"""
+            WITH aug AS (SELECT doc_id,
+                                (doc_id % {CLF_LABEL_MOD} = 0) AS y,
+                                CASE WHEN doc_id % {CLF_LABEL_MOD} = 0
+                                     THEN text
+                                          || ' mq' || (doc_id % {CLF_MARKER_MOD})
+                                          || ' mq' || (doc_id % {CLF_MARKER_MOD})
+                                          || ' mq' || (doc_id % {CLF_MARKER_MOD})
+                                     ELSE text END AS text
+                         FROM documents),
+            base AS (SELECT doc_id, y,
+                            (substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '{SPLIT_TRAIN_LT}') AS is_train,
+                            {TOKS_SQL} AS ts
+                     FROM aug),
+            bkt AS (SELECT doc_id, y, is_train, substr(md5(w), 1, 3) AS bkt
+                    FROM (SELECT doc_id, y, is_train, unnest(ts) AS w
+                          FROM base)),
+            tc AS (SELECT bkt,
+                          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                              AS c_pos,
+                          CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+                              AS c_neg
+                   FROM bkt WHERE is_train GROUP BY bkt),
+            allb AS (SELECT printf('%03x', i) AS bkt
+                     FROM range({CLF_BUCKETS}) t(i)),
+            dist AS (SELECT a.bkt, COALESCE(c_pos, 0) AS c_pos,
+                            COALESCE(c_neg, 0) AS c_neg
+                     FROM allb a LEFT JOIN tc USING (bkt)),
+            dist2 AS (SELECT bkt, c_pos, c_neg,
+                             SUM(c_pos) OVER () AS n_pos,
+                             SUM(c_neg) OVER () AS n_neg
+                      FROM dist),
+            w AS (SELECT bkt,
+                         CAST(ROUND(ln((c_pos + {CLF_SMOOTH_K})
+                              / (n_pos + {CLF_SMOOTH_K} * {CLF_BUCKETS}))
+                              - ln((c_neg + {CLF_SMOOTH_K})
+                              / (n_neg + {CLF_SMOOTH_K} * {CLF_BUCKETS})), 6)
+                              AS DECIMAL(18,6)) AS logodds6
+                  FROM dist2),
+            prior AS (SELECT CAST(ROUND(ln(
+                             (SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1)
+                             / (SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6)
+                             AS DECIMAL(18,6)) AS prior6
+                      FROM base WHERE is_train),
+            pd AS (SELECT doc_id, y, bkt, CAST(COUNT(*) AS BIGINT) AS n_occ
+                   FROM bkt WHERE NOT is_train GROUP BY 1, 2, 3),
+            sc AS (SELECT doc_id, y, SUM(n_occ * logodds6) AS s
+                   FROM pd JOIN w USING (bkt) GROUP BY 1, 2),
+            scored AS (SELECT doc_id, y, s + prior6 AS score6
+                       FROM sc CROSS JOIN prior),
+            ext AS (SELECT MIN(score6) AS lo, MAX(score6) AS hi FROM scored),
+            bn AS (SELECT y, score6,
+                          CAST(CASE WHEN hi = lo THEN 0
+                               ELSE LEAST({CAL_BINS - 1},
+                                    CAST(FLOOR((CAST(score6 AS DOUBLE)
+                                         - CAST(lo AS DOUBLE))
+                                         / ((CAST(hi AS DOUBLE)
+                                            - CAST(lo AS DOUBLE))
+                                            / {CAL_BINS})) AS INT))
+                               END AS INT) AS bin
+                   FROM scored CROSS JOIN ext)
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 4) AS pos_rate_r,
+                   ROUND(CAST(SUM(score6) AS DOUBLE) / COUNT(*), 4) + 0.0
+                       AS mean_score_r
+            FROM bn GROUP BY bin
         """,
         "quality_ensemble": f"""
             WITH sig AS (SELECT doc_id,

@@ -192,6 +192,7 @@ GLOBAL_WINDOW_KEYS = {
     "oov_rate": "pruned",  # rank.top_k_rows (vocab selection)
     "ks_drift": "histogram",  # ECDF cumsum over the <=64-bin histogram
     "nb_classifier_eval": "histogram",  # totals over the 4096-bucket weight table
+    "nb_calibration": "histogram",  # same 4096-bucket weight-table window
     "quality_ensemble": "histogram",  # rank.global_rank over the 4dp-bounded score histogram
     "skipgram_cooc": "pruned",  # rank.top_k_rows over pair counts
     "curation_pipeline": "histogram",  # budget cumsum + global_rank over bounded histograms
@@ -460,6 +461,8 @@ BNLJ_KEYS = {
     "bloom_prefilter_audit": "total",  # 1-row broadcast bloom word array
     "ks_drift": "total",  # 1-row min/max value-bounds broadcast
     "nb_classifier_eval": "total",  # 1-row trained log-prior broadcast
+    "nb_calibration": "total",  # 1-row prior + score-bounds broadcasts
+    "jl_projection_audit": "probe",  # bounded probe x sample pair set + 16-row matrix
     "quality_ensemble": "total",  # 1-row decimal-exact moments broadcast
     "kn_perplexity": "total",  # 1-row bigram-type-count broadcast
     "kn_holdout_perplexity": "total",  # 1-row type+vocab totals broadcast
