@@ -4732,6 +4732,42 @@ def q_sql_frontend_q13(spark, sf_dir):
     return spark.sql(TPCH_Q13_SQL)
 
 
+SQL_WINDOW_FUNCS_SQL = """
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS running_spend,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+               AS prev_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
+                          o_orderkey)
+"""
+
+
+def q_sql_frontend_window_funcs(spark, sf_dir):
+    """Window-function SQL surface (r09) — the analytic OVER clauses the
+    TPC-H shapes never exercise, as IDENTICAL SQL text on both engines:
+    named WINDOW clause shared by ROW_NUMBER/RANK/NTILE, an explicit
+    ROWS-framed running DECIMAL sum, and LAG — all PARTITIONED windows
+    (per-customer state, never a global sort; the plan-walk tests treat
+    this key like any other). Determinism: every ordering carries the
+    o_orderkey tiebreak, the running sum is DECIMAL-exact before its
+    double cast, and NTILE over a fixed tie-broken order is exact
+    integer arithmetic."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(SQL_WINDOW_FUNCS_SQL)
+
+
 def q_sql_frontend_q22(spark, sf_dir):
     """TPC-H Q22 shape as SQL text — the frontend's scalar-subquery +
     anti-join composition: an uncorrelated AVG subquery (evaluated once,
@@ -7802,6 +7838,7 @@ def queries() -> dict[str, QueryFn]:
         "dhash_banded_near_dup": q_dhash_banded_near_dup,
         "jl_projection_audit": q_jl_projection_audit,
         "nb_calibration": q_nb_calibration,
+        "sql_frontend_window_funcs": q_sql_frontend_window_funcs,
         # --- r08 window head (r07/r08 keys, driver-green in r08) ---
         "run_tracking_resume": q_run_tracking_resume,
         "domain_stats": q_domain_stats,
@@ -10231,6 +10268,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sc CROSS JOIN prior
             GROUP BY 1, 2
         """,
+        "sql_frontend_window_funcs": SQL_WINDOW_FUNCS_SQL,
         "nb_calibration": f"""
             WITH aug AS (SELECT doc_id,
                                 (doc_id % {CLF_LABEL_MOD} = 0) AS y,
