@@ -571,21 +571,25 @@ def encode_jpeg_gray(width: int, height: int, blocks: bytes) -> bytes:
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decode — pure Python, stdlib-only: baseline
     sequential DCT (SOF0), 8-bit, single-component grayscale OR
-    3-component 4:4:4 color (r09 — real corpora are color; every comp
-    must declare 1x1 sampling). Implements the full pipeline — marker
-    walk (APPn/COM skipped by their declared lengths), DQT (8-bit
-    tables), DHT huffman table builds (multiple slots), SOS entropy-coded
-    segment with byte-stuffing removal, interleaved-MCU decode with
+    3-component color with per-component sampling factors 1 or 2 —
+    4:4:4, 4:2:2, 4:4:0, AND 4:2:0 (r09 — real camera/web corpora are
+    overwhelmingly 4:2:0). Implements the full pipeline — marker walk
+    (APPn/COM skipped by their declared lengths), DQT (8-bit tables),
+    DHT huffman table builds (multiple slots), SOS entropy-coded
+    segment with byte-stuffing removal, interleaved-MCU decode (h×v
+    blocks per component per MCU, raster order per T.81 §A.2.3) with
     per-component DC prediction + EXTEND, AC run-length/EOB/ZRL decode,
-    zigzag, dequantization, float 2-D IDCT, level shift and clamp, and
-    for color the JFIF YCbCr→RGB conversion with floor(x+0.5) rounding
-    (chosen over round() so an ANSI-SQL oracle computes identical IEEE
-    arithmetic). Returns (width, height, n_components, pixel_bytes
-    row-major, RGB-interleaved when n_components == 3). Raises
-    ValueError on anything else (subsampled/progressive JPEG needs an
-    upsampling pipeline this container can't verify end-to-end; refusing
-    loudly beats silent garbage). Bounded: output allocation is
-    width*height*nc from SOF0, validated against 65535x65535 max."""
+    zigzag, dequantization, float 2-D IDCT, level shift and clamp,
+    chroma upsampling by sample replication (T.81 leaves the upsampling
+    filter to the decoder; replication is the libjpeg "simple" mode and
+    is EXACT on flat chroma), and the JFIF YCbCr→RGB conversion with
+    floor(x+0.5) rounding (chosen over round() so an ANSI-SQL oracle
+    computes identical IEEE arithmetic). Returns (width, height,
+    n_components, pixel_bytes row-major, RGB-interleaved when
+    n_components == 3). Raises ValueError on anything else (progressive
+    JPEG and sampling factors 3/4 stay honest refusals). Bounded:
+    output allocation is width*height*nc from SOF0, validated against
+    65535x65535 max."""
     import math
     import struct
 
@@ -595,7 +599,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = 0
-    comps: list[tuple[int, int]] = []  # (component_id, quant_table_id)
+    # (component_id, quant_table_id, h_sampling, v_sampling)
+    comps: list[tuple[int, int, int, int]] = []
     scan_ids: list[tuple[int, int]] = []  # (dc_table_id, ac_table_id)
     scan_start = -1
     while i < n:
@@ -649,7 +654,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             if nc not in (1, 3):
                 raise ValueError(
-                    "only 1-component (grayscale) or 3-component 4:4:4 "
+                    "only 1-component (grayscale) or 3-component color "
                     "baseline JPEG decodes"
                 )
             if len(data) < 6 + 3 * nc:
@@ -657,9 +662,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported")
-                comps.append((cid, tq))
+                ch, cv = hv >> 4, hv & 0xF
+                if nc == 1 and hv != 0x11:
+                    raise ValueError(
+                        "grayscale JPEG must declare 1x1 sampling"
+                    )
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError(
+                        "only sampling factors 1 and 2 decode "
+                        "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
+                    )
+                comps.append((cid, tq, ch, cv))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) JPEG decodes")
@@ -691,6 +704,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"missing quantization table {comps[ci][1]}")
         if (0, scan_ids[ci][0]) not in huff or (1, scan_ids[ci][1]) not in huff:
             raise ValueError("missing huffman table")
+    hmax = max(cmp[2] for cmp in comps)
+    vmax = max(cmp[3] for cmp in comps)
 
     # entropy-coded bytes: unstuff 0xFF00, stop at the next marker
     bits_data = bytearray()
@@ -748,83 +763,139 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     ]
     c = [1 / math.sqrt(2)] + [1.0] * 7
 
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [bytearray(width * height) for _ in range(nc)]
+    # general interleaved-MCU geometry (T.81 §A.2.3): an MCU covers
+    # 8·hmax × 8·vmax full-res pixels and carries h×v blocks per
+    # component in raster order; each component decodes into its own
+    # MCU-padded plane, resolved to full resolution afterwards. 4:4:4
+    # (and grayscale) is exactly the hmax = vmax = 1 special case.
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    plane_dims = [
+        (mcux * cmp[2] * 8, mcuy * cmp[3] * 8) for cmp in comps
+    ]
+    planes = [bytearray(pw * ph) for pw, ph in plane_dims]
     prev_dc = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(nc):  # interleaved MCU: one block per component
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                _, _, chs, cvs = comps[ci]
                 qt = qtables[comps[ci][1]]
                 dc_tbl = huff[(0, scan_ids[ci][0])]
                 ac_tbl = huff[(1, scan_ids[ci][1])]
-                coeffs = [0] * 64
-                cat = read_huff(dc_tbl)
-                prev_dc[ci] += receive_extend(cat)
-                coeffs[0] = prev_dc[ci] * qt[0]
-                k = 1
-                while k < 64:
-                    rs = read_huff(ac_tbl)
-                    r, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows the block")
-                    coeffs[JPEG_ZIGZAG[k]] = receive_extend(size) * qt[JPEG_ZIGZAG[k]]
-                    k += 1
-                # sparse IDCT: iterate only the nonzero coefficients (a
-                # typical block has a handful; a FLAT block has one). 64
-                # adds per nonzero coefficient instead of 64 probes per
-                # pixel — same float math, ~50x less work on sparse spectra.
-                nz = [(idx, cf) for idx, cf in enumerate(coeffs) if cf]
-                if not nz or (len(nz) == 1 and nz[0][0] == 0):
-                    # DC-only fast path: every sample = DC/8 (identical to
-                    # the general path: c0*c0*DC/4 = DC/8, exact for
-                    # integer DC)
-                    val = int(round(coeffs[0] / 8)) + 128
-                    val = 0 if val < 0 else (255 if val > 255 else val)
-                    block = [float(val)] * 64
-                    flat_done = True
-                else:
-                    acc = [0.0] * 64
-                    for idx, cf in nz:
-                        v, u = idx // 8, idx % 8
-                        cvu = c[v] * c[u] * cf
-                        for y in range(8):
-                            cy = cos_t[y][v] * cvu
-                            row = y * 8
-                            for x in range(8):
-                                acc[row + x] += cy * cos_t[x][u]
-                    block = acc
-                    flat_done = False
-                out = planes[ci]
-                for y in range(8):
-                    py = by * 8 + y
-                    if py >= height:
-                        break
-                    row_off = py * width
-                    brow = y * 8
-                    for x in range(8):
-                        px = bx * 8 + x
-                        if px >= width:
-                            continue
-                        if flat_done:
-                            out[row_off + px] = int(block[brow + x])
-                        else:
-                            val = int(round(block[brow + x] / 4)) + 128
-                            out[row_off + px] = (
-                                0 if val < 0 else (255 if val > 255 else val)
+                pw = plane_dims[ci][0]
+                for vy in range(cvs):
+                    for hx in range(chs):
+                        coeffs = [0] * 64
+                        cat = read_huff(dc_tbl)
+                        prev_dc[ci] += receive_extend(cat)
+                        coeffs[0] = prev_dc[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(ac_tbl)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run overflows the block"
+                                )
+                            coeffs[JPEG_ZIGZAG[k]] = (
+                                receive_extend(size) * qt[JPEG_ZIGZAG[k]]
                             )
+                            k += 1
+                        # sparse IDCT: iterate only the nonzero
+                        # coefficients (a typical block has a handful; a
+                        # FLAT block has one). 64 adds per nonzero
+                        # coefficient instead of 64 probes per pixel —
+                        # same float math, ~50x less work on sparse
+                        # spectra.
+                        nz = [
+                            (idx, cf) for idx, cf in enumerate(coeffs) if cf
+                        ]
+                        if not nz or (len(nz) == 1 and nz[0][0] == 0):
+                            # DC-only fast path: every sample = DC/8
+                            # (identical to the general path:
+                            # c0*c0*DC/4 = DC/8, exact for integer DC)
+                            val = int(round(coeffs[0] / 8)) + 128
+                            val = 0 if val < 0 else (255 if val > 255 else val)
+                            block = [float(val)] * 64
+                            flat_done = True
+                        else:
+                            acc = [0.0] * 64
+                            for idx, cf in nz:
+                                v, u = idx // 8, idx % 8
+                                cvu = c[v] * c[u] * cf
+                                for y in range(8):
+                                    cy = cos_t[y][v] * cvu
+                                    row = y * 8
+                                    for x in range(8):
+                                        acc[row + x] += cy * cos_t[x][u]
+                            block = acc
+                            flat_done = False
+                        # planes are MCU-padded: every block lands fully
+                        # in bounds, no per-pixel crop here
+                        out = planes[ci]
+                        base = ((my * cvs + vy) * 8) * pw + (mx * chs + hx) * 8
+                        for y in range(8):
+                            row_off = base + y * pw
+                            brow = y * 8
+                            if flat_done:
+                                out[row_off : row_off + 8] = bytes(
+                                    [int(block[0])]
+                                ) * 8
+                                continue
+                            for x in range(8):
+                                val = int(round(block[brow + x] / 4)) + 128
+                                out[row_off + x] = (
+                                    0 if val < 0 else (255 if val > 255 else val)
+                                )
     if nc == 1:
-        return width, height, 1, bytes(planes[0])
-    # JFIF YCbCr -> RGB. floor(x + 0.5) instead of round(): Python round()
-    # is half-even, SQL ROUND is half-away — floor(+0.5) is the ONE
-    # rounding both engines state identically on identical IEEE doubles.
+        pw = plane_dims[0][0]
+        gray = bytearray(width * height)
+        for y in range(height):
+            gray[y * width : (y + 1) * width] = planes[0][
+                y * pw : y * pw + width
+            ]
+        return width, height, 1, bytes(gray)
+    # chroma upsampling by sample replication (nearest-neighbor: full-res
+    # (x, y) reads component sample (x·h//hmax, y·v//vmax) — integer
+    # scale since h, v ∈ {1, 2}), then JFIF YCbCr -> RGB. floor(x + 0.5)
+    # instead of round(): Python round() is half-even, SQL ROUND is
+    # half-away — floor(+0.5) is the ONE rounding both engines state
+    # identically on identical IEEE doubles.
+    full = []
+    for ci in range(nc):
+        _, _, chs, cvs = comps[ci]
+        pw = plane_dims[ci][0]
+        sx, sy = hmax // chs, vmax // cvs
+        src = planes[ci]
+        if sx == 1 and sy == 1:
+            if pw == width:
+                full.append(src[: width * height])
+                continue
+            comp_full = bytearray(width * height)
+            for y in range(height):
+                comp_full[y * width : (y + 1) * width] = src[
+                    y * pw : y * pw + width
+                ]
+            full.append(comp_full)
+            continue
+        comp_full = bytearray(width * height)
+        for y in range(height):
+            srow = (y // sy) * pw
+            drow = y * width
+            if sx == 1:
+                comp_full[drow : drow + width] = src[srow : srow + width]
+            else:
+                for x in range(width):
+                    comp_full[drow + x] = src[srow + x // sx]
+        full.append(comp_full)
     rgb = bytearray(width * height * 3)
-    yp, cbp, crp = planes
+    yp, cbp, crp = full
     for px in range(width * height):
         yv, cb, cr = yp[px], cbp[px] - 128, crp[px] - 128
         r = math.floor(yv + 1.402 * cr + 0.5)
@@ -943,11 +1014,100 @@ def encode_jpeg_color(width: int, height: int, blocks: bytes) -> bytes:
     return b"\xff\xd8" + dqt + sof + dhts + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_color_420(width: int, height: int, mcus: bytes) -> bytes:
+    """REAL baseline JPEG encode for FLAT-MCU 4:2:0 COLOR images — pure
+    Python, stdlib-only: every 3 bytes of ``mcus`` are the (Y, Cb, Cr)
+    levels of one 16x16 MCU (row-major over the MCU grid), stored through
+    the full subsampled 3-component baseline machinery: Y declares 2x2
+    sampling, Cb/Cr declare 1x1, so each interleaved MCU carries FOUR Y
+    blocks (raster order per T.81 §A.2.3) then one Cb and one Cr block,
+    with per-component DC prediction across all of them (the four flat Y
+    blocks emit one real DC diff then three zero diffs — the exact
+    pattern a camera JPEG's flat region produces). Flat MCUs make the
+    lossy pipeline EXACT per component: DC = 8·(s−128) quantized by 8
+    stores s−128 verbatim, and replication upsampling of flat chroma is
+    the identity, so decode_jpeg recovers the integer YCbCr planes
+    bit-exactly and only the documented floor(x+0.5) RGB conversion adds
+    arithmetic an oracle must (and can) replicate."""
+    import struct
+
+    if width % 16 or height % 16 or width < 16 or height < 16:
+        raise ValueError(
+            f"flat-MCU 4:2:0 JPEG needs multiple-of-16 dims, got "
+            f"{width}x{height}"
+        )
+    mw, mh = width // 16, height // 16
+    if len(mcus) != mw * mh * 3:
+        raise ValueError(
+            f"MCU section is {len(mcus)} bytes, expected {mw * mh * 3}"
+        )
+    maps = [
+        (
+            _jpeg_huff_encode_map(JPEG_DC_BITS, JPEG_DC_VALS),
+            _jpeg_huff_encode_map(JPEG_AC_BITS, JPEG_AC_VALS),
+        ),
+        (
+            _jpeg_huff_encode_map(JPEG_DC_BITS_CHROMA, JPEG_DC_VALS_CHROMA),
+            _jpeg_huff_encode_map(JPEG_AC_BITS_CHROMA, JPEG_AC_VALS_CHROMA),
+        ),
+    ]
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    for mcu in range(mw * mh):
+        for ci in range(3):
+            dc_map, ac_map = maps[0] if ci == 0 else maps[1]
+            v = mcus[mcu * 3 + ci]
+            dc = v - 128
+            n_blocks = 4 if ci == 0 else 1  # Y is 2x2, chroma 1x1
+            for _ in range(n_blocks):
+                diff = dc - prev_dc[ci]
+                prev_dc[ci] = dc
+                cat = _jpeg_category(diff)
+                code, length = dc_map[cat]
+                w.put(code, length)
+                if cat:
+                    w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                code, length = ac_map[0x00]  # EOB
+                w.put(code, length)
+    scan = w.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    dqt = seg(
+        0xFFDB, bytes([0]) + bytes(JPEG_QTABLE[JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dhts = (
+        seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS[1:]) + bytes(JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS[1:]) + bytes(JPEG_AC_VALS))
+        + seg(
+            0xFFC4,
+            bytes([0x01])
+            + bytes(JPEG_DC_BITS_CHROMA[1:])
+            + bytes(JPEG_DC_VALS_CHROMA),
+        )
+        + seg(
+            0xFFC4,
+            bytes([0x11])
+            + bytes(JPEG_AC_BITS_CHROMA[1:])
+            + bytes(JPEG_AC_VALS_CHROMA),
+        )
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dhts + sos + scan + b"\xff\xd9"
+
+
 def decode_image(payload: bytes) -> object:
     """Image decode dispatch: binary PPM, 8-bit truecolor PNG, and
-    baseline grayscale JPEG decode for real (decode_ppm / decode_png /
-    decode_jpeg — stdlib-only, no PIL; grayscale AND 4:4:4 color since
-    r09); subsampled/progressive JPEG stays honestly unimplemented."""
+    baseline JPEG decode for real (decode_ppm / decode_png / decode_jpeg
+    — stdlib-only, no PIL; grayscale AND color at sampling factors 1–2,
+    i.e. 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0, since r09); progressive JPEG and
+    sampling factors 3/4 stay honestly unimplemented."""
     if payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload and payload.startswith(PNG_SIGNATURE):
@@ -2028,15 +2188,136 @@ def jpeg_encode_color(df: DataFrame, block_width: int) -> DataFrame:
     return df.mapInPandas(_batches, PNG_PAYLOAD_SCHEMA)
 
 
+def jpeg_encode_color_420(df: DataFrame, mcu_width: int) -> DataFrame:
+    """Arrow-batched flat-MCU 4:2:0 COLOR JPEG encode over mapInPandas:
+    each input row carries per-MCU (Y, Cb, Cr) levels (``mcus`` binary
+    column, THREE bytes per 16x16 MCU, ``mcu_width`` MCUs per row); the
+    kernel runs the full subsampled 3-component baseline pipeline (Y at
+    2x2 sampling → four Y blocks then Cb then Cr per interleaved MCU,
+    per-component DC prediction across all six, luma DHT slot 0 +
+    Annex-K chroma slot 1, byte stuffing). Closure captures only data
+    constants and inlines the logic (workers never import this package).
+    Pinned byte-identical to encode_jpeg_color_420 by
+    tests/test_multimodal.py."""
+    dc_bits, dc_vals = JPEG_DC_BITS, JPEG_DC_VALS
+    ac_bits, ac_vals = JPEG_AC_BITS, JPEG_AC_VALS
+    cdc_bits, cdc_vals = JPEG_DC_BITS_CHROMA, JPEG_DC_VALS_CHROMA
+    cac_bits, cac_vals = JPEG_AC_BITS_CHROMA, JPEG_AC_VALS_CHROMA
+    qtable, zigzag = JPEG_QTABLE, JPEG_ZIGZAG
+
+    def _batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def huff_map(bits, vals):
+            out, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length]):
+                    out[vals[k]] = (code, length)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        maps = [
+            (huff_map(dc_bits, dc_vals), huff_map(ac_bits, ac_vals)),
+            (huff_map(cdc_bits, cdc_vals), huff_map(cac_bits, cac_vals)),
+        ]
+
+        def category(v):
+            mag, cat = abs(v), 0
+            while mag:
+                mag >>= 1
+                cat += 1
+            return cat
+
+        def encode(mcus: bytes) -> bytes:
+            mw = mcu_width
+            if not mcus or len(mcus) % (mw * 3):
+                raise ValueError(
+                    f"4:2:0 MCU section is {len(mcus)} bytes, not a "
+                    f"multiple of {mw * 3}"
+                )
+            mh = len(mcus) // (mw * 3)
+            buf, acc, nb = bytearray(), 0, 0
+
+            def put(code, length):
+                nonlocal acc, nb
+                acc = (acc << length) | (code & ((1 << length) - 1))
+                nb += length
+                while nb >= 8:
+                    b = (acc >> (nb - 8)) & 0xFF
+                    buf.append(b)
+                    if b == 0xFF:
+                        buf.append(0x00)
+                    nb -= 8
+
+            prev_dc = [0, 0, 0]
+            for mcu in range(mw * mh):
+                for ci in range(3):
+                    dc_map, ac_map = maps[0] if ci == 0 else maps[1]
+                    v = mcus[mcu * 3 + ci]
+                    dc = v - 128
+                    n_blocks = 4 if ci == 0 else 1
+                    for _ in range(n_blocks):
+                        diff = dc - prev_dc[ci]
+                        prev_dc[ci] = dc
+                        cat = category(diff)
+                        code, ln = dc_map[cat]
+                        put(code, ln)
+                        if cat:
+                            put(
+                                diff if diff >= 0 else diff + (1 << cat) - 1,
+                                cat,
+                            )
+                        code, ln = ac_map[0x00]
+                        put(code, ln)
+            if nb:
+                pad = 8 - nb
+                put((1 << pad) - 1, pad)
+
+            def seg(marker, data):
+                return struct.pack(">HH", marker, len(data) + 2) + data
+
+            width, height = mw * 16, mh * 16
+            return (
+                b"\xff\xd8"
+                + seg(0xFFDB, bytes([0]) + bytes(qtable[zigzag[i]] for i in range(64)))
+                + seg(
+                    0xFFC0,
+                    struct.pack(">BHHB", 8, height, width, 3)
+                    + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+                )
+                + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(dc_vals))
+                + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits[1:]) + bytes(ac_vals))
+                + seg(0xFFC4, bytes([0x01]) + bytes(cdc_bits[1:]) + bytes(cdc_vals))
+                + seg(0xFFC4, bytes([0x11]) + bytes(cac_bits[1:]) + bytes(cac_vals))
+                + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+                + bytes(buf)
+                + b"\xff\xd9"
+            )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for media_id, mcus in zip(pdf["media_id"], pdf["mcus"]):
+                ids.append(media_id)
+                payloads.append(encode(bytes(mcus)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(_batches, PNG_PAYLOAD_SCHEMA)
+
+
 def jpeg_color_stats(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL 3-component baseline-JPEG decode over
     mapInPandas: full marker walk, four-slot huffman decode, interleaved
-    MCUs with per-component DC prediction, dequant, zigzag, float IDCT,
-    level shift, then the JFIF YCbCr→RGB conversion with floor(x+0.5)
-    rounding (the one rounding an ANSI-SQL oracle restates exactly) —
-    exact integer channel stats out. Closure inlines the decoder (repo
-    kernel convention); pinned byte-identical to decode_jpeg by
-    tests/test_multimodal.py."""
+    MCUs with per-component sampling factors 1–2 (4:4:4 / 4:2:2 / 4:4:0 /
+    4:2:0) and per-component DC prediction, dequant, zigzag, float IDCT,
+    level shift, replication chroma upsampling, then the JFIF YCbCr→RGB
+    conversion with floor(x+0.5) rounding (the one rounding an ANSI-SQL
+    oracle restates exactly) — exact integer channel stats out. Closure
+    inlines the decoder (repo kernel convention); pinned byte-identical
+    to decode_jpeg by tests/test_multimodal.py."""
     zigzag = JPEG_ZIGZAG
 
     def _batches(it: Iterator) -> Iterator:
@@ -2127,9 +2408,13 @@ def jpeg_color_stats(df: DataFrame) -> DataFrame:
                     comps = []
                     for ci in range(3):
                         cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
-                        if hv != 0x11:
-                            raise ValueError("subsampled JPEG unsupported")
-                        comps.append((cid, tq))
+                        ch, cv = hv >> 4, hv & 0xF
+                        if ch not in (1, 2) or cv not in (1, 2):
+                            raise ValueError(
+                                "only sampling factors 1 and 2 decode "
+                                "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
+                            )
+                        comps.append((cid, tq, ch, cv))
                 elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                                 0xCB, 0xCD, 0xCE, 0xCF):
                     raise ValueError("only baseline sequential (SOF0) JPEG decodes")
@@ -2205,82 +2490,123 @@ def jpeg_color_stats(df: DataFrame) -> DataFrame:
                     v -= (1 << cat) - 1
                 return v
 
-            bw, bh = (width + 7) // 8, (height + 7) // 8
-            planes = [bytearray(width * height) for _ in range(3)]
+            # general interleaved-MCU geometry (hmax/vmax from the SOF0
+            # sampling factors; 4:4:4 is the hmax = vmax = 1 special
+            # case): each component decodes into its own MCU-padded
+            # plane, upsampled by replication afterwards
+            hmax = max(cmp[2] for cmp in comps)
+            vmax = max(cmp[3] for cmp in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            plane_dims = [
+                (mcux * cmp[2] * 8, mcuy * cmp[3] * 8) for cmp in comps
+            ]
+            planes = [bytearray(pw * ph) for pw, ph in plane_dims]
             prev_dc = [0, 0, 0]
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     for ci in range(3):
+                        _, _, chs, cvs = comps[ci]
                         qt = qtables[comps[ci][1]]
                         dc_tbl = huff[(0, scan_ids[ci][0])]
                         ac_tbl = huff[(1, scan_ids[ci][1])]
-                        coeffs = [0] * 64
-                        cat = read_huff(dc_tbl)
-                        prev_dc[ci] += receive_extend(cat)
-                        coeffs[0] = prev_dc[ci] * qt[0]
-                        k = 1
-                        while k < 64:
-                            rs = read_huff(ac_tbl)
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows the block")
-                            coeffs[zigzag[k]] = receive_extend(size) * qt[zigzag[k]]
-                            k += 1
-                        nz = [(idx, cf) for idx, cf in enumerate(coeffs) if cf]
-                        if not nz or (len(nz) == 1 and nz[0][0] == 0):
-                            val = int(round(coeffs[0] / 8)) + 128
-                            val = 0 if val < 0 else (255 if val > 255 else val)
-                            block = [float(val)] * 64
-                            flat_done = True
-                        else:
-                            acc = [0.0] * 64
-                            for idx, cf in nz:
-                                v, u = idx // 8, idx % 8
-                                cvu = c[v] * c[u] * cf
-                                for y in range(8):
-                                    cy = cos_t[y][v] * cvu
-                                    row = y * 8
-                                    for x in range(8):
-                                        acc[row + x] += cy * cos_t[x][u]
-                            block = acc
-                            flat_done = False
-                        out = planes[ci]
-                        if flat_done and by * 8 + 8 <= height and bx * 8 + 8 <= width:
-                            # flat block fully in bounds: 8 row slice writes
-                            row8 = bytes([int(block[0])]) * 8
-                            for y in range(8):
-                                row_off = (by * 8 + y) * width + bx * 8
-                                out[row_off : row_off + 8] = row8
-                            continue
-                        for y in range(8):
-                            py = by * 8 + y
-                            if py >= height:
-                                break
-                            row_off = py * width
-                            brow = y * 8
-                            for x in range(8):
-                                px = bx * 8 + x
-                                if px >= width:
-                                    continue
-                                if flat_done:
-                                    out[row_off + px] = int(block[brow + x])
-                                else:
-                                    val = int(round(block[brow + x] / 4)) + 128
-                                    out[row_off + px] = (
-                                        0 if val < 0 else (255 if val > 255 else val)
+                        pw = plane_dims[ci][0]
+                        for vy in range(cvs):
+                            for hx in range(chs):
+                                coeffs = [0] * 64
+                                cat = read_huff(dc_tbl)
+                                prev_dc[ci] += receive_extend(cat)
+                                coeffs[0] = prev_dc[ci] * qt[0]
+                                k = 1
+                                while k < 64:
+                                    rs = read_huff(ac_tbl)
+                                    r, size = rs >> 4, rs & 0xF
+                                    if size == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC run overflows the block"
+                                        )
+                                    coeffs[zigzag[k]] = (
+                                        receive_extend(size) * qt[zigzag[k]]
                                     )
-            # YCbCr -> RGB vectorized: numpy float64 ops are the SAME IEEE
-            # arithmetic as the module reference's per-pixel math.floor path
-            # (pinned identical by tests), ~50x faster on the Arrow batch
-            yv = np.frombuffer(bytes(planes[0]), dtype=np.uint8).astype(np.float64)
-            cb = np.frombuffer(bytes(planes[1]), dtype=np.uint8).astype(np.float64) - 128.0
-            cr = np.frombuffer(bytes(planes[2]), dtype=np.uint8).astype(np.float64) - 128.0
+                                    k += 1
+                                nz = [
+                                    (idx, cf)
+                                    for idx, cf in enumerate(coeffs)
+                                    if cf
+                                ]
+                                if not nz or (len(nz) == 1 and nz[0][0] == 0):
+                                    val = int(round(coeffs[0] / 8)) + 128
+                                    val = (
+                                        0 if val < 0
+                                        else (255 if val > 255 else val)
+                                    )
+                                    block = [float(val)] * 64
+                                    flat_done = True
+                                else:
+                                    acc = [0.0] * 64
+                                    for idx, cf in nz:
+                                        v, u = idx // 8, idx % 8
+                                        cvu = c[v] * c[u] * cf
+                                        for y in range(8):
+                                            cy = cos_t[y][v] * cvu
+                                            row = y * 8
+                                            for x in range(8):
+                                                acc[row + x] += cy * cos_t[x][u]
+                                    block = acc
+                                    flat_done = False
+                                # MCU-padded plane: the block always lands
+                                # fully in bounds
+                                out = planes[ci]
+                                base = (
+                                    (my * cvs + vy) * 8 * pw
+                                    + (mx * chs + hx) * 8
+                                )
+                                if flat_done:
+                                    row8 = bytes([int(block[0])]) * 8
+                                    for y in range(8):
+                                        row_off = base + y * pw
+                                        out[row_off : row_off + 8] = row8
+                                    continue
+                                for y in range(8):
+                                    row_off = base + y * pw
+                                    brow = y * 8
+                                    for x in range(8):
+                                        val = (
+                                            int(round(block[brow + x] / 4))
+                                            + 128
+                                        )
+                                        out[row_off + x] = (
+                                            0 if val < 0
+                                            else (255 if val > 255 else val)
+                                        )
+            # replication upsample + crop each plane to width x height,
+            # then YCbCr -> RGB vectorized: numpy float64 ops are the SAME
+            # IEEE arithmetic as the module reference's per-pixel
+            # math.floor path (pinned identical by tests), ~50x faster on
+            # the Arrow batch
+            full = []
+            for ci in range(3):
+                pw, ph = plane_dims[ci]
+                arr = np.frombuffer(bytes(planes[ci]), dtype=np.uint8).reshape(
+                    ph, pw
+                )
+                sx, sy = hmax // comps[ci][2], vmax // comps[ci][3]
+                if sy > 1:
+                    arr = np.repeat(arr, sy, axis=0)
+                if sx > 1:
+                    arr = np.repeat(arr, sx, axis=1)
+                full.append(
+                    arr[:height, :width].reshape(-1).astype(np.float64)
+                )
+            yv = full[0]
+            cb = full[1] - 128.0
+            cr = full[2] - 128.0
             r = np.clip(np.floor(yv + 1.402 * cr + 0.5), 0.0, 255.0)
             g = np.clip(
                 np.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5), 0.0, 255.0

@@ -3364,6 +3364,67 @@ def q_multimodal_jpeg_color(spark, sf_dir):
     )
 
 
+JPEGS_MW = 2  # 4:2:0 fixture width in 16x16 MCUs (image width = 32 px)
+JPEGS_MAX_MH = 2  # 4:2:0 height cap in MCU rows (3 bytes/MCU; 4 MCUs x 6
+# block-codes = 24 codes/doc, the gray/color keys' budget — mh>=2 still
+# exercises cross-row per-component DC prediction through the 4-Y-block runs)
+
+
+def q_multimodal_jpeg_420(spark, sf_dir):
+    """REAL 4:2:0 chroma-subsampled baseline-JPEG decode under the DRIVER
+    check (r09 — real camera/web corpora are overwhelmingly 4:2:0, the
+    one layout the color key's 4:4:4 path never exercised): documents
+    become flat-MCU 4:2:0 JPEGs (every THREE printable-ASCII text bytes =
+    one 16x16 MCU's integer Y/Cb/Cr levels, encoded through the full
+    subsampled machinery — FOUR Y blocks then Cb then Cr per interleaved
+    MCU, per-component DC prediction across all six, luma DHT slot 0 +
+    Annex-K chroma slot 1, byte stuffing), and a second Arrow kernel runs
+    the complete subsampled decoder (general MCU geometry, replication
+    chroma upsampling) back to RGB. Flat MCUs make the lossy pipeline
+    EXACT per component (DC = 8·(s−128) quantized by 8 stores s−128
+    verbatim; replication upsampling of flat chroma is the identity), so
+    the oracle recomputes the identical floor(x+0.5) JFIF conversion in
+    SQL from the original text bytes. A single mis-ordered Y block,
+    mis-predicted per-component DC through the 4-block runs, or
+    mis-placed chroma sample turns the key red. Progressive JPEG and
+    sampling factors 3/4 keep refusing loudly."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        jpeg_color_stats,
+        jpeg_encode_color_420,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    row_bytes = JPEGS_MW * 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        san.alias("__s"),
+        F.least(
+            F.lit(JPEGS_MAX_MH), (F.length(san) / F.lit(row_bytes)).cast("int")
+        ).alias("__mh"),
+    ).filter(F.col("__mh") >= 1)
+    mcus = (
+        F.col("__s").substr(F.lit(1), F.col("__mh") * F.lit(row_bytes)).cast("binary")
+    )
+    # the documents fixture is ONE parquet file -> one scan task; the
+    # CPU-bound huffman kernels need every core (gray/color key
+    # convention): round-robin the tiny rows before entering Python
+    encoded = jpeg_encode_color_420(
+        media.select("media_id", mcus.alias("mcus")).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        mcu_width=JPEGS_MW,
+    )
+    stats = jpeg_color_stats(encoded)
+    return stats.select(
+        "media_id", "width", "height", "n_pix",
+        "r_sum", "g_sum", "b_sum", "rgb_min", "rgb_max",
+        F.round(F.col("r_sum") / F.col("n_pix"), 4).alias("r_mean"),
+        F.round(F.col("g_sum") / F.col("n_pix"), 4).alias("g_mean"),
+        F.round(F.col("b_sum") / F.col("n_pix"), 4).alias("b_mean"),
+    )
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
@@ -7827,6 +7888,7 @@ def queries() -> dict[str, QueryFn]:
         "pq_recall_audit": q_pq_recall_audit,
         "pq_recall_clustered": q_pq_recall_clustered,
         "multimodal_jpeg_color": q_multimodal_jpeg_color,
+        "multimodal_jpeg_420": q_multimodal_jpeg_420,
         "tokenizer_cjk_fertility": q_tokenizer_cjk_fertility,
         "curation_pipeline": q_curation_pipeline,
         "sql_frontend_q11": q_sql_frontend_q11,
@@ -9371,6 +9433,53 @@ def oracle_sql() -> dict[str, str]:
         # JPEG roundtrip oracle: DuckDB re-slices the ORIGINAL text bytes
         # (never sees a JPEG); each byte is one flat 8x8 block, so pixel
         # stats derive analytically (64 pixels per block at the byte value).
+        "multimodal_jpeg_420": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({JPEGS_MAX_MH},
+                                 CAST(LENGTH(s) // {JPEGS_MW * 3} AS INT)) AS mh
+                    FROM san),
+            ok AS (SELECT doc_id, s, mh FROM dim WHERE mh >= 1),
+            mcu AS (SELECT doc_id, mh,
+                           ord(substr(s, CAST(3 * m + 1 AS INT), 1)) AS y,
+                           ord(substr(s, CAST(3 * m + 2 AS INT), 1)) - 128 AS cb,
+                           ord(substr(s, CAST(3 * m + 3 AS INT), 1)) - 128 AS cr
+                    FROM (SELECT doc_id, mh, s,
+                                 unnest(range(0, mh * {JPEGS_MW})) AS m
+                          FROM ok)),
+            -- floor(x + 0.5) on IEEE doubles, same association order as the
+            -- kernel; explicit DOUBLE casts keep DuckDB out of exact DECIMAL
+            px AS (SELECT doc_id, mh,
+                          GREATEST(0, LEAST(255, CAST(FLOOR(
+                              CAST(y AS DOUBLE)
+                              + CAST(1.402 AS DOUBLE) * cr + 0.5) AS INT)))
+                              AS r,
+                          GREATEST(0, LEAST(255, CAST(FLOOR(
+                              CAST(y AS DOUBLE)
+                              - CAST(0.344136 AS DOUBLE) * cb
+                              - CAST(0.714136 AS DOUBLE) * cr + 0.5) AS INT)))
+                              AS g,
+                          GREATEST(0, LEAST(255, CAST(FLOOR(
+                              CAST(y AS DOUBLE)
+                              + CAST(1.772 AS DOUBLE) * cb + 0.5) AS INT)))
+                              AS b
+                   FROM mcu)
+            SELECT doc_id AS media_id,
+                   CAST({JPEGS_MW} * 16 AS INT) AS width,
+                   CAST(mh * 16 AS INT) AS height,
+                   CAST({JPEGS_MW} * 16 * mh * 16 AS BIGINT) AS n_pix,
+                   CAST(256 * SUM(r) AS BIGINT) AS r_sum,
+                   CAST(256 * SUM(g) AS BIGINT) AS g_sum,
+                   CAST(256 * SUM(b) AS BIGINT) AS b_sum,
+                   CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS INT) AS rgb_min,
+                   CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS INT) AS rgb_max,
+                   ROUND(256.0 * SUM(r) / ({JPEGS_MW} * 16 * mh * 16), 4) AS r_mean,
+                   ROUND(256.0 * SUM(g) / ({JPEGS_MW} * 16 * mh * 16), 4) AS g_mean,
+                   ROUND(256.0 * SUM(b) / ({JPEGS_MW} * 16 * mh * 16), 4) AS b_mean
+            FROM px GROUP BY doc_id, mh
+        """,
         "multimodal_jpeg_color": f"""
             WITH san AS (SELECT doc_id,
                                 regexp_replace(text, '[^ -~]', '', 'g') AS s

@@ -989,7 +989,8 @@ def test_jpeg_color_kernels_match_reference(spark):
 
 
 def test_jpeg_color_refusals():
-    """Subsampled, SOS/SOF mismatch, and progressive stay loud errors."""
+    """Sampling factors > 2, SOS/SOF mismatch, and progressive stay loud
+    errors (2x2 itself decodes since r09 — see the 4:2:0 tests)."""
     import pytest
 
     from cassandra_data_migrator_spark.operators.multimodal import (
@@ -1000,8 +1001,8 @@ def test_jpeg_color_refusals():
     good = encode_jpeg_color(8, 8, bytes([100, 90, 110]))
     i = good.index(b"\xff\xc0")
     bad = bytearray(good)
-    bad[i + 11] = 0x22  # Y sampling 2x2 -> 4:2:0
-    with pytest.raises(ValueError, match="subsampled"):
+    bad[i + 11] = 0x33  # Y sampling 3x3: beyond the 1-2 decode surface
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(bad))
     bad2 = bytearray(good)
     bad2[i + 1] = 0xC2  # progressive SOF2
@@ -1012,3 +1013,175 @@ def test_jpeg_color_refusals():
     bad3[j + 5] = 9  # scan names a component SOF0 never declared
     with pytest.raises(ValueError, match="component"):
         decode_jpeg(bytes(bad3))
+
+
+def test_jpeg_420_flat_roundtrip_exact():
+    """Flat-MCU 4:2:0: the subsampled pipeline (four Y blocks + Cb + Cr
+    per MCU, per-component DC prediction, replication upsampling) returns
+    integer YCbCr planes bit-exactly; every pixel of each 16x16 MCU
+    equals the documented floor(x+0.5) JFIF conversion of its planted
+    triple. Also pins the 4:2:2 layout (2x1 Y sampling) via a hand-built
+    two-block-wide variant."""
+    import math
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+    )
+
+    def exp_rgb(yv, cb, cr):
+        cb, cr = cb - 128, cr - 128
+        return (
+            max(0, min(255, math.floor(yv + 1.402 * cr + 0.5))),
+            max(0, min(255, math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))),
+            max(0, min(255, math.floor(yv + 1.772 * cb + 0.5))),
+        )
+
+    rng = random.Random(17)
+    for mw, mh in ((1, 1), (3, 2), (2, 4)):
+        mcus = bytes(rng.randrange(1, 255) for _ in range(mw * mh * 3))
+        w, h, nc, rgb = decode_jpeg(encode_jpeg_color_420(mw * 16, mh * 16, mcus))
+        assert (w, h, nc) == (mw * 16, mh * 16, 3)
+        for midx in range(mw * mh):
+            exp = exp_rgb(*mcus[midx * 3 : midx * 3 + 3])
+            my, mx = midx // mw, midx % mw
+            for y in range(16):
+                for x in range(16):
+                    px = (my * 16 + y) * (mw * 16) + mx * 16 + x
+                    assert tuple(rgb[px * 3 : px * 3 + 3]) == exp, (midx, y, x)
+
+
+def test_jpeg_422_decodes():
+    """4:2:2 (Y 2x1, chroma 1x1): hand-assemble the SOF/scan for one MCU
+    of two flat Y blocks sharing one flat chroma pair and check the
+    decoded 16x8 image against the analytic conversion — covers the
+    sampling geometry the 4:2:0 encoder never emits."""
+    import math
+    import struct
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+    )
+
+    base = encode_jpeg_color_420(16, 16, bytes([120, 100, 140]))
+    # rebuild: SOF says 16x8 with Y sampling 2x1; scan = 2 Y blocks + Cb + Cr
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        JPEG_AC_BITS, JPEG_AC_BITS_CHROMA, JPEG_AC_VALS, JPEG_AC_VALS_CHROMA,
+        JPEG_DC_BITS, JPEG_DC_BITS_CHROMA, JPEG_DC_VALS, JPEG_DC_VALS_CHROMA,
+        JPEG_QTABLE, JPEG_ZIGZAG, _jpeg_category, _JpegBitWriter,
+        _jpeg_huff_encode_map,
+    )
+
+    maps = [
+        (
+            _jpeg_huff_encode_map(JPEG_DC_BITS, JPEG_DC_VALS),
+            _jpeg_huff_encode_map(JPEG_AC_BITS, JPEG_AC_VALS),
+        ),
+        (
+            _jpeg_huff_encode_map(JPEG_DC_BITS_CHROMA, JPEG_DC_VALS_CHROMA),
+            _jpeg_huff_encode_map(JPEG_AC_BITS_CHROMA, JPEG_AC_VALS_CHROMA),
+        ),
+    ]
+    w = _JpegBitWriter()
+    yv, cbv, crv = 120, 100, 140
+    prev = [0, 0, 0]
+    for ci, n_blocks in ((0, 2), (1, 1), (2, 1)):
+        dc_map, ac_map = maps[0] if ci == 0 else maps[1]
+        dc = (yv, cbv, crv)[ci] - 128
+        for _ in range(n_blocks):
+            diff = dc - prev[ci]
+            prev[ci] = dc
+            cat = _jpeg_category(diff)
+            code, ln = dc_map[cat]
+            w.put(code, ln)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            code, ln = ac_map[0x00]
+            w.put(code, ln)
+    scan = w.flush()
+
+    def seg(marker, data):
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(JPEG_QTABLE[JPEG_ZIGZAG[i]] for i in range(64)))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 16, 3)
+            + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS[1:]) + bytes(JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS[1:]) + bytes(JPEG_AC_VALS))
+        + seg(
+            0xFFC4,
+            bytes([0x01]) + bytes(JPEG_DC_BITS_CHROMA[1:]) + bytes(JPEG_DC_VALS_CHROMA),
+        )
+        + seg(
+            0xFFC4,
+            bytes([0x11]) + bytes(JPEG_AC_BITS_CHROMA[1:]) + bytes(JPEG_AC_VALS_CHROMA),
+        )
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    width, height, nc, rgb = decode_jpeg(payload)
+    assert (width, height, nc) == (16, 8, 3)
+    cb, cr = cbv - 128, crv - 128
+    exp = (
+        max(0, min(255, math.floor(yv + 1.402 * cr + 0.5))),
+        max(0, min(255, math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))),
+        max(0, min(255, math.floor(yv + 1.772 * cb + 0.5))),
+    )
+    assert all(
+        tuple(rgb[p * 3 : p * 3 + 3]) == exp for p in range(width * height)
+    )
+    # and the 4:2:0 base from the same constants still decodes
+    assert decode_jpeg(base)[:3] == (16, 16, 3)
+
+
+def test_jpeg_420_kernels_match_reference(spark):
+    """The inlined 4:2:0 mapInPandas closures must agree BYTE-identically
+    with encode_jpeg_color_420 / decode_jpeg (the PNG/JPEG kernel
+    discipline), and jpeg_color_stats must decode the subsampled payloads
+    to the same channel stats as the module reference."""
+    import random
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+        jpeg_color_stats,
+        jpeg_encode_color_420,
+    )
+
+    rng = random.Random(19)
+    mcu_width = 2
+    mcus_list = [
+        bytes(rng.randrange(16, 240) for _ in range(mcu_width * 3 * mh))
+        for mh in (1, 2, 3, 2)
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(mcus_list)], "media_id LONG, mcus BINARY"
+    )
+    encoded = {
+        r.media_id: bytes(r.payload)
+        for r in jpeg_encode_color_420(df, mcu_width).collect()
+    }
+    for i, mcus in enumerate(mcus_list):
+        mh = len(mcus) // (mcu_width * 3)
+        assert encoded[i] == encode_jpeg_color_420(mcu_width * 16, mh * 16, mcus)
+
+    pdf = spark.createDataFrame(
+        sorted(encoded.items()), "media_id LONG, payload BINARY"
+    )
+    got = {r.media_id: r for r in jpeg_color_stats(pdf).collect()}
+    for i in encoded:
+        w, h, nc, rgb = decode_jpeg(encoded[i])
+        r = got[i]
+        assert (r.width, r.height, r.n_pix) == (w, h, w * h)
+        assert (r.r_sum, r.g_sum, r.b_sum) == (
+            sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]),
+        )
+        assert r.rgb_min == min(rgb) and r.rgb_max == max(rgb)

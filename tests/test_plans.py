@@ -353,7 +353,7 @@ def test_multimodal_decoders_no_shuffle(spark, sf_dir):
     # spread the kernels run serial (measured 5.1->1.9 s gray, 6.7->1.8 s
     # color). Exactly one exchange, round-robin (never a hash shuffle of
     # payload bytes), still two fused kernels.
-    for key in ("multimodal_jpeg", "multimodal_jpeg_color"):
+    for key in ("multimodal_jpeg", "multimodal_jpeg_color", "multimodal_jpeg_420"):
         p = _plan(spark, sf_dir, key, mode="simple")
         assert p.count("Exchange") == 1, f"{key}: expected exactly 1 exchange"
         assert "RoundRobinPartitioning" in p or "roundrobin" in p.lower(), (
@@ -403,6 +403,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_png",  # real PNG deflate+inflate kernels (multimodal.png_encode_rgb/png_stats)
     "multimodal_jpeg",  # real baseline-JPEG encode+decode kernels (multimodal.jpeg_encode_gray/jpeg_stats)
     "multimodal_jpeg_color",  # real 3-component JPEG kernels (multimodal.jpeg_encode_color/jpeg_color_stats)
+    "multimodal_jpeg_420",  # real 4:2:0 subsampled JPEG kernels (multimodal.jpeg_encode_color_420/jpeg_color_stats)
     "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
     "dhash_banded_near_dup",  # same kernel feeding the banded-Hamming join
 }
