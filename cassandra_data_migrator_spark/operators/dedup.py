@@ -309,6 +309,118 @@ def _bucketed_pairs(
     return _pairs_from_sorted_ids(grouped, max_bucket_size).distinct()
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (All-Pairs /
+    PPJoin-style: Bayardo et al., WWW'07; Xiao et al., WWW'08) — same
+    answer as the full inverted-index pipeline (``ngram_jaccard_pairs``)
+    but candidates come from each set's PREFIX only, the canonical
+    at-scale exact path.
+
+    The lemma: order every set by one global total order (here ascending
+    document frequency, rarest first, ties by shingle text — so prefixes
+    land on the LEAST shared tokens); if J(A,B) ≥ t, the first
+    |A| − ⌈t·|A|⌉ + 1 elements of A and the first |B| − ⌈t·|B|⌉ + 1 of B
+    must share at least one element. So generating candidates only from
+    prefix-token buckets loses nothing, and at t = 0.5 the exploded index
+    halves while the rare-first ordering collapses bucket sizes (the hot
+    shingles that dominate ``shingle_index`` buckets sort LAST and never
+    enter a prefix).
+
+    Plan shape (all JVM, no self-join):
+      1. per-doc distinct shingle sets (one projection);
+      2. document frequency per shingle (one groupBy over the exploded
+         index) joined back — the one extra shuffle prefix filtering buys
+         its candidate reduction with;
+      3. per-doc rare-first ordering via ``array_sort`` on (df, shingle)
+         structs, prefix = ``slice`` of length n − ⌈t'·n⌉ + 1;
+      4. prefix buckets → ordered pairs inside the JVM
+         (_pairs_from_sorted_ids — no index self-join);
+      5. exact verification: length filter (min ≥ t'·max, the other
+         All-Pairs bound), ``array_intersect`` on the full sets, Jaccard
+         rounded to 4dp ≥ threshold (oracle-identical arithmetic).
+
+    t' = threshold − 0.001: the output filter compares ROUND(J, 4) ≥ t,
+    which admits true J a hair below t; the slack keeps the prefix bound
+    (stated for J ≥ t) a superset of everything the rounded filter can
+    pass — at most one extra prefix element per set.
+
+    Verification is exact, so an over-long prefix can never change the
+    answer — only cost candidates."""
+    t_relaxed = threshold - 0.001
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sets = (
+        toked.select(
+            F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("sh")
+        )
+        .filter(F.size("sh") >= 1)
+    )
+    idx = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    dfreq = idx.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    docs = (
+        idx.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ordered")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__ordered"), lambda s: s["shingle"]).alias("sh"),
+            F.size("__ordered").cast("int").alias("n_sh"),
+        )
+        .persist()
+    )
+    prefix_len = F.greatest(
+        F.lit(1),
+        (
+            F.col("n_sh")
+            - F.ceil(F.col("n_sh") * F.lit(t_relaxed)).cast("int")
+            + F.lit(1)
+        ),
+    )
+    pref = docs.select(
+        F.col(id_col),
+        F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("shingle"),
+    )
+    cand = _bucketed_pairs(pref, id_col, ["shingle"], None)
+    da = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("__sh_a"),
+        F.col("n_sh").alias("__n_a"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("__sh_b"),
+        F.col("n_sh").alias("__n_b"),
+    )
+    ni = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(
+            F.least("__n_a", "__n_b")
+            >= F.greatest("__n_a", "__n_b") * F.lit(t_relaxed)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                ni / (F.col("__n_a") + F.col("__n_b") - ni), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

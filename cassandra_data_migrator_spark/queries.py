@@ -470,6 +470,25 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+PREFIX_N = 5  # shingle width for the prefix-filter join (wider than
+# NGRAM_N=3 so the two exact-Jaccard keys exercise different set geometry)
+PREFIX_THRESHOLD = 0.5
+
+
+def q_dedup_prefix_filter(spark, sf_dir):
+    """Exact 5-gram Jaccard ≥ 0.5 via PREFIX-FILTERED candidates
+    (All-Pairs/PPJoin, the canonical at-scale exact set-similarity join —
+    see operators/dedup.prefix_filter_jaccard_pairs for the lemma): the
+    inverted index explodes only each doc's rare-first prefix
+    (n − ⌈t·n⌉ + 1 shingles), so the hot shingles that dominate
+    dedup_ngram's buckets never generate pairs; a length filter and exact
+    array_intersect verification make the result identical to brute
+    force, which is exactly what the oracle computes."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=PREFIX_N, threshold=PREFIX_THRESHOLD
+    )
+
+
 def q_dedup_fuzzy(spark, sf_dir):
     return dedup.dedup_fuzzy(
         _t(spark, sf_dir, "documents"),
@@ -8057,6 +8076,7 @@ def queries() -> dict[str, QueryFn]:
         "migrate_rowcount": q_migrate_rowcount,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
         "dedup_fuzzy": q_dedup_fuzzy,
         "simhash_near_dup": q_simhash_near_dup,
         "codec_blob": q_codec_blob,
@@ -10554,6 +10574,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}
+        """,
+        "dedup_prefix_filter": f"""
+            WITH toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+            pos AS (SELECT doc_id, ts,
+                           unnest(range(1, len(ts) - {PREFIX_N - 2})) AS i
+                    FROM toks WHERE len(ts) >= {PREFIX_N}),
+            sh AS (SELECT DISTINCT doc_id,
+                          list_aggregate(ts[i:i+{PREFIX_N - 1}],
+                                         'string_agg', ' ') AS shingle
+                   FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            -- brute force over the full inverted index: the prefix filter
+            -- is exact, so the Spark side must reproduce this bit-for-bit
+            SELECT id_a, id_b,
+                   ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {PREFIX_THRESHOLD}
         """,
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_cluster_sizes": f"""

@@ -197,3 +197,56 @@ def test_cap_shingle_df_removes_hot_shingles_only(spark):
     assert "BroadcastHashJoin LeftAnti" in p or (
         "LeftAnti" in p and "Broadcast" in p
     )
+
+
+def test_prefix_filter_matches_full_inverted_index(spark):
+    """The prefix-filtered set-similarity join is EXACT (All-Pairs lemma):
+    on a randomized corpus with planted near-dups it must return the
+    identical (id_a, id_b, jaccard) set as ngram_jaccard_pairs, whose
+    candidates come from the FULL inverted index. Run at two thresholds so
+    both prefix lengths (n/2-ish and n/5-ish) are exercised."""
+    from cassandra_data_migrator_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(30):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(8, 30))]
+        rows.append((doc_id, " ".join(words)))
+        if doc_id % 5 == 0:  # planted near-dup: one word appended
+            # (k shared shingles of k+1 -> J = k/(k+1) >= 6/7, above both
+            # tested thresholds even for the shortest 8-word docs)
+            rows.append((doc_id + 1000, " ".join(words + ["zz"])))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for t in (0.5, 0.8):
+        full = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(df, n=3, threshold=t).collect()
+        }
+        assert pref == full, (t, pref ^ full)
+        assert full, f"fixture produced no pairs at t={t} (vacuous test)"
+
+
+def test_prefix_filter_threshold_boundary(spark):
+    """A pair landing EXACTLY at the threshold must survive: J = 0.5 via
+    two 6-shingle sets sharing exactly 4 shingles (4/8 = 0.5). Also pins
+    the rounding guard: the relaxed prefix (t' = t − 0.001) still
+    generates the boundary pair."""
+    from cassandra_data_migrator_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 8 tokens -> 6 3-shingles each; docs share tokens 1..6 -> 4 shared
+    # 3-shingles; J = 4 / (6 + 6 - 4) = 0.5 exactly
+    a = "a1 c1 c2 c3 c4 c5 c6 a2"
+    b = "b1 c1 c2 c3 c4 c5 c6 b2"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id LONG, text STRING")
+    got = prefix_filter_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
