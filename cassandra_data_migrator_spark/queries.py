@@ -6816,6 +6816,142 @@ def q_pq_ivf_recall_clustered(spark, sf_dir):
     )
 
 
+SQ_LEVELS = 255  # SQ8: per-dim uniform quantization to codes 0..255
+SQ_SHORTLIST = PQ_SHORTLIST  # same two-stage budget as the PQ audits
+# SQ8 floors (measured across sf0.001/0.01/0.1: uniform 1.0/1.0/0.98,
+# clustered 0.96/1.0/1.0): scalar quantization at 8 bits/dim keeps far
+# more geometry than PQ's 4 bits/VECTOR-BLOCK, so its shortlist is
+# near-exact in both regimes — the expected SQ8-vs-PQ ordering.
+SQ_RECALL_MIN = 0.9
+SQ_RECALL_CLUSTERED_MIN = 0.9
+
+
+def _sq8_audit(spark, emb, brute, floor, query_pred=TOPK_QUERY_PRED,
+               _measure=False):
+    """SQ8 scalar-quantization recall contract — the third faiss index
+    compression tier (IndexScalarQuantizer QT_8bit), completing the
+    family next to PQ (pq_recall_audit) and IVFADC: each of the 64 dims
+    is quantized INDEPENDENTLY to one byte against per-dim corpus
+    [min, max] bounds, so the index stores 64 bytes/vector (8× smaller
+    than float64, 8× larger than PQ's 8 codes — the accuracy/size middle
+    ground real deployments pick when PQ recall is short).
+
+    Spark shape: the bounds are ONE 64-dim agg over the exploded corpus
+    collapsing to a 1-row broadcast (the ks_drift bounds pattern —
+    nothing driver-side, no training); encode + dequantize-reconstruct
+    are codegen'd array transforms (the corpus never shuffles); scoring
+    is the same probe-bounded broadcast-queries class as plain PQ
+    (every corpus row pays one zip_with fold against each of the 5
+    probes), then the production two-stage shape: approximate shortlist
+    (SQ_SHORTLIST) -> exact re-rank. Unlike PQ/IVF there is NO
+    engine-side trained state — the quantizer is a pure function of the
+    corpus — but the approximate distances are still IEEE-order
+    dependent, so the oracle pins exact counts + the floor boolean (the
+    established recall-contract discipline)."""
+    from cassandra_data_migrator_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        norm,
+    )
+
+    v = as_double_array("embedding")
+    unit = F.transform(v, lambda x: x / norm(v))
+    base = emb.select("vec_id", unit.alias("__v"))
+    ex = base.select(F.posexplode("__v").alias("__i", "__x"))
+    stats = ex.groupBy("__i").agg(
+        F.min("__x").alias("mn"), F.max("__x").alias("mx")
+    )
+    bounds = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "mn"))),
+            lambda s: s["mn"],
+        ).alias("__mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "mx"))),
+            lambda s: s["mx"],
+        ).alias("__maxs"),
+    )
+
+    def _code(x, i):
+        mn, mx = F.get(F.col("__mins"), i), F.get(F.col("__maxs"), i)
+        return (
+            F.when(
+                mx > mn,
+                F.round((x - mn) / (mx - mn) * F.lit(float(SQ_LEVELS))).cast(
+                    "int"
+                ),
+            )
+            .otherwise(F.lit(0))
+        )
+
+    def _recon(c, i):
+        mn, mx = F.get(F.col("__mins"), i), F.get(F.col("__maxs"), i)
+        return mn + c.cast("double") / F.lit(float(SQ_LEVELS)) * (mx - mn)
+
+    enc = (
+        base.join(F.broadcast(bounds))
+        .select("vec_id", "__v", F.transform("__v", _code).alias("__codes"),
+                "__mins", "__maxs")
+        .select("vec_id", "__v", F.transform("__codes", _recon).alias("__rv"))
+    )
+    qdf = emb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), unit.alias("__qv")
+    )
+    cand = enc.join(F.broadcast(qdf), F.col("vec_id") != F.col("query_id"))
+    adist = F.aggregate(
+        F.zip_with("__qv", "__rv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        adist.alias("__ad"),
+        (2.0 - 2.0 * dot(F.col("__qv"), F.col("__v"))).alias("__ed"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("__ad"), F.col("vec_id"))
+    shortlist = scored.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= SQ_SHORTLIST
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__ed"), F.col("vec_id"))
+    sq_topk = (
+        shortlist.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= TOPK_K)
+        .select("query_id", "vec_id")
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
+    n_hit = brute.join(sq_topk, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    out_cols = [
+        F.col("n_brute"),
+        F.lit(SQ_LEVELS + 1).cast("bigint").alias("n_levels"),
+        (
+            (F.col("n_brute") == 0)
+            | (F.col("n_hit") / F.col("n_brute") >= floor)
+        ).alias("recall_ok"),
+    ]
+    if _measure:
+        out_cols.append(F.col("n_hit"))  # floor-setting/tests only, never oracled
+    return n_brute.crossJoin(F.broadcast(n_hit)).select(*out_cols)
+
+
+def q_sq8_recall_audit(spark, sf_dir):
+    """SQ8 recall contract on the near-uniform fixture (the LSH-hostile
+    regime) — see _sq8_audit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    return _sq8_audit(spark, emb, brute, SQ_RECALL_MIN)
+
+
+def q_sq8_recall_clustered(spark, sf_dir):
+    """SQ8 recall contract on the CLUSTERED fixture (the realistic regime;
+    fixture + exact ground truth shared with the PQ/IVF/ANN audits)."""
+    emb = _clustered_emb(spark, sf_dir)
+    brute = _brute_topk_clustered(spark, sf_dir).select("query_id", "vec_id")
+    return _sq8_audit(spark, emb, brute, SQ_RECALL_CLUSTERED_MIN)
+
+
 # Residual-encoding IVFADC floors (measured across sf0.001/0.01/0.1, see
 # BASELINE.md r09): training the PQ codebooks on WITHIN-CELL residuals is
 # the actual faiss IVFADC recipe — the codebooks model a tighter
@@ -7902,6 +8038,10 @@ def queries() -> dict[str, QueryFn]:
     """
     return {
         # --- r09 window head: new or behavior-changed this round ---
+        "multimodal_jpeg_420": q_multimodal_jpeg_420,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "sq8_recall_audit": q_sq8_recall_audit,
+        "sq8_recall_clustered": q_sq8_recall_clustered,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "pq_recall_audit": q_pq_recall_audit,
@@ -9885,6 +10025,20 @@ def oracle_sql() -> dict[str, str]:
                                                WHERE {TOPK_QUERY_PRED})
                        AS n_brute,
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
+                   TRUE AS recall_ok
+        """,
+        "sq8_recall_audit": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED})
+                       AS n_brute,
+                   CAST({SQ_LEVELS + 1} AS BIGINT) AS n_levels,
+                   TRUE AS recall_ok
+        """,
+        "sq8_recall_clustered": f"""
+            SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings
+                                               WHERE {TOPK_QUERY_PRED})
+                       AS n_brute,
+                   CAST({SQ_LEVELS + 1} AS BIGINT) AS n_levels,
                    TRUE AS recall_ok
         """,
         "pq_recall_clustered": f"""
