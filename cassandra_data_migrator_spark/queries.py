@@ -1143,6 +1143,69 @@ def q_group_agg(spark, sf_dir):
     )
 
 
+AGG_MV_CUTOFF = "1997-01-01"  # history/delta split for the incremental
+# aggregate-maintenance key (~75% of the 1992-1998 o_orderdate range)
+
+
+def q_agg_incremental_merge(spark, sf_dir):
+    """Incremental MATERIALIZED-AGGREGATE maintenance — the mergeable-
+    aggregates contract (the exact-aggregate sibling of the E11 sketch
+    family): a standing partial-aggregate table over history
+    (o_orderdate < cutoff) is built ONCE per session and persisted as a
+    parquet artifact (what a nightly job keeps between runs), and each
+    refresh aggregates ONLY the delta slice (o_orderdate ≥ cutoff — a
+    pushed-down scan predicate, never a rescan of history) and MERGES
+    partials: cnt = Σcnt, sum = Σsum (exact DECIMAL, associative by
+    construction), min = min(min), max = max(max), avg re-derived from
+    the merged (sum, cnt) — the classic non-mergeable-naively aggregate.
+    At 100 TB this is the difference between touching one day of data
+    and rescanning the corpus per refresh. The oracle recomputes every
+    group from scratch: any merge error (double-counted boundary row,
+    min-of-avgs-style mistake, decimal overflow in the re-sum) lands as
+    a value mismatch."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+
+    def partial(df):
+        return df.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("o_orderpriority"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(price).cast("decimal(18,4)").alias("sum_price"),
+            F.min(price).alias("min_price"),
+            F.max(price).alias("max_price"),
+        )
+
+    hist = _session_artifact(
+        spark,
+        f"aggmv|{sf_dir}",
+        lambda: partial(o.filter(F.col("o_orderdate") < F.lit(AGG_MV_CUTOFF))),
+    )
+    delta = partial(o.filter(F.col("o_orderdate") >= F.lit(AGG_MV_CUTOFF)))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_price").cast("decimal(18,4)").alias("sum_price"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_year",
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.round(F.col("sum_price").cast("double") / F.col("cnt"), 4).alias(
+            "avg_price"
+        ),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -8042,6 +8105,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "sq8_recall_audit": q_sq8_recall_audit,
         "sq8_recall_clustered": q_sq8_recall_clustered,
+        "agg_incremental_merge": q_agg_incremental_merge,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "pq_recall_audit": q_pq_recall_audit,
@@ -10026,6 +10090,23 @@ def oracle_sql() -> dict[str, str]:
                        AS n_brute,
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
+        """,
+        "agg_incremental_merge": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+                   CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS min_price,
+                   CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS max_price,
+                   ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                              AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*), 4)
+                       AS avg_price
+            -- full recompute from scratch: the Spark side must reproduce it
+            -- from the standing history partials + the delta-only scan
+            FROM orders GROUP BY 1, 2
         """,
         "sq8_recall_audit": f"""
             SELECT CAST({TOPK_K} AS BIGINT) * (SELECT COUNT(*) FROM embeddings

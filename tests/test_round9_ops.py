@@ -1,0 +1,63 @@
+"""Round-9 operator semantics the oracle-parity sweep can't see.
+
+agg_incremental_merge's green key proves merged == full recompute; these
+pin WHY it holds (exclusive boundary, pushed delta predicate) and that the
+merge is actually sensitive to getting those wrong.
+"""
+
+from pyspark.sql import functions as F
+
+import cassandra_data_migrator_spark.queries as Q
+
+
+def _partial(o, pred):
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.filter(pred).groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(price).cast("decimal(18,4)").alias("sum_price"),
+    )
+
+
+def test_agg_merge_overlapping_boundary_double_counts(spark, sf_dir):
+    """RED PATH: merging history(< cutoff) with a delta that re-includes
+    the boundary day (>= cutoff − 1 month) must NOT equal the full
+    recompute — proves the key's exclusive/inclusive split is load-bearing
+    and the merge would expose a double-counted row, not absorb it."""
+    o = Q._t(spark, sf_dir, "orders")
+    cut = F.lit(Q.AGG_MV_CUTOFF)
+    bad_delta_pred = F.col("o_orderdate") >= F.add_months(cut, -1)
+    merged_bad = (
+        _partial(o, F.col("o_orderdate") < cut)
+        .unionByName(_partial(o, bad_delta_pred))
+        .groupBy("o_year", "o_orderpriority")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    full = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_orderpriority"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    bad = {(r.o_year, r.o_orderpriority): r.cnt for r in merged_bad.collect()}
+    ok = {(r.o_year, r.o_orderpriority): r.cnt for r in full.collect()}
+    assert bad != ok
+    # and the damage is exactly over-counting (never silent row loss)
+    assert all(bad[k] >= ok[k] for k in ok)
+
+
+def test_agg_merge_delta_scan_pushes_date_filter(spark, sf_dir):
+    """The refresh side must read ONLY the delta: the o_orderdate >= cutoff
+    predicate has to reach the parquet scan (PushedFilters), otherwise the
+    'incremental' key silently rescans all of history every refresh."""
+    df = Q.q_agg_incremental_merge(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        "o_orderdate" in p and ("GreaterThanOrEqual" in p or "IsNotNull" in p)
+        for p in pushed
+    ), plan
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), plan
