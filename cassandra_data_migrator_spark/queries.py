@@ -1206,6 +1206,94 @@ def q_agg_incremental_merge(spark, sf_dir):
     )
 
 
+SCD2_DATES = ("1995-01-01", "1996-01-01", "1997-01-01")
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension maintenance — the warehouse
+    operator a migration engine feeds (CDM moves the snapshots; this
+    builds the versioned dimension a consumer actually queries): three
+    deterministic customer snapshots (v2 plants mod-97 balance +100,
+    mod-89 segment churn, mod-101 DELETES; v3 plants mod-53 VIP upgrades,
+    +200 balances, and RESURRECTS the mod-101 keys) collapse into one
+    history table of validity periods: a row per (custkey, attribute
+    state) with valid_from, valid_to (the next change's effective date;
+    NULL while open) and is_current.
+
+    Spark shape: snapshots are three projections of ONE customer scan
+    (planted in-plan, the cdc_delta_detect convention — fixtures are
+    read-only); presence/absence rides a custkey×version grid (3 rows per
+    key — a DIMENSION-sized blowup, never fact-sized); change detection
+    is lag(fingerprint) over ONE (custkey, version) window reused by the
+    lead(valid_to) pass; deletes appear as ABSENT segments that CLOSE the
+    preceding period and then drop out, so a delete-then-resurrect key
+    yields two disjoint periods. The attribute fingerprint is an exact
+    DECIMAL(18,2)-rendered string, so both engines detect change on
+    identical text, never on float equality."""
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    d1, d2, d3 = [F.lit(d).cast("date") for d in SCD2_DATES]
+
+    def snap(version, eff, bal_shift, segment, pred=None):
+        df = c if pred is None else c.filter(pred)
+        bal = (F.col("c_acctbal") + bal_shift).cast("decimal(18,2)")
+        return df.select(
+            F.lit(version).alias("version"),
+            key.alias("custkey"),
+            bal.alias("bal"),
+            segment.alias("segment"),
+        )
+
+    seg1 = F.col("c_mktsegment")
+    seg2 = F.when(key % 89 == 0, F.lit("CHURNED")).otherwise(seg1)
+    seg3 = (
+        F.when(key % 53 == 0, F.lit("VIP"))
+        .when(key % 89 == 0, F.lit("CHURNED"))
+        .otherwise(seg1)
+    )
+    shift2 = F.when(key % 97 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+    shift3 = F.when(key % 97 == 0, F.lit(200.0)).otherwise(F.lit(0.0))
+    snaps = (
+        snap(1, d1, F.lit(0.0), seg1)
+        .unionByName(snap(2, d2, shift2, seg2, pred=(key % 101 != 0)))
+        .unionByName(snap(3, d3, shift3, seg3))
+    )
+    versions = spark.range(1, 4).select(
+        F.col("id").cast("int").alias("version"),
+        F.element_at(F.array(d1, d2, d3), F.col("id").cast("int")).alias("eff"),
+    )
+    grid = c.select(key.alias("custkey")).distinct().crossJoin(
+        F.broadcast(versions)
+    )
+    state = grid.join(snaps, ["custkey", "version"], "left").select(
+        "custkey",
+        "version",
+        "eff",
+        "bal",
+        "segment",
+        F.when(
+            F.col("segment").isNull(), F.lit("ABSENT")
+        ).otherwise(
+            F.concat(F.col("bal").cast("string"), F.lit("|"), F.col("segment"))
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("custkey").orderBy("version")
+    chg = state.withColumn("__prev", F.lag("fp").over(w)).filter(
+        F.col("__prev").isNull() | (F.col("fp") != F.col("__prev"))
+    )
+    closed = chg.withColumn("valid_to", F.lead("eff").over(w))
+    # dates cross the oracle as ISO text (the codec_date_time convention —
+    # the driver compare would otherwise see datetime.date vs Timestamp)
+    return closed.filter(F.col("fp") != "ABSENT").select(
+        "custkey",
+        F.col("bal").cast("double").alias("acctbal"),
+        "segment",
+        F.date_format("eff", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -8106,6 +8194,7 @@ def queries() -> dict[str, QueryFn]:
         "sq8_recall_audit": q_sq8_recall_audit,
         "sq8_recall_clustered": q_sq8_recall_clustered,
         "agg_incremental_merge": q_agg_incremental_merge,
+        "scd2_history": q_scd2_history,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "pq_recall_audit": q_pq_recall_audit,
@@ -10090,6 +10179,57 @@ def oracle_sql() -> dict[str, str]:
                        AS n_brute,
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
+        """,
+        "scd2_history": f"""
+            WITH snaps AS (
+                SELECT 1 AS version, c_custkey AS custkey,
+                       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                       c_mktsegment AS segment
+                FROM customer
+                UNION ALL
+                SELECT 2, c_custkey,
+                       CAST(c_acctbal + CASE WHEN c_custkey % 97 = 0
+                                             THEN 100.0 ELSE 0.0 END
+                            AS DECIMAL(18,2)),
+                       CASE WHEN c_custkey % 89 = 0 THEN 'CHURNED'
+                            ELSE c_mktsegment END
+                FROM customer WHERE c_custkey % 101 <> 0
+                UNION ALL
+                SELECT 3, c_custkey,
+                       CAST(c_acctbal + CASE WHEN c_custkey % 97 = 0
+                                             THEN 200.0 ELSE 0.0 END
+                            AS DECIMAL(18,2)),
+                       CASE WHEN c_custkey % 53 = 0 THEN 'VIP'
+                            WHEN c_custkey % 89 = 0 THEN 'CHURNED'
+                            ELSE c_mktsegment END
+                FROM customer
+            ),
+            vs AS (SELECT * FROM (VALUES
+                       (1, DATE '{SCD2_DATES[0]}'),
+                       (2, DATE '{SCD2_DATES[1]}'),
+                       (3, DATE '{SCD2_DATES[2]}')) v(version, eff)),
+            grid AS (SELECT k.custkey, v.version, v.eff
+                     FROM (SELECT DISTINCT c_custkey AS custkey
+                           FROM customer) k, vs v),
+            state AS (SELECT g.custkey, g.version, g.eff, s.bal, s.segment,
+                             CASE WHEN s.segment IS NULL THEN 'ABSENT'
+                                  ELSE CAST(s.bal AS VARCHAR) || '|'
+                                       || s.segment END AS fp
+                      FROM grid g LEFT JOIN snaps s
+                        ON s.custkey = g.custkey AND s.version = g.version),
+            chg AS (SELECT * FROM (
+                        SELECT *, LAG(fp) OVER (PARTITION BY custkey
+                                                ORDER BY version) AS prev_fp
+                        FROM state)
+                    WHERE prev_fp IS NULL OR fp <> prev_fp),
+            closed AS (SELECT *, LEAD(eff) OVER (PARTITION BY custkey
+                                                 ORDER BY version) AS valid_to
+                       FROM chg)
+            SELECT custkey, CAST(bal AS DOUBLE) AS acctbal, segment,
+                   strftime(eff, '%Y-%m-%d') AS valid_from,
+                   strftime(valid_to, '%Y-%m-%d') AS valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM closed WHERE fp <> 'ABSENT'
         """,
         "agg_incremental_merge": """
             SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -61,3 +61,49 @@ def test_agg_merge_delta_scan_pushes_date_filter(spark, sf_dir):
         for p in pushed
     ), plan
     assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), plan
+
+
+def test_scd2_invariants(spark, sf_dir):
+    """Structural SCD2 contract the value-hash can't articulate: (a) every
+    key present in the latest snapshot has EXACTLY one open (is_current)
+    row; (b) deleted-never-resurrected keys have none; (c) a key's periods
+    are disjoint and ordered (valid_to == next valid_from); (d) the
+    planted delete-then-resurrect keys (mod 101) carry exactly two
+    disjoint periods with a gap."""
+    rows = Q.q_scd2_history(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    d1, d2, d3 = Q.SCD2_DATES
+    saw_resurrect = 0
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.valid_from)
+        cur = [r for r in rs if r.is_current]
+        assert len(cur) == 1, (k, rs)  # v3 contains every key
+        assert cur[0].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from, (k, rs)
+        if k % 101 == 0:
+            saw_resurrect += 1
+            # deleted at v2, back at v3: [d1, d2) then [d3, open)
+            assert [r.valid_from for r in rs] == [d1, d3], (k, rs)
+            assert rs[0].valid_to == d2
+    assert saw_resurrect > 0
+
+
+def test_scd2_change_rows_only(spark, sf_dir):
+    """No-op snapshots must NOT open new periods: a key untouched by every
+    planted mod rule has exactly one row spanning v1 -> open."""
+    rows = Q.q_scd2_history(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    untouched = [
+        k for k in by_key
+        if k % 97 and k % 89 and k % 101 and k % 53
+    ]
+    assert untouched
+    for k in untouched:
+        rs = by_key[k]
+        assert len(rs) == 1 and rs[0].valid_from == Q.SCD2_DATES[0]
+        assert rs[0].is_current and rs[0].valid_to is None
