@@ -182,3 +182,65 @@ def test_streaming_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     b = {(r.event_id, r.u_events) for r in batch.collect()}
     assert g == b
     assert any(ue is None for _, ue in g), "planted dim gap must surface as NULLs"
+
+
+def test_streaming_interval_join_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery for the stream-stream join (the last
+    streaming operator without a restart pin): run 1 drains an anchor and
+    one in-window purchase, the 'job' dies; run 2 restarts from the same
+    checkpoint with a SECOND in-window purchase — the match can only be
+    emitted if the anchor's buffered join STATE was recovered from the
+    checkpoint, not rebuilt from the source (the first batch's files are
+    not re-read). A third run with nothing new must emit nothing. No pair
+    may ever appear twice."""
+    from cassandra_data_migrator_spark.streaming.windows import run_available_now
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    hour_us = 3_600_000_000
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, value DOUBLE"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        anchors = stream.filter(F.col("event_type") == "signup").select(
+            "event_id", "user_id", "ts_us"
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts_us", "value"
+        )
+        joined = streaming_interval_join(
+            anchors, purchases, ["user_id"], "ts_us", "ts_us", hour_us, ["value"]
+        )
+        run_available_now(joined, out, ckpt)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    mk([
+        (1, 100, "signup", 1_000_000, 0.0),
+        (2, 100, "purchase", 600 * 1_000_000, 5.0),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    first = _pairs(spark.read.parquet(out).collect())
+    assert (1, 600 * 1_000_000, 5.0) in first
+
+    # restart: a second in-window purchase (t=+20min; the run-1 watermark is
+    # max_evt - 10min = 0, so it is NOT late) must match the RECOVERED anchor
+    mk([(3, 100, "purchase", 1200 * 1_000_000, 7.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    second = _pairs(spark.read.parquet(out).collect())
+    assert (1, 1200 * 1_000_000, 7.0) in second, (
+        "restart lost the anchor's buffered join state"
+    )
+    assert sorted(second) == sorted(
+        first + [(1, 1200 * 1_000_000, 7.0)]
+    ), "restart re-emitted an already-delivered match"
+
+    # idle restart: nothing new in the source -> output must not move
+    run_once()
+    third = _pairs(spark.read.parquet(out).collect())
+    assert third == second
+    assert len(third) == len(set(third)), "duplicate match pairs after restarts"
