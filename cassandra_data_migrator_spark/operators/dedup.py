@@ -361,11 +361,20 @@ def prefix_filter_jaccard_pairs(
         .filter(F.size("sh") >= 1)
     )
     idx = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    dfreq = idx.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__df")
+    # document frequency WITHOUT a big-index join: group the index by
+    # shingle once (the dedup_ngram bucket shuffle), emit (df, shingle,
+    # doc) by re-exploding the posting list, then regroup by doc — two
+    # index shuffles total instead of agg + join + regroup (the join
+    # variant measured ~2x slower end-to-end)
+    postings = idx.groupBy("shingle").agg(
+        F.collect_list(F.col(id_col)).alias("__ids")
     )
     docs = (
-        idx.join(dfreq, "shingle")
+        postings.select(
+            "shingle",
+            F.size("__ids").cast("bigint").alias("__df"),
+            F.explode("__ids").alias(id_col),
+        )
         .groupBy(id_col)
         .agg(
             F.array_sort(
