@@ -5224,6 +5224,43 @@ TPCH_Q6_SQL = """
 """
 
 
+SQL_RECURSIVE_SQL = """
+    WITH RECURSIVE chain (custkey, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0
+        FROM customer
+        UNION ALL
+        SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+        FROM chain
+        WHERE node >= 10
+    )
+    SELECT node AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(custkey) AS BIGINT) AS sum_keys
+    FROM chain
+    WHERE node < 10
+    GROUP BY node
+"""
+
+
+def q_sql_frontend_recursive(spark, sf_dir):
+    """Recursive CTE surface (WITH RECURSIVE — new in Spark 4.x, the one
+    ANSI construct the frontend never exercised): every custkey walks a
+    deterministic digit-stripping hierarchy (parent = floor(node/10), a
+    forest rooted at 1..9 with depth ≤ ⌈log10(maxkey)⌉) to its root;
+    per-root member count, max chain depth, and exact key sum. Division
+    goes through FLOOR + CAST because bare `/` is double division in
+    Spark and CAST(double AS BIGINT) ROUNDS in DuckDB but TRUNCATES in
+    Spark — floor-then-cast is the one spelling both engines state
+    identically. IDENTICAL text runs on DuckDB; recursion depth is
+    key-length-bounded (≤ 7 at sf1), never data-volume-bounded."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer"])
+    return spark.sql(SQL_RECURSIVE_SQL)
+
+
 def q_sql_frontend_q6(spark, sf_dir):
     """TPC-H Q6 as SQL text (forecast revenue change): the all-predicate
     single-table scan — every filter must reach the parquet scan as a
@@ -8195,6 +8232,7 @@ def queries() -> dict[str, QueryFn]:
         "sq8_recall_clustered": q_sq8_recall_clustered,
         "agg_incremental_merge": q_agg_incremental_merge,
         "scd2_history": q_scd2_history,
+        "sql_frontend_recursive": q_sql_frontend_recursive,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "pq_recall_audit": q_pq_recall_audit,
@@ -8213,6 +8251,7 @@ def queries() -> dict[str, QueryFn]:
         "jl_projection_audit": q_jl_projection_audit,
         "nb_calibration": q_nb_calibration,
         "sql_frontend_window_funcs": q_sql_frontend_window_funcs,
+        "sql_frontend_recursive": q_sql_frontend_recursive,
         # --- r08 window head (r07/r08 keys, driver-green in r08) ---
         "run_tracking_resume": q_run_tracking_resume,
         "domain_stats": q_domain_stats,
@@ -10773,6 +10812,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "sql_frontend_window_funcs": SQL_WINDOW_FUNCS_SQL,
+        "sql_frontend_recursive": SQL_RECURSIVE_SQL,
         "nb_calibration": f"""
             WITH aug AS (SELECT doc_id,
                                 (doc_id % {CLF_LABEL_MOD} = 0) AS y,
