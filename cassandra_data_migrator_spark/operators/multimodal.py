@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1100,6 +1101,374 @@ def encode_jpeg_color_420(width: int, height: int, mcus: bytes) -> bytes:
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dhts + sos + scan + b"\xff\xd9"
+
+
+def build_exif_app1(
+    orientation: int,
+    xres_num: int,
+    make: str,
+    *,
+    big_endian: bool,
+) -> bytes:
+    """REAL Exif APP1 segment — pure Python, stdlib-only: the
+    ``Exif\\x00\\x00`` identifier followed by a genuine TIFF structure
+    (CIPA DC-008 / TIFF 6.0): byte-order mark (II little / MM big), magic
+    42, IFD0 with three entries in ascending-tag order — Make (0x010F,
+    ASCII, NUL-terminated, stored OUT-OF-LINE at an offset because it
+    exceeds the 4-byte inline field), Orientation (0x0112, SHORT, inline
+    left-justified per byte order), XResolution (0x011A, RATIONAL, 8
+    out-of-line bytes num/den) — then the out-of-line value area. Both
+    endiannesses are first-class: real camera files ship both (II from
+    most makers, MM from classic TIFF-lineage firmware)."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    make_b = make.encode("ascii") + b"\x00"
+    n_entries = 3
+    ifd_start = 8
+    after_ifd = ifd_start + 2 + n_entries * 12 + 4
+    make_off = after_ifd
+    rat_off = make_off + len(make_b)
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack(bo + "HHI", tag, typ, count) + value_bytes
+
+    # SHORT inline: value occupies the first two bytes of the 4-byte field
+    # in the file's byte order, remainder zero-padded
+    ori_inline = struct.pack(bo + "H", orientation) + b"\x00\x00"
+    entries = (
+        entry(0x010F, 2, len(make_b), struct.pack(bo + "I", make_off))
+        + entry(0x0112, 3, 1, ori_inline)
+        + entry(0x011A, 5, 1, struct.pack(bo + "I", rat_off))
+    )
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", ifd_start)
+        + struct.pack(bo + "H", n_entries)
+        + entries
+        + struct.pack(bo + "I", 0)  # no IFD1
+        + make_b
+        + struct.pack(bo + "II", xres_num, 1)
+    )
+    data = b"Exif\x00\x00" + tiff
+    return struct.pack(">HH", 0xFFE1, len(data) + 2) + data
+
+
+def parse_exif(payload: bytes) -> tuple[str, int, float, str, int]:
+    """REAL Exif parse from a JPEG payload — pure Python, stdlib-only:
+    walk markers to APP1, validate the ``Exif\\x00\\x00`` identifier and
+    TIFF header (byte-order mark, magic 42), then walk IFD0 extracting
+    Make (ASCII, inline-or-offset per TIFF value-fits-in-4-bytes rule),
+    Orientation (SHORT, inline per byte order) and XResolution (RATIONAL
+    at offset, zero-denominator rejected). Returns (byte_order,
+    orientation, xres, make, n_ifd_entries). ValueError on anything
+    malformed — truncated IFD, bad magic, out-of-range offsets — never
+    silent garbage."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (SOI missing)")
+    i, n = 2, len(payload)
+    app1 = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected a marker at offset {i}")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0xD9) or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seglen < 2 or i + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE1:
+            app1 = payload[i + 4 : i + 2 + seglen]
+            break
+        if marker == 0xDA:
+            break  # scan reached without APP1
+        i += 2 + seglen
+    if app1 is None:
+        raise ValueError("JPEG has no APP1 segment")
+    if app1[:6] != b"Exif\x00\x00":
+        raise ValueError("APP1 is not Exif")
+    t = app1[6:]
+    if len(t) < 8:
+        raise ValueError("truncated TIFF header")
+    if t[:2] == b"II":
+        bo, bo_name = "<", "II"
+    elif t[:2] == b"MM":
+        bo, bo_name = ">", "MM"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    (magic,) = struct.unpack(bo + "H", t[2:4])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack(bo + "I", t[4:8])
+    if ifd_off + 2 > len(t):
+        raise ValueError("IFD offset out of range")
+    (n_entries,) = struct.unpack(bo + "H", t[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + n_entries * 12 + 4 > len(t):
+        raise ValueError("truncated IFD")
+    orientation = xres = make = None
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        tag, typ, count = struct.unpack(bo + "HHI", t[off : off + 8])
+        val = t[off + 8 : off + 12]
+        if tag == 0x0112 and typ == 3 and count == 1:
+            (orientation,) = struct.unpack(bo + "H", val[:2])
+        elif tag == 0x011A and typ == 5 and count == 1:
+            (roff,) = struct.unpack(bo + "I", val)
+            if roff + 8 > len(t):
+                raise ValueError("RATIONAL offset out of range")
+            num, den = struct.unpack(bo + "II", t[roff : roff + 8])
+            if den == 0:
+                raise ValueError("zero-denominator RATIONAL")
+            xres = num / den
+        elif tag == 0x010F and typ == 2:
+            if count <= 4:
+                raw = val[:count]
+            else:
+                (soff,) = struct.unpack(bo + "I", val)
+                if soff + count > len(t):
+                    raise ValueError("ASCII offset out of range")
+                raw = t[soff : soff + count]
+            make = raw.split(b"\x00", 1)[0].decode("ascii")
+    if orientation is None or xres is None or make is None:
+        raise ValueError("IFD0 missing Make/Orientation/XResolution")
+    return bo_name, orientation, xres, make, n_entries
+
+
+EXIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("xres", DoubleType()),
+        StructField("make", StringType()),
+        StructField("n_entries", IntegerType()),
+    ]
+)
+
+
+def jpeg_exif_encode(df: DataFrame) -> DataFrame:
+    """Arrow-batched Exif-carrying JPEG encode over mapInPandas: each
+    input row (``media_id``, ``make``) becomes a REAL minimal JPEG — SOI,
+    a genuine Exif APP1 (TIFF header, IFD0 with Make/Orientation/
+    XResolution, out-of-line ASCII + RATIONAL values; byte order
+    alternates II/MM by media_id parity so BOTH endianness paths are
+    exercised at every scale), then the full flat-block grayscale
+    machinery for one 8x8 block and EOI. Orientation = 1 + id%8,
+    XResolution = 72 + (id%4)*72 — the deterministic fixture contract the
+    oracle restates. Closure self-contained (repo kernel convention);
+    pinned byte-identical to build_exif_app1 by tests."""
+    dc_bits, dc_vals = JPEG_DC_BITS, JPEG_DC_VALS
+    ac_bits, ac_vals = JPEG_AC_BITS, JPEG_AC_VALS
+    qtable, zigzag = JPEG_QTABLE, JPEG_ZIGZAG
+
+    def _batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def huff_map(bits, vals):
+            out, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length]):
+                    out[vals[k]] = (code, length)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        dc_map, ac_map = huff_map(dc_bits, dc_vals), huff_map(ac_bits, ac_vals)
+
+        def app1(orientation, xres_num, make, big_endian):
+            bo = ">" if big_endian else "<"
+            make_b = make.encode("ascii") + b"\x00"
+            after_ifd = 8 + 2 + 3 * 12 + 4
+            make_off, rat_off = after_ifd, after_ifd + len(make_b)
+
+            def entry(tag, typ, count, value_bytes):
+                return struct.pack(bo + "HHI", tag, typ, count) + value_bytes
+
+            tiff = (
+                (b"MM" if big_endian else b"II")
+                + struct.pack(bo + "H", 42)
+                + struct.pack(bo + "I", 8)
+                + struct.pack(bo + "H", 3)
+                + entry(0x010F, 2, len(make_b), struct.pack(bo + "I", make_off))
+                + entry(0x0112, 3, 1, struct.pack(bo + "H", orientation) + b"\x00\x00")
+                + entry(0x011A, 5, 1, struct.pack(bo + "I", rat_off))
+                + struct.pack(bo + "I", 0)
+                + make_b
+                + struct.pack(bo + "II", xres_num, 1)
+            )
+            data = b"Exif\x00\x00" + tiff
+            return struct.pack(">HH", 0xFFE1, len(data) + 2) + data
+
+        def seg(marker, data):
+            return struct.pack(">HH", marker, len(data) + 2) + data
+
+        def encode(media_id, make):
+            # one flat 8x8 block: DC diff = level - 128, EOB, 1-pad
+            level = (media_id % 95) + 32
+            dc = level - 128
+            mag, cat = abs(dc), 0
+            while mag:
+                mag >>= 1
+                cat += 1
+            buf, acc, nb = bytearray(), 0, 0
+
+            def put(code, length):
+                nonlocal acc, nb
+                acc = (acc << length) | (code & ((1 << length) - 1))
+                nb += length
+                while nb >= 8:
+                    b = (acc >> (nb - 8)) & 0xFF
+                    buf.append(b)
+                    if b == 0xFF:
+                        buf.append(0x00)
+                    nb -= 8
+
+            code, ln = dc_map[cat]
+            put(code, ln)
+            if cat:
+                put(dc if dc >= 0 else dc + (1 << cat) - 1, cat)
+            code, ln = ac_map[0x00]
+            put(code, ln)
+            if nb:
+                pad = 8 - nb
+                put((1 << pad) - 1, pad)
+            return (
+                b"\xff\xd8"
+                + app1(
+                    1 + media_id % 8,
+                    72 + (media_id % 4) * 72,
+                    make,
+                    media_id % 2 == 1,
+                )
+                + seg(0xFFDB, bytes([0]) + bytes(qtable[zigzag[i]] for i in range(64)))
+                + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+                + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(dc_vals))
+                + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits[1:]) + bytes(ac_vals))
+                + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bytes(buf)
+                + b"\xff\xd9"
+            )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for media_id, make in zip(pdf["media_id"], pdf["make"]):
+                ids.append(media_id)
+                payloads.append(encode(int(media_id), str(make)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(_batches, PNG_PAYLOAD_SCHEMA)
+
+
+def jpeg_exif_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL Exif parse over mapInPandas: marker walk to
+    APP1, TIFF header validation (byte-order mark, magic 42), IFD0 walk
+    extracting Make (inline-or-offset ASCII), Orientation (inline SHORT)
+    and XResolution (offset RATIONAL, zero denominator rejected) under
+    EITHER endianness. Closure self-contained; pinned identical to
+    parse_exif (the module reference) by tests."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG (SOI missing)")
+            i, n = 2, len(payload)
+            app1 = None
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    raise ValueError(f"expected a marker at offset {i}")
+                marker = payload[i + 1]
+                if marker in (0xD8, 0xD9) or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+                if seglen < 2 or i + 2 + seglen > n:
+                    raise ValueError("truncated JPEG segment")
+                if marker == 0xE1:
+                    app1 = payload[i + 4 : i + 2 + seglen]
+                    break
+                if marker == 0xDA:
+                    break
+                i += 2 + seglen
+            if app1 is None:
+                raise ValueError("JPEG has no APP1 segment")
+            if app1[:6] != b"Exif\x00\x00":
+                raise ValueError("APP1 is not Exif")
+            t = app1[6:]
+            if len(t) < 8:
+                raise ValueError("truncated TIFF header")
+            if t[:2] == b"II":
+                bo, bo_name = "<", "II"
+            elif t[:2] == b"MM":
+                bo, bo_name = ">", "MM"
+            else:
+                raise ValueError("bad TIFF byte-order mark")
+            (magic,) = struct.unpack(bo + "H", t[2:4])
+            if magic != 42:
+                raise ValueError("bad TIFF magic")
+            (ifd_off,) = struct.unpack(bo + "I", t[4:8])
+            if ifd_off + 2 > len(t):
+                raise ValueError("IFD offset out of range")
+            (n_entries,) = struct.unpack(bo + "H", t[ifd_off : ifd_off + 2])
+            if ifd_off + 2 + n_entries * 12 + 4 > len(t):
+                raise ValueError("truncated IFD")
+            orientation = xres = make = None
+            for e in range(n_entries):
+                off = ifd_off + 2 + e * 12
+                tag, typ, count = struct.unpack(bo + "HHI", t[off : off + 8])
+                val = t[off + 8 : off + 12]
+                if tag == 0x0112 and typ == 3 and count == 1:
+                    (orientation,) = struct.unpack(bo + "H", val[:2])
+                elif tag == 0x011A and typ == 5 and count == 1:
+                    (roff,) = struct.unpack(bo + "I", val)
+                    if roff + 8 > len(t):
+                        raise ValueError("RATIONAL offset out of range")
+                    num, den = struct.unpack(bo + "II", t[roff : roff + 8])
+                    if den == 0:
+                        raise ValueError("zero-denominator RATIONAL")
+                    xres = num / den
+                elif tag == 0x010F and typ == 2:
+                    if count <= 4:
+                        raw = val[:count]
+                    else:
+                        (soff,) = struct.unpack(bo + "I", val)
+                        if soff + count > len(t):
+                            raise ValueError("ASCII offset out of range")
+                        raw = t[soff : soff + count]
+                    make = raw.split(b"\x00", 1)[0].decode("ascii")
+            if orientation is None or xres is None or make is None:
+                raise ValueError("IFD0 missing Make/Orientation/XResolution")
+            return bo_name, orientation, xres, make, n_entries
+
+        for pdf in it:
+            res = {
+                k: []
+                for k in (
+                    "media_id", "byte_order", "orientation",
+                    "xres", "make", "n_entries",
+                )
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                bo_name, ori, xr, mk, ne = parse(bytes(payload))
+                res["media_id"].append(media_id)
+                res["byte_order"].append(bo_name)
+                res["orientation"].append(ori)
+                res["xres"].append(xr)
+                res["make"].append(mk)
+                res["n_entries"].append(ne)
+            yield pd.DataFrame(res)
+
+    return df.mapInPandas(_batches, EXIF_STATS_SCHEMA)
 
 
 def decode_image(payload: bytes) -> object:

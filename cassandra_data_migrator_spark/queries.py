@@ -3595,6 +3595,40 @@ def q_multimodal_jpeg_420(spark, sf_dir):
     )
 
 
+def q_multimodal_exif(spark, sf_dir):
+    """REAL Exif/APP1 metadata extraction under the DRIVER check (r09 —
+    the first thing an image-corpus pipeline reads before it ever decodes
+    pixels: orientation gates rotation-normalization, resolution gates
+    quality filters, Make powers device-level dedup/gating): documents
+    become minimal REAL JPEGs carrying a genuine Exif APP1 — TIFF header,
+    IFD0 with Make (out-of-line NUL-terminated ASCII from the doc's first
+    8 sanitized chars), Orientation (inline SHORT, 1 + id%8) and
+    XResolution (out-of-line RATIONAL, 72 + (id%4)·72), byte order
+    alternating II/MM by id parity so BOTH TIFF endiannesses are decoded
+    at every scale — and a second Arrow kernel walks the markers and the
+    IFD back out. The oracle recomputes every field from doc_id and the
+    original text; a mis-read endianness, a wrong inline-vs-offset rule,
+    or an off-by-one IFD walk turns the key red."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        jpeg_exif_encode,
+        jpeg_exif_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    san = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(san, 1, 8).alias("make"),
+        F.length(san).alias("__len"),
+    ).filter(F.col("__len") >= 8).drop("__len")
+    encoded = jpeg_exif_encode(
+        media.repartition(spark.sparkContext.defaultParallelism)
+    )
+    return jpeg_exif_stats(encoded).select(
+        "media_id", "byte_order", "orientation", "xres", "make", "n_entries"
+    )
+
+
 def q_graph_degree(spark, sf_dir):
     """Degree distribution of the near-duplicate pair graph (dedup
     observability: hub documents = template/boilerplate families). Degrees
@@ -8227,6 +8261,7 @@ def queries() -> dict[str, QueryFn]:
     return {
         # --- r09 window head: new or behavior-changed this round ---
         "multimodal_jpeg_420": q_multimodal_jpeg_420,
+        "multimodal_exif": q_multimodal_exif,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "sq8_recall_audit": q_sq8_recall_audit,
         "sq8_recall_clustered": q_sq8_recall_clustered,
@@ -9785,6 +9820,21 @@ def oracle_sql() -> dict[str, str]:
         # JPEG roundtrip oracle: DuckDB re-slices the ORIGINAL text bytes
         # (never sees a JPEG); each byte is one flat 8x8 block, so pixel
         # stats derive analytically (64 pixels per block at the byte value).
+        "multimodal_exif": """
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            ok AS (SELECT doc_id, substr(s, 1, 8) AS make
+                   FROM san WHERE LENGTH(s) >= 8)
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END
+                       AS byte_order,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   CAST(72 + (doc_id % 4) * 72 AS DOUBLE) AS xres,
+                   make,
+                   CAST(3 AS INT) AS n_entries
+            FROM ok
+        """,
         "multimodal_jpeg_420": f"""
             WITH san AS (SELECT doc_id,
                                 regexp_replace(text, '[^ -~]', '', 'g') AS s

@@ -1185,3 +1185,97 @@ def test_jpeg_420_kernels_match_reference(spark):
             sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]),
         )
         assert r.rgb_min == min(rgb) and r.rgb_max == max(rgb)
+
+
+def test_exif_roundtrip_both_endiannesses():
+    """build_exif_app1 → parse_exif recovers every field under II and MM;
+    the APP1-carrying payload stays a decodable JPEG (decode_jpeg skips
+    APPn by declared length)."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        build_exif_app1,
+        decode_jpeg,
+        encode_jpeg_gray,
+        parse_exif,
+    )
+
+    base = encode_jpeg_gray(8, 8, bytes([100]))
+    for be, name in ((False, "II"), (True, "MM")):
+        app1 = build_exif_app1(6, 144, "CanonEOS", big_endian=be)
+        payload = base[:2] + app1 + base[2:]
+        assert parse_exif(payload) == (name, 6, 144.0, "CanonEOS", 3)
+        w, h, nc, px = decode_jpeg(payload)
+        assert (w, h, nc, px[0]) == (8, 8, 1, 100)
+
+
+def test_exif_refusals():
+    """Malformed TIFF structures fail loudly: bad magic, bad byte-order
+    mark, zero-denominator RATIONAL, missing APP1."""
+    import pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        build_exif_app1,
+        encode_jpeg_gray,
+        parse_exif,
+    )
+
+    base = encode_jpeg_gray(8, 8, bytes([100]))
+    app1 = build_exif_app1(1, 72, "XYZCO", big_endian=False)
+
+    def mutate(pos, val):
+        b = bytearray(app1)
+        b[pos] = val
+        return base[:2] + bytes(b) + base[2:]
+
+    # APP1 layout: 2B marker + 2B len + 6B 'Exif\0\0' + TIFF
+    tiff0 = 4 + 6
+    with pytest.raises(ValueError, match="magic"):
+        parse_exif(mutate(tiff0 + 2, 99))
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_exif(mutate(tiff0, ord("X")))
+    # zero-denominator RATIONAL: den is the final 4 bytes of the segment
+    b = bytearray(app1)
+    b[-4:] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="denominator"):
+        parse_exif(base[:2] + bytes(b) + base[2:])
+    with pytest.raises(ValueError, match="APP1"):
+        parse_exif(base)
+
+
+def test_exif_kernels_match_reference(spark):
+    """The inlined Exif mapInPandas closures must agree with
+    build_exif_app1/parse_exif (the kernel discipline): the encode kernel's
+    APP1 bytes equal the module builder's for the same derived fields, and
+    the stats kernel returns the module parser's tuple."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        build_exif_app1,
+        jpeg_exif_encode,
+        jpeg_exif_stats,
+        parse_exif,
+    )
+
+    rows = [(i, f"MAKER{i:03d}"[:8]) for i in (0, 1, 6, 13)]
+    df = spark.createDataFrame(rows, "media_id LONG, make STRING")
+    enc = {r.media_id: bytes(r.payload) for r in jpeg_exif_encode(df).collect()}
+    for mid, make in rows:
+        expected_app1 = build_exif_app1(
+            1 + mid % 8, 72 + (mid % 4) * 72, make, big_endian=(mid % 2 == 1)
+        )
+        assert expected_app1 in enc[mid], mid
+        assert parse_exif(enc[mid]) == (
+            "MM" if mid % 2 else "II",
+            1 + mid % 8,
+            float(72 + (mid % 4) * 72),
+            make,
+            3,
+        )
+    pdf = spark.createDataFrame(sorted(enc.items()), "media_id LONG, payload BINARY")
+    got = {r.media_id: r for r in jpeg_exif_stats(pdf).collect()}
+    for mid, make in rows:
+        r = got[mid]
+        assert (r.byte_order, r.orientation, r.xres, r.make, r.n_entries) == (
+            "MM" if mid % 2 else "II",
+            1 + mid % 8,
+            float(72 + (mid % 4) * 72),
+            make,
+            3,
+        )

@@ -404,6 +404,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_jpeg",  # real baseline-JPEG encode+decode kernels (multimodal.jpeg_encode_gray/jpeg_stats)
     "multimodal_jpeg_color",  # real 3-component JPEG kernels (multimodal.jpeg_encode_color/jpeg_color_stats)
     "multimodal_jpeg_420",  # real 4:2:0 subsampled JPEG kernels (multimodal.jpeg_encode_color_420/jpeg_color_stats)
+    "multimodal_exif",  # real Exif/TIFF IFD build+parse kernels (multimodal.jpeg_exif_encode/jpeg_exif_stats)
     "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
     "dhash_banded_near_dup",  # same kernel feeding the banded-Hamming join
 }
