@@ -1206,6 +1206,35 @@ def q_agg_incremental_merge(spark, sf_dir):
     )
 
 
+def q_seq_align_diff(spark, sf_dir):
+    """Per-user SEQUENCE alignment between the source event stream and a
+    planted-damage replay (mod-89 events dropped, mod-97 types flipped to
+    'error' — the cdc_delta_detect damage convention): the ordered
+    sibling of validate_diff. Row diffs say WHICH events differ;
+    alignment says how much each user's ordered history drifted after a
+    CDC replay — edit_distance (exact integer Levenshtein) and jw_r
+    (Jaro-Winkler, the similarity Spark has no builtin for) over the
+    per-user event-type character sequence, both sides meeting in ONE
+    cogroup().applyInPandas shuffle (see operators/align.py for the
+    DuckDB-identical fuzz pins). State bounded by the documented 128-char
+    truncation; full per-side counts reported alongside."""
+    from cassandra_data_migrator_spark.operators.align import (
+        sequence_align_diff,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    src = e.select("user_id", "ts", "event_id", "event_type")
+    dst = e.filter(F.col("event_id") % 89 != 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    return sequence_align_diff(src, dst)
+
+
 SCD2_DATES = ("1995-01-01", "1996-01-01", "1997-01-01")
 
 
@@ -5295,6 +5324,37 @@ def q_sql_frontend_recursive(spark, sf_dir):
     return spark.sql(SQL_RECURSIVE_SQL)
 
 
+SQL_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment,
+           t.top_orderkey, t.top_price, a.n_orders, a.sum_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey AS top_orderkey,
+                    CAST(o_totalprice AS DOUBLE) AS top_price
+             FROM orders WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t,
+    LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+             FROM orders WHERE o_custkey = c.c_custkey) a
+"""
+
+
+def q_sql_frontend_lateral(spark, sf_dir):
+    """LATERAL correlated subqueries in FROM (Spark 3.2+) as identical
+    SQL text both engines — the remaining join-producing ANSI construct
+    the frontend lacked: a per-customer top-1 lateral (ORDER BY + LIMIT 1
+    with an o_orderkey tiebreak — Catalyst decorrelates it into a
+    rank-filtered join, never a per-row re-execution) chained with a
+    per-customer aggregate lateral (exact-DECIMAL sum, the repo's sum
+    discipline). Customers with no orders drop out through the inner
+    top-1 lateral in both engines."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(SQL_LATERAL_SQL)
+
+
 def q_sql_frontend_q6(spark, sf_dir):
     """TPC-H Q6 as SQL text (forecast revenue change): the all-predicate
     single-table scan — every filter must reach the parquet scan as a
@@ -8273,7 +8333,9 @@ def queries() -> dict[str, QueryFn]:
         "sq8_recall_clustered": q_sq8_recall_clustered,
         "agg_incremental_merge": q_agg_incremental_merge,
         "scd2_history": q_scd2_history,
+        "seq_align_diff": q_seq_align_diff,
         "sql_frontend_recursive": q_sql_frontend_recursive,
+        "sql_frontend_lateral": q_sql_frontend_lateral,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
         "pq_ivf_recall_clustered": q_pq_ivf_recall_clustered,
         "pq_recall_audit": q_pq_recall_audit,
@@ -10275,6 +10337,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
         """,
+        "seq_align_diff": """
+            WITH dst AS (SELECT user_id, ts, event_id,
+                                CASE WHEN event_id % 97 = 0 THEN 'error'
+                                     ELSE event_type END AS event_type
+                         FROM events WHERE event_id % 89 <> 0),
+            s AS (SELECT user_id,
+                         substr(string_agg(substr(event_type, 1, 1), ''
+                                           ORDER BY ts, event_id),
+                                1, 128) AS seq,
+                         COUNT(*) AS n
+                  FROM events GROUP BY user_id),
+            d AS (SELECT user_id,
+                         substr(string_agg(substr(event_type, 1, 1), ''
+                                           ORDER BY ts, event_id),
+                                1, 128) AS seq,
+                         COUNT(*) AS n
+                  FROM dst GROUP BY user_id)
+            SELECT user_id,
+                   CAST(COALESCE(s.n, 0) AS INT) AS n_src,
+                   CAST(COALESCE(d.n, 0) AS INT) AS n_dst,
+                   CAST(levenshtein(COALESCE(s.seq, ''),
+                                    COALESCE(d.seq, '')) AS INT)
+                       AS edit_distance,
+                   ROUND(jaro_winkler_similarity(COALESCE(s.seq, ''),
+                                                 COALESCE(d.seq, '')), 4)
+                       AS jw_r
+            FROM s FULL OUTER JOIN d USING (user_id)
+        """,
         "scd2_history": f"""
             WITH snaps AS (
                 SELECT 1 AS version, c_custkey AS custkey,
@@ -10869,6 +10959,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_frontend_window_funcs": SQL_WINDOW_FUNCS_SQL,
         "sql_frontend_recursive": SQL_RECURSIVE_SQL,
+        "sql_frontend_lateral": SQL_LATERAL_SQL,
         "nb_calibration": f"""
             WITH aug AS (SELECT doc_id,
                                 (doc_id % {CLF_LABEL_MOD} = 0) AS y,

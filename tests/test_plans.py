@@ -405,6 +405,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_jpeg_color",  # real 3-component JPEG kernels (multimodal.jpeg_encode_color/jpeg_color_stats)
     "multimodal_jpeg_420",  # real 4:2:0 subsampled JPEG kernels (multimodal.jpeg_encode_color_420/jpeg_color_stats)
     "multimodal_exif",  # real Exif/TIFF IFD build+parse kernels (multimodal.jpeg_exif_encode/jpeg_exif_stats)
+    "seq_align_diff",  # cogroup sequence-alignment kernel (align.sequence_align_diff — Jaro-Winkler has no JVM builtin)
     "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
     "dhash_banded_near_dup",  # same kernel feeding the banded-Hamming join
 }
@@ -424,6 +425,7 @@ def test_no_python_udfs_in_declared_surface(spark, sf_dir):
                 "ArrowEvalPython" not in p
                 and "MapInPandas" not in p
                 and "FlatMapGroupsInPandas" not in p
+                and "FlatMapCoGroupsInPandas" not in p
             ), f"{key} unexpectedly runs Python (not in ARROW_PYTHON_KEYS)"
 
 

@@ -107,3 +107,46 @@ def test_scd2_change_rows_only(spark, sf_dir):
         rs = by_key[k]
         assert len(rs) == 1 and rs[0].valid_from == Q.SCD2_DATES[0]
         assert rs[0].is_current and rs[0].valid_to is None
+
+
+def test_seq_align_hand_values(spark):
+    """Hand-checkable alignment: a dropped event costs 1 deletion, a
+    flipped type costs 1 substitution, a user absent from the replay
+    reports n_dst=0 / jw 0.0 / distance = len(src), and reordering two
+    events is detected (distance 2 swap) — row-level diffs would call the
+    reorder 'two changed rows' but never see the order itself."""
+    from cassandra_data_migrator_spark.operators.align import (
+        sequence_align_diff,
+    )
+
+    schema = "user_id LONG, ts LONG, event_id LONG, event_type STRING"
+    src = spark.createDataFrame(
+        [
+            (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "purchase"),
+            (2, 10, 4, "view"), (2, 20, 5, "click"),
+            (3, 10, 6, "signup"), (3, 20, 7, "view"),
+            (4, 10, 8, "view"), (4, 20, 9, "click"),
+        ],
+        schema,
+    )
+    dst = spark.createDataFrame(
+        [
+            # user 1: middle event dropped -> 1 deletion
+            (1, 10, 1, "view"), (1, 30, 3, "purchase"),
+            # user 2: type flipped -> 1 substitution
+            (2, 10, 4, "view"), (2, 20, 5, "error"),
+            # user 3 absent entirely
+            # user 4: same events, order swapped -> vcs -> cv (distance 2)
+            (4, 10, 8, "click"), (4, 20, 9, "view"),
+        ],
+        schema,
+    )
+    got = {r.user_id: r for r in sequence_align_diff(src, dst).collect()}
+    assert (got[1].n_src, got[1].n_dst, got[1].edit_distance) == (3, 2, 1)
+    assert (got[2].n_src, got[2].n_dst, got[2].edit_distance) == (2, 2, 1)
+    assert (got[3].n_src, got[3].n_dst, got[3].edit_distance) == (2, 0, 2)
+    assert got[3].jw_r == 0.0
+    assert (got[4].n_src, got[4].n_dst, got[4].edit_distance) == (2, 2, 2)
+    # identical histories align perfectly
+    same = sequence_align_diff(src, src).collect()
+    assert all(r.edit_distance == 0 and r.jw_r == 1.0 for r in same)
