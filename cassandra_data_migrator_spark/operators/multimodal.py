@@ -1471,6 +1471,89 @@ def jpeg_exif_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, EXIF_STATS_SCHEMA)
 
 
+CQL_VECTOR_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("n_dims", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("first_r", DoubleType()),
+        StructField("last_r", DoubleType()),
+        StructField("min_r", DoubleType()),
+        StructField("max_r", DoubleType()),
+    ]
+)
+
+
+def encode_cql_vector(values) -> bytes:
+    """CQL ``vector<float, n>`` wire serialization (Cassandra 5 / protocol
+    v5, the type CDM 6 migrates for vector-search tables): each element is
+    one IEEE-754 binary32 in network byte order, concatenated — no length
+    prefix (the dimension is fixed by the column type). Pure stdlib."""
+    import struct
+
+    return struct.pack(f">{len(values)}f", *values)
+
+
+def decode_cql_vector(payload: bytes) -> list[float]:
+    """Inverse of encode_cql_vector; ValueError on a buffer that is not a
+    whole number of 4-byte floats (a truncated wire value must fail
+    loudly, never decode to a shorter vector)."""
+    import struct
+
+    if len(payload) % 4:
+        raise ValueError(
+            f"CQL vector payload is {len(payload)} bytes, not a multiple of 4"
+        )
+    return list(struct.unpack(f">{len(payload) // 4}f", payload))
+
+
+def cql_vector_roundtrip(df: DataFrame) -> DataFrame:
+    """Arrow-batched CQL-vector codec over mapInPandas: each row's
+    ``embedding`` (array<float>) is serialized to the wire format
+    (numpy big-endian float32 — byte-identical to encode_cql_vector,
+    pinned by tests), decoded back, VERIFIED bit-identical in-kernel (a
+    codec that corrupts any element aborts the job), and summarized by
+    order-independent exact observables (dims, wire bytes, first/last/
+    min/max as float64 of the float32 values — binary32→binary64 widening
+    is exact, so the oracle recomputes the identical doubles from the raw
+    column with no accumulation-order risk)."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(vec_id, emb):
+            a = np.asarray(emb, dtype=np.float32)
+            wire = a.astype(">f4").tobytes()
+            if len(wire) % 4:
+                raise ValueError("CQL vector wire length not a multiple of 4")
+            back = np.frombuffer(wire, dtype=">f4").astype(np.float32)
+            if len(back) != len(a) or not np.array_equal(
+                a.view(np.uint32), back.view(np.uint32)
+            ):
+                raise ValueError(
+                    f"CQL vector roundtrip corrupted vec_id={vec_id}"
+                )
+            d = back.astype(np.float64)
+            return (
+                vec_id, len(back), len(wire),
+                float(d[0]), float(d[-1]), float(d.min()), float(d.max()),
+            )
+
+        cols = (
+            "vec_id", "n_dims", "n_bytes",
+            "first_r", "last_r", "min_r", "max_r",
+        )
+        for pdf in it:
+            rows = [
+                one(int(v), e)
+                for v, e in zip(pdf["vec_id"], pdf["embedding"])
+            ]
+            yield pd.DataFrame(dict(zip(cols, map(list, zip(*rows)))))
+
+    return df.mapInPandas(_batches, CQL_VECTOR_SCHEMA)
+
+
 def decode_image(payload: bytes) -> object:
     """Image decode dispatch: binary PPM, 8-bit truecolor PNG, and
     baseline JPEG decode for real (decode_ppm / decode_png / decode_jpeg

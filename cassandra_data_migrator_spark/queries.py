@@ -2687,6 +2687,26 @@ def q_codec_blob(spark, sf_dir):
     )
 
 
+def q_codec_vector(spark, sf_dir):
+    """CQL ``vector<float, n>`` wire codec end-to-end — the LAST §1.2
+    type mapping without an oracled roundtrip (Cassandra 5's vector type,
+    the column CDM 6 migrates for vector-search tables): every embedding
+    serializes to the protocol wire format (concatenated big-endian
+    binary32, no length prefix), decodes back, is verified BIT-identical
+    in-kernel (corruption aborts the job), and reports order-independent
+    exact observables — dims, wire bytes, first/last/min/max as float64
+    (binary32→binary64 widening is exact, so the oracle recomputes
+    identical doubles from the raw column with zero accumulation-order
+    risk). The wire bytes themselves are pinned against struct.pack in
+    pytest (an oracle cannot build IEEE bytes)."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        cql_vector_roundtrip,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cql_vector_roundtrip(emb)
+
+
 def q_validate_diff_composite(spark, sf_dir):
     """DiffData over a COMPOSITE primary key (partition key + clustering
     columns — events' (user_id, event_id), FIXTURES.md PK declaration): the
@@ -8334,6 +8354,7 @@ def queries() -> dict[str, QueryFn]:
         "agg_incremental_merge": q_agg_incremental_merge,
         "scd2_history": q_scd2_history,
         "seq_align_diff": q_seq_align_diff,
+        "codec_vector": q_codec_vector,
         "sql_frontend_recursive": q_sql_frontend_recursive,
         "sql_frontend_lateral": q_sql_frontend_lateral,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
@@ -10336,6 +10357,16 @@ def oracle_sql() -> dict[str, str]:
                        AS n_brute,
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
+        """,
+        "codec_vector": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS n_dims,
+                   CAST(4 * len(embedding) AS INT) AS n_bytes,
+                   CAST(embedding[1] AS DOUBLE) AS first_r,
+                   CAST(embedding[len(embedding)] AS DOUBLE) AS last_r,
+                   CAST(list_min(embedding) AS DOUBLE) AS min_r,
+                   CAST(list_max(embedding) AS DOUBLE) AS max_r
+            FROM embeddings
         """,
         "seq_align_diff": """
             WITH dst AS (SELECT user_id, ts, event_id,

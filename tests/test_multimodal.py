@@ -1279,3 +1279,61 @@ def test_exif_kernels_match_reference(spark):
             make,
             3,
         )
+
+
+def test_cql_vector_wire_format():
+    """The wire bytes are the protocol's: concatenated big-endian binary32
+    with no length prefix (pinned against struct.pack); decode inverts
+    bit-exactly including NaN payloads and negative zero; a truncated
+    buffer refuses loudly."""
+    import math
+    import struct
+
+    import pytest
+
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        decode_cql_vector,
+        encode_cql_vector,
+    )
+
+    vals = [1.5, -0.0, 3.25e-12, float("inf")]
+    wire = encode_cql_vector(vals)
+    assert wire == struct.pack(">4f", *vals)
+    assert wire[:4] == b"\x3f\xc0\x00\x00"  # 1.5 big-endian
+    back = decode_cql_vector(wire)
+    # values come back as their binary32 rounding (3.25e-12 is not exactly
+    # representable in float32; the codec is exact AT float32 precision)
+    assert back == list(struct.unpack(">4f", struct.pack(">4f", *vals)))
+    assert math.copysign(1.0, back[1]) < 0
+    # NaN bit pattern survives (struct roundtrip preserves the quiet bit)
+    nan_wire = encode_cql_vector([float("nan")])
+    assert math.isnan(decode_cql_vector(nan_wire)[0])
+    with pytest.raises(ValueError, match="multiple of 4"):
+        decode_cql_vector(wire[:-1])
+
+
+def test_cql_vector_kernel_matches_reference(spark):
+    """The mapInPandas codec must agree with encode/decode_cql_vector:
+    same wire length and identical decoded observables on hand vectors
+    with negative/extreme float32 values."""
+    from cassandra_data_migrator_spark.operators.multimodal import (
+        cql_vector_roundtrip,
+        encode_cql_vector,
+    )
+
+    rows = [
+        (0, [1.5, -2.25, 0.0]),
+        (1, [-0.0, 3.4e38, -3.4e38, 1e-30]),
+        (2, [7.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r.vec_id: r for r in cql_vector_roundtrip(df).collect()}
+    import numpy as np
+
+    for vid, emb in rows:
+        f32 = [float(np.float32(x)) for x in emb]
+        r = got[vid]
+        assert r.n_dims == len(emb)
+        assert r.n_bytes == len(encode_cql_vector(f32))
+        assert (r.first_r, r.last_r) == (f32[0], f32[-1])
+        assert (r.min_r, r.max_r) == (min(f32), max(f32))
