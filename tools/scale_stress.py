@@ -53,6 +53,9 @@ def main() -> None:
         windows,
     )
     from cassandra_data_migrator_spark.queries import zorder_prune_stats
+    from cassandra_data_migrator_spark.operators.align import (
+        sequence_align_diff,
+    )
     from cassandra_data_migrator_spark.operators.asof import asof_join
     from cassandra_data_migrator_spark.operators.cluster import (
         assign_clusters_exact,
@@ -352,6 +355,20 @@ def main() -> None:
             "vocab_topk": run_vocab_topk,
             "profile_drift": run_profile_drift,
             "sampled_diff": run_sampled_diff,
+            "prefix_filter": lambda: noop(
+                dedup.prefix_filter_jaccard_pairs(docs, n=5, threshold=0.5)
+            ),
+            "seq_align": lambda: noop(
+                sequence_align_diff(
+                    events.select("user_id", "ts", "event_id", "event_type"),
+                    events.filter(F.col("event_id") % 89 != 0).select(
+                        "user_id", "ts", "event_id",
+                        F.when(F.col("event_id") % 97 == 0, F.lit("error"))
+                        .otherwise(F.col("event_type"))
+                        .alias("event_type"),
+                    ),
+                )
+            ),
             "ngram_jaccard_pairs": lambda: noop(
                 dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
             ),
