@@ -45,6 +45,104 @@ ALIGN_SCHEMA = StructType(
 )
 
 
+def _alignment_kernel(max_len: int):
+    """Self-contained per-batch alignment kernel shared by both shapes:
+    rows of (user_id, seq_a, seq_b, n_src, n_dst) → the output schema.
+    numpy row-vectorized Levenshtein; Jaro-Winkler with DuckDB's
+    conventions (see module docstring)."""
+
+    def _batches(it):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def levenshtein(a: str, b: str) -> int:
+            if not a:
+                return len(b)
+            if not b:
+                return len(a)
+            bn = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+            idx = np.arange(len(b) + 1, dtype=np.int32)
+            prev = idx.copy()
+            for i, ca in enumerate(a.encode("latin1")):
+                cur = np.empty(len(b) + 1, dtype=np.int32)
+                cur[0] = i + 1
+                cur[1:] = np.minimum(prev[:-1] + (bn != ca), prev[1:] + 1)
+                cur = np.minimum.accumulate(cur - idx) + idx
+                prev = cur
+            return int(prev[-1])
+
+        def jaro(s1: str, s2: str) -> float:
+            if not s1 or not s2:
+                return 0.0
+            md = max(len(s1), len(s2)) // 2 - 1
+            if md < 0:
+                md = 0
+            f1 = [False] * len(s1)
+            f2 = [False] * len(s2)
+            m = 0
+            for i, c in enumerate(s1):
+                lo, hi = max(0, i - md), min(len(s2), i + md + 1)
+                for j in range(lo, hi):
+                    if not f2[j] and s2[j] == c:
+                        f1[i] = f2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            j = 0
+            for i in range(len(s1)):
+                if f1[i]:
+                    while not f2[j]:
+                        j += 1
+                    if s1[i] != s2[j]:
+                        t += 1
+                    j += 1
+            t //= 2
+            return (m / len(s1) + m / len(s2) + (m - t) / m) / 3.0
+
+        def jaro_winkler(s1: str, s2: str) -> float:
+            jv = jaro(s1, s2)
+            if jv > 0.7:
+                l = 0
+                for a, b in zip(s1[:4], s2[:4]):
+                    if a == b:
+                        l += 1
+                    else:
+                        break
+                jv = jv + l * 0.1 * (1.0 - jv)
+            return jv
+
+        for pdf in it:
+            out = {
+                "user_id": [], "n_src": [], "n_dst": [],
+                "edit_distance": [], "jw_r": [],
+            }
+            for uid, sa, sb, na, nb in zip(
+                pdf["user_id"], pdf["seq_a"], pdf["seq_b"],
+                pdf["n_src"], pdf["n_dst"],
+            ):
+                # missing full-outer sides arrive as None (object cols) or
+                # NaN (pandas upcasts nullable ints to float64)
+                a = ("" if pd.isna(sa) else str(sa))[:max_len]
+                b = ("" if pd.isna(sb) else str(sb))[:max_len]
+                out["user_id"].append(int(uid))
+                out["n_src"].append(0 if pd.isna(na) else int(na))
+                out["n_dst"].append(0 if pd.isna(nb) else int(nb))
+                out["edit_distance"].append(levenshtein(a, b))
+                # floor(x·10⁴ + 0.5)/10⁴, NOT Python round(): round() is
+                # half-even, SQL ROUND is half-away — fuzz-pinned identical
+                # to DuckDB's ROUND(double, 4)
+                out["jw_r"].append(
+                    math.floor(jaro_winkler(a, b) * 10000 + 0.5) / 10000
+                )
+            yield pd.DataFrame(out)
+
+    return _batches
+
+
 def sequence_align_diff(
     src: DataFrame,
     dst: DataFrame,
@@ -58,7 +156,59 @@ def sequence_align_diff(
     first character of ``type_col``, truncated to ``max_len``, and
     aligned. jw_r is Jaro-Winkler similarity rounded to 4dp
     (DuckDB-identical); edit_distance is exact integer Levenshtein on the
-    truncated sequences."""
+    truncated sequences.
+
+    HYBRID shape (the production path): the sequences are assembled
+    JVM-side — sort_array(collect_list(struct(order, char))) per key,
+    concat, truncate — and meet in one full-outer key join, so Python
+    sees ONE row per key in large Arrow batches (one mapInPandas). The
+    pure-cogroup variant below computes the identical answer but pays
+    per-group pandas overhead on thousands of tiny groups — measured
+    ~6.1 s isolated vs ~1 s for this shape on the sf0.1 fixture; pinned
+    equal by tests."""
+    o1, o2 = order_cols
+
+    def _seqs(df: DataFrame, side: str) -> DataFrame:
+        ordered = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(o1),
+                    F.col(o2),
+                    F.substring(F.col(type_col), 1, 1).alias("__c"),
+                )
+            )
+        )
+        return df.groupBy(F.col(key_col).alias("user_id")).agg(
+            F.substring(
+                F.concat_ws(
+                    "", F.transform(ordered, lambda s: s["__c"])
+                ),
+                1,
+                max_len,
+            ).alias(f"seq_{side}"),
+            F.count(F.lit(1)).cast("int").alias(
+                "n_src" if side == "a" else "n_dst"
+            ),
+        )
+
+    joined = _seqs(src, "a").join(_seqs(dst, "b"), "user_id", "full_outer")
+    return joined.mapInPandas(_alignment_kernel(max_len), ALIGN_SCHEMA)
+
+
+def sequence_align_diff_cogrouped(
+    src: DataFrame,
+    dst: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    max_len: int = 128,
+) -> DataFrame:
+    """The same contract through ``cogroup().applyInPandas`` — the
+    canonical two-sided grouped-kernel API, kept as a first-class variant
+    (and the API-surface demonstration) with results pinned identical to
+    the hybrid by tests. Prefer the hybrid for fleets of small groups;
+    prefer THIS shape when per-group state is too large to assemble as a
+    column (e.g. aligning full payload sequences, not char summaries)."""
     o1, o2 = order_cols
     cols = [key_col, o1, o2, type_col]
 

@@ -150,3 +150,28 @@ def test_seq_align_hand_values(spark):
     # identical histories align perfectly
     same = sequence_align_diff(src, src).collect()
     assert all(r.edit_distance == 0 and r.jw_r == 1.0 for r in same)
+
+
+def test_seq_align_hybrid_equals_cogrouped(spark, sf_dir):
+    """The hybrid (JVM sequence assembly + one mapInPandas) and the
+    cogroup variant must return identical rows on the real fixture with
+    the planted-damage replay — the contract that lets the key ride the
+    fast shape while the cogroup API stays first-class."""
+    from cassandra_data_migrator_spark.operators.align import (
+        sequence_align_diff,
+        sequence_align_diff_cogrouped,
+    )
+
+    e = Q._t(spark, sf_dir, "events")
+    src = e.select("user_id", "ts", "event_id", "event_type")
+    dst = e.filter(F.col("event_id") % 89 != 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    a = {tuple(r) for r in sequence_align_diff(src, dst).collect()}
+    b = {tuple(r) for r in sequence_align_diff_cogrouped(src, dst).collect()}
+    assert a == b and a
