@@ -1206,6 +1206,164 @@ def q_agg_incremental_merge(spark, sf_dir):
     )
 
 
+def _ndcg_discounts() -> list[str]:
+    """1/log2(rank+1) for ranks 1..TOPK_K as 12dp DECIMAL literal strings —
+    the ONE place log2 is evaluated (driver-side Python), so neither
+    engine ever calls libm and the DCG sums are exact order-free DECIMAL
+    folds on identical literals."""
+    import math
+
+    return [f"{1.0 / math.log2(i + 1):.12f}" for i in range(1, TOPK_K + 1)]
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Ranking-quality evaluation of the exact top-k retrieval — the eval
+    step every retrieval/RAG pipeline runs before trusting an index:
+    per-query nDCG@k and MRR against label relevance (a retrieved vector
+    is relevant iff it carries the query's label; labels are the fixture's
+    class column). Rides the session-shared ground-truth artifact
+    (_brute_topk — reproducible 4dp-then-tiebreak ranks, already oracled
+    by topk_similarity), one broadcast label join, one group-by-query.
+
+    Cross-engine float discipline: the rank discounts 1/log2(r+1) are
+    precomputed DRIVER-side as 12dp DECIMAL literals shared verbatim by
+    both texts — DCG and ideal-DCG become exact DECIMAL sums (order-free),
+    so the only doubles are final divisions of identical exact values.
+    MRR = 1/first_rel_rank is an exact dyadic-or-small-rational division,
+    identical IEEE both engines. n_rel counts corpus docs of the query's
+    label (self excluded) — the IDCG truncation LEAST(k, n_rel) follows
+    the standard nDCG definition."""
+    discs = _ndcg_discounts()
+    cums = []
+    from decimal import Decimal
+
+    acc = Decimal(0)
+    for d in discs:
+        acc += Decimal(d)
+        cums.append(str(acc))
+    topk = _brute_topk(spark, sf_dir).select("query_id", "vec_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__qlabel")
+    )
+    j = (
+        topk.join(emb.withColumnRenamed("label", "__dlabel"), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+    )
+    rel = F.col("__dlabel") == F.col("__qlabel")
+    disc_arr = F.array(
+        *[F.expr(f"CAST({d} AS DECIMAL(18,12))") for d in discs]
+    )
+    dcg_term = F.when(rel, F.element_at(disc_arr, F.col("rank"))).otherwise(
+        F.expr("CAST(0 AS DECIMAL(18,12))")
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("int").alias("n_rel_ret"),
+        F.min(F.when(rel, F.col("rank"))).cast("int").alias("first_rel_rank"),
+        F.sum(dcg_term).cast("decimal(18,12)").alias("__dcg"),
+    )
+    # corpus-wide relevant count per query label (self excluded) drives the
+    # ideal DCG truncation; label cardinality is tiny — broadcast both ways
+    label_counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("__label_n")
+    )
+    nrel = (
+        qlab.join(
+            F.broadcast(label_counts),
+            qlab["__qlabel"] == label_counts["label"],
+        )
+        .select(
+            "query_id", (F.col("__label_n") - F.lit(1)).alias("n_rel")
+        )
+    )
+    cum_arr = F.array(
+        *[F.expr(f"CAST({c} AS DECIMAL(18,12))") for c in cums]
+    )
+    out = per_q.join(F.broadcast(nrel), "query_id")
+    idcg = F.element_at(cum_arr, F.least(F.lit(TOPK_K), F.col("n_rel")))
+    return out.select(
+        "query_id",
+        "n_rel",
+        "n_rel_ret",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr_r"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("__dcg").cast("double") / idcg.cast("double"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_r"),
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    """DuckDB twin of q_retrieval_eval: same ranking CTE as the (green)
+    topk_similarity oracle, same 12dp DECIMAL discount literals, same
+    exact-then-divide arithmetic."""
+    from decimal import Decimal
+
+    discs = _ndcg_discounts()
+    cums, acc = [], Decimal(0)
+    for d in discs:
+        acc += Decimal(d)
+        cums.append(str(acc))
+    disc_case = " ".join(
+        f"WHEN {i + 1} THEN CAST({d} AS DECIMAL(18,12))"
+        for i, d in enumerate(discs)
+    )
+    cum_case = " ".join(
+        f"WHEN {i + 1} THEN CAST({c} AS DECIMAL(18,12))"
+        for i, c in enumerate(cums)
+    )
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                          label AS qlabel
+                   FROM embeddings WHERE {TOPK_QUERY_PRED}),
+        s AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label AS dlabel,
+                     ROUND(list_cosine_similarity(q.qe, e.embedding), 4)
+                         AS score_r
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score_r DESC, vec_id)
+                            AS rnk
+              FROM s),
+        t AS (SELECT * FROM r WHERE rnk <= {TOPK_K}),
+        per_q AS (SELECT query_id,
+                         CAST(SUM(CASE WHEN dlabel = qlabel
+                                       THEN 1 ELSE 0 END) AS INT)
+                             AS n_rel_ret,
+                         CAST(MIN(CASE WHEN dlabel = qlabel
+                                       THEN rnk END) AS INT)
+                             AS first_rel_rank,
+                         CAST(SUM(CASE WHEN dlabel = qlabel
+                                       THEN CASE rnk {disc_case} END
+                                       ELSE CAST(0 AS DECIMAL(18,12)) END)
+                              AS DECIMAL(18,12)) AS dcg
+                  FROM t GROUP BY query_id),
+        nrel AS (SELECT q.query_id, CAST(lc.cnt - 1 AS INT) AS n_rel
+                 FROM q JOIN (SELECT label, COUNT(*) AS cnt
+                              FROM embeddings GROUP BY label) lc
+                   ON lc.label = q.qlabel)
+        SELECT p.query_id, n.n_rel, p.n_rel_ret, p.first_rel_rank,
+               CASE WHEN p.first_rel_rank IS NOT NULL
+                    THEN ROUND(CAST(1 AS DOUBLE) / p.first_rel_rank, 4)
+                    ELSE CAST(0 AS DOUBLE) END AS mrr_r,
+               CASE WHEN n.n_rel > 0
+                    THEN ROUND(CAST(p.dcg AS DOUBLE)
+                               / CAST(CASE LEAST({TOPK_K}, n.n_rel)
+                                      {cum_case} END AS DOUBLE), 4)
+                    ELSE CAST(0 AS DOUBLE) END AS ndcg_r
+        FROM per_q p JOIN nrel n USING (query_id)
+    """
+
+
 def q_seq_align_diff(spark, sf_dir):
     """Per-user SEQUENCE alignment between the source event stream and a
     planted-damage replay (mod-89 events dropped, mod-97 types flipped to
@@ -8355,6 +8513,7 @@ def queries() -> dict[str, QueryFn]:
         "scd2_history": q_scd2_history,
         "seq_align_diff": q_seq_align_diff,
         "codec_vector": q_codec_vector,
+        "retrieval_eval": q_retrieval_eval,
         "sql_frontend_recursive": q_sql_frontend_recursive,
         "sql_frontend_lateral": q_sql_frontend_lateral,
         "pq_ivf_recall_audit": q_pq_ivf_recall_audit,
@@ -10358,6 +10517,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST({PQ_BLOCKS * PQ_CODES} AS BIGINT) AS n_codewords,
                    TRUE AS recall_ok
         """,
+        "retrieval_eval": _retrieval_eval_sql(),
         "codec_vector": """
             SELECT vec_id,
                    CAST(len(embedding) AS INT) AS n_dims,
