@@ -62,10 +62,16 @@ def _alignment_kernel(max_len: int):
                 return len(b)
             if not b:
                 return len(a)
-            bn = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+            # Compare Unicode CODE POINTS (UTF-32-LE view), not latin-1
+            # bytes: a char outside U+00FF would make .encode('latin1')
+            # raise on the executor, while DuckDB's levenshtein() is
+            # code-point based — code points keep both engines agreeing
+            # for any text (len(str) == len of the uint32 view; no
+            # surrogate pairs in UTF-32).
+            bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
             idx = np.arange(len(b) + 1, dtype=np.int32)
             prev = idx.copy()
-            for i, ca in enumerate(a.encode("latin1")):
+            for i, ca in enumerate(np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)):
                 cur = np.empty(len(b) + 1, dtype=np.int32)
                 cur[0] = i + 1
                 cur[1:] = np.minimum(prev[:-1] + (bn != ca), prev[1:] + 1)
@@ -227,10 +233,16 @@ def sequence_align_diff_cogrouped(
                 return len(b)
             if not b:
                 return len(a)
-            bn = np.frombuffer(b.encode("latin1"), dtype=np.uint8)
+            # Compare Unicode CODE POINTS (UTF-32-LE view), not latin-1
+            # bytes: a char outside U+00FF would make .encode('latin1')
+            # raise on the executor, while DuckDB's levenshtein() is
+            # code-point based — code points keep both engines agreeing
+            # for any text (len(str) == len of the uint32 view; no
+            # surrogate pairs in UTF-32).
+            bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
             idx = np.arange(len(b) + 1, dtype=np.int32)
             prev = idx.copy()
-            for i, ca in enumerate(a.encode("latin1")):
+            for i, ca in enumerate(np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)):
                 cur = np.empty(len(b) + 1, dtype=np.int32)
                 cur[0] = i + 1
                 # substitution/deletion candidates are row-parallel; the

@@ -309,6 +309,9 @@ def _bucketed_pairs(
     return _pairs_from_sorted_ids(grouped, max_bucket_size).distinct()
 
 
+_PREFIX_FILTER_CACHE: dict = {}
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -351,43 +354,79 @@ def prefix_filter_jaccard_pairs(
     pass — at most one extra prefix element per set.
 
     Verification is exact, so an over-long prefix can never change the
-    answer — only cost candidates."""
+    answer — only cost candidates.
+
+    Caching: ``docs`` (the per-doc ordered sets, read 3×: prefix explode
+    + both verification sides) is persisted behind a ONE-SLOT keyed memo:
+    an identical invocation reuses the materialized table, a different
+    input unpersists the previous slot — so a long-lived session holds at
+    most one cached copy rather than accumulating per input. The prefix
+    buckets run UNBOUNDED (``max_bucket_size=
+    None``): the prefix lemma needs every in-bucket pair for exactness,
+    so a clone-flood corpus (f near-identical docs sharing a rare prefix
+    shingle) emits O(f²) candidate pairs from that bucket. That is
+    inherent to exact All-Pairs; for adversarial inputs pre-filter with
+    a df-cap or route to the banded MinHash path (see SCALE.md)."""
     t_relaxed = threshold - 0.001
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sets = (
-        toked.select(
-            F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("sh")
-        )
-        .filter(F.size("sh") >= 1)
+    # One-slot keyed memo (ADVICE r09 cache hygiene): identical invocations
+    # (same analyzed input plan + params) REUSE the persisted ordered-sets
+    # table — previously this worked by accident through CacheManager
+    # plan-matching, and a naive eager unpersist regressed the bench key
+    # 3.35x by rematerializing per run. A DIFFERENT input evicts the
+    # previous slot, so a long-lived session holds at most one copy.
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        id_col,
+        text_col,
+        n,
+        threshold,
+        # canonicalized: expression IDs are normalized, so two loads of the
+        # same table produce the SAME key (plain analyzed().toString()
+        # embeds fresh #exprIds per invocation and never matches)
+        df._jdf.queryExecution().analyzed().canonicalized().toString(),
     )
-    idx = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    # document frequency WITHOUT a big-index join: group the index by
-    # shingle once (the dedup_ngram bucket shuffle), emit (df, shingle,
-    # doc) by re-exploding the posting list, then regroup by doc — two
-    # index shuffles total instead of agg + join + regroup (the join
-    # variant measured ~2x slower end-to-end)
-    postings = idx.groupBy("shingle").agg(
-        F.collect_list(F.col(id_col)).alias("__ids")
-    )
-    docs = (
-        postings.select(
-            "shingle",
-            F.size("__ids").cast("bigint").alias("__df"),
-            F.explode("__ids").alias(id_col),
+    if _PREFIX_FILTER_CACHE.get("key") == cache_key:
+        docs = _PREFIX_FILTER_CACHE["docs"]
+    else:
+        toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        sets = (
+            toked.select(
+                F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("sh")
+            )
+            .filter(F.size("sh") >= 1)
         )
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
-            ).alias("__ordered")
+        idx = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        # document frequency WITHOUT a big-index join: group the index by
+        # shingle once (the dedup_ngram bucket shuffle), emit (df, shingle,
+        # doc) by re-exploding the posting list, then regroup by doc — two
+        # index shuffles total instead of agg + join + regroup (the join
+        # variant measured ~2x slower end-to-end)
+        postings = idx.groupBy("shingle").agg(
+            F.collect_list(F.col(id_col)).alias("__ids")
         )
-        .select(
-            F.col(id_col),
-            F.transform(F.col("__ordered"), lambda s: s["shingle"]).alias("sh"),
-            F.size("__ordered").cast("int").alias("n_sh"),
+        docs = (
+            postings.select(
+                "shingle",
+                F.size("__ids").cast("bigint").alias("__df"),
+                F.explode("__ids").alias(id_col),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+                ).alias("__ordered")
+            )
+            .select(
+                F.col(id_col),
+                F.transform(F.col("__ordered"), lambda s: s["shingle"]).alias("sh"),
+                F.size("__ordered").cast("int").alias("n_sh"),
+            )
+            .persist()
         )
-        .persist()
-    )
+        prev = _PREFIX_FILTER_CACHE.get("docs")
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        _PREFIX_FILTER_CACHE.update(key=cache_key, docs=docs)
     prefix_len = F.greatest(
         F.lit(1),
         (

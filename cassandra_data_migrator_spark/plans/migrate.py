@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from cassandra_data_migrator_spark.config import MigrationConfig, dispatch_job
 from cassandra_data_migrator_spark.functions.json_ops import extract_json, json_to_map
-from cassandra_data_migrator_spark.functions.writetime import max_writetime, writetime_columns
+from cassandra_data_migrator_spark.functions.writetime import (
+    max_ttl,
+    max_writetime,
+    ttl_columns,
+    writetime_columns,
+)
 from cassandra_data_migrator_spark.operators import transforms, validation
 from cassandra_data_migrator_spark.operators.counters import observed
 from cassandra_data_migrator_spark.operators.guardrail import colsize_guardrail
@@ -67,6 +72,16 @@ def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> DataFrame:
         wmin = cfg.get("spark.cdm.filter.java.writetime.min") or None
         wmax = cfg.get("spark.cdm.filter.java.writetime.max") or None
         df = transforms.writetime_window_filter(df, F.col("__writetime"), wmin, wmax)
+
+    # 2b. TTL compute: max over tracked per-cell TTL columns (or the custom
+    # constant) — CDM's WritetimeTTL.getLargestTTL [upstream@6.0.1], the
+    # other half of the per-row USING TIMESTAMP ... AND TTL payload the
+    # cassandra sink forwards as a column-valued writer option. Without
+    # this the sink's __ttl branch was unreachable (r09 verdict #6).
+    ttl_cols = ttl_columns(df)
+    if ttl_cols:
+        custom_ttl = cfg.get("spark.cdm.transform.custom.ttl") or None
+        df = df.withColumn("__ttl", max_ttl(ttl_cols, custom_ttl))
 
     # 3. row transforms
     ej_col = cfg.get("spark.cdm.feature.extractJson.originColumn")
