@@ -6,6 +6,10 @@ submits (one text, two engines), imported from sql_frontend.
 
 from __future__ import annotations
 
+from cassandra_data_migrator_spark.queries.multimodal_keys import (  # noqa: F401
+    JPEG_BW,
+    JPEG_MAX_BH,
+)
 from cassandra_data_migrator_spark.queries.sql_frontend import (  # noqa: F401
     SQL_DS1_SQL,
     SQL_DS2_SQL,
@@ -17,6 +21,34 @@ from cassandra_data_migrator_spark.queries.sql_frontend import (  # noqa: F401
 
 def oracles_d() -> dict[str, str]:
     return {
+        # identical to the multimodal_jpeg oracle: restart markers change
+        # the WIRE layout, never the pixels — the oracle re-slices the
+        # ORIGINAL text bytes and never sees a JPEG
+        "multimodal_jpeg_rst": f"""
+            WITH san AS (SELECT doc_id,
+                                regexp_replace(text, '[^ -~]', '', 'g') AS s
+                         FROM documents),
+            dim AS (SELECT doc_id, s,
+                           LEAST({JPEG_MAX_BH},
+                                 CAST(LENGTH(s) // {JPEG_BW} AS INT)) AS bh
+                    FROM san),
+            ok AS (SELECT doc_id, s, bh FROM dim WHERE bh >= 1),
+            b AS (SELECT doc_id, bh,
+                         ord(substr(s, CAST(i AS INT), 1)) AS val
+                  FROM (SELECT doc_id, bh, s,
+                               unnest(range(1, bh * {JPEG_BW} + 1)) AS i
+                        FROM ok))
+            SELECT doc_id AS media_id,
+                   CAST({JPEG_BW} * 8 AS INT) AS width,
+                   CAST(bh * 8 AS INT) AS height,
+                   CAST({JPEG_BW} * 8 * bh * 8 AS BIGINT) AS n_pix,
+                   CAST(64 * SUM(val) AS BIGINT) AS px_sum,
+                   CAST(MIN(val) AS INT) AS px_min,
+                   CAST(MAX(val) AS INT) AS px_max,
+                   ROUND(64.0 * SUM(val) / ({JPEG_BW} * 8 * bh * 8), 4)
+                       AS px_mean
+            FROM b GROUP BY doc_id, bh
+        """,
         "sql_frontend_ds1": SQL_DS1_SQL,
         "sql_frontend_ds2": SQL_DS2_SQL,
         "sql_frontend_ds3": SQL_DS3_SQL,

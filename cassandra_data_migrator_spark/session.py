@@ -54,8 +54,13 @@ def get_spark(app_name: str = "cdm-spark", cpus: int | None = None) -> SparkSess
     deployment, /root/reference/entrypoint.sh:278)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # SPARK_GRAFT_MASTER overrides the deployment (r09 verdict #1: run the
+    # surface under local-cluster[n,cores,mem] — real executor JVMs: task
+    # serialization, broadcast transport, per-executor Python workers,
+    # shuffle fetch — the axis single-JVM local[] can't exercise).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(min(32, cpus * 2)))
         .config("spark.driver.memory", os.environ.get("CDM_DRIVER_MEMORY", "8g"))
@@ -63,6 +68,16 @@ def get_spark(app_name: str = "cdm-spark", cpus: int | None = None) -> SparkSess
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=ERROR")
     )
+    if master.startswith("local-cluster"):
+        # executor python workers must import the repo package (UDF/kernel
+        # closures reference it); executor JVMs don't inherit the driver's
+        # sys.path, so ship it via executorEnv.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{extra}" if extra else repo_root,
+        )
     for k, v in {**RUNTIME_CONFS, **BUILD_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

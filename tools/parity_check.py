@@ -69,11 +69,19 @@ def main() -> int:
 
     import __spark_entry__ as m
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # SPARK_GRAFT_MASTER=local-cluster[4,8,4096] runs the same check under
+    # real executor JVMs (r09 verdict #1); session.get_spark handles the
+    # executor PYTHONPATH plumbing.
+    if os.environ.get("SPARK_GRAFT_MASTER"):
+        from cassandra_data_migrator_spark.session import get_spark
+
+        spark = get_spark("parity-check")
+    else:
+        spark = (
+            SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
     qs, os_ = m.queries(), m.oracle_sql()
     keys = [k for k in qs if k in os_] if args.all else args.keys
     unknown = [k for k in keys if k not in qs]
