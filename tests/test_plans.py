@@ -196,6 +196,9 @@ GLOBAL_WINDOW_KEYS = {
     "quality_ensemble": "histogram",  # rank.global_rank over the 4dp-bounded score histogram
     "skipgram_cooc": "pruned",  # rank.top_k_rows over pair counts
     "curation_pipeline": "histogram",  # budget cumsum + global_rank over bounded histograms
+    "sql_frontend_ds5": "histogram",  # cumulative sums over the (yr, mo)
+    # month grid — bounded by the calendar span (~84 rows at any sf), the
+    # TPC-DS q51 shape's own contract (input subtree is a groupBy agg)
 }
 
 

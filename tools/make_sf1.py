@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Materialize an sf1 fixture directory (r09 verdict #2: the 2x bench gate is
+vacuous while ~200 of the keys are sub-second at sf0.1 — give the top-cost
+keys a scale where a regression is detectable).
+
+The driver's generator is not in the repo, so sf1 = a 10x PK-shifted union of
+the read-only sf0.1 fixture with deterministic per-clone PERTURBATIONS chosen
+so the scaled corpus keeps the original's statistical shape without exact-
+clone cliques (which would quadratically distort every dedup/ANN key):
+
+- fact tables (customer/supplier/part/orders/lineitem): keys shifted by
+  i*100_000_000 per clone i, FKs shifted in lockstep (join fan-out per key is
+  IDENTICAL to sf0.1); region/nation stay fixed (TPC-H scales facts only).
+- events: ids shifted, ts shifted i seconds (per-user event density and
+  window/session structure preserved); written back as INT64 ns like the
+  original so load_table's normalize path is unchanged.
+- documents: doc_id shifted (by a multiple of 4: residue-class fixtures keep
+  their classes), text gains a 4-char per-clone suffix — near-dup structure
+  preserved, exact-clone cliques avoided; n_chars recomputed.
+- embeddings: vec_id shifted, dim-0 nudged by i*1e-3 (distinct vectors, same
+  geometry).
+
+Output: /root/repo/testdata/sf1/*.parquet (~170 MB, .gitignored — regenerate
+with this script; deterministic, no RNG).
+
+Usage: python tools/make_sf1.py [--k 10] [--src /root/testdata/sf0.1]
+                                [--out /root/repo/testdata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHIFT = 100_000_000
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/testdata/sf1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.session import get_spark
+    from cassandra_data_migrator_spark.sources.parquet import load_table
+
+    spark = get_spark("make-sf1")
+    os.makedirs(args.out, exist_ok=True)
+
+    def write(df, name, n_files):
+        path = f"{args.out}/{name}.parquet"
+        df.coalesce(n_files).write.mode("overwrite").parquet(path)
+        print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
+
+    # dimensions stay fixed (TPC-H convention)
+    for name in ("region", "nation"):
+        write(load_table(spark, args.src, name), name, 1)
+
+    def clones(name, shifts, extra=None, n_files=8):
+        base = load_table(spark, args.src, name)
+        parts = []
+        for i in range(args.k):
+            df = base
+            for col in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+            if extra is not None:
+                df = extra(df, i)
+            parts.append(df.select(base.columns if extra is None else df.columns))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        write(out, name, n_files)
+
+    clones("customer", ["c_custkey"], n_files=2)
+    clones("supplier", ["s_suppkey"], n_files=1)
+    clones("part", ["p_partkey"], n_files=2)
+    clones("orders", ["o_orderkey", "o_custkey"], n_files=4)
+    clones("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n_files=8)
+
+    # events: keep the original column order and write ts back as raw ns
+    ev = load_table(spark, args.src, "events")
+    parts = []
+    for i in range(args.k):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * SHIFT)).alias("event_id"),
+                (F.col("ts_ns") + F.lit(i * 1_000_000_000)).alias("ts"),
+                (F.col("user_id") + F.lit(i * SHIFT)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    write(out, "events", 8)
+
+    def doc_extra(df, i):
+        if i == 0:
+            return df.select("doc_id", "text", "lang", "source", "n_chars")
+        txt = F.concat(F.col("text"), F.lit(f" c{i}x"))
+        return df.select(
+            "doc_id",
+            txt.alias("text"),
+            "lang",
+            "source",
+            F.length(txt).cast("long").alias("n_chars"),
+        )
+
+    clones("documents", ["doc_id"], extra=doc_extra, n_files=4)
+
+    def emb_extra(df, i):
+        if i == 0:
+            return df.select("vec_id", "embedding", "label")
+        nudged = F.concat(
+            F.transform(
+                F.slice("embedding", 1, 1),
+                lambda x: (x + F.lit(float(i) * 1e-3)).cast("float"),
+            ),
+            F.slice("embedding", 2, 1_000_000),
+        )
+        return df.select("vec_id", nudged.alias("embedding"), "label")
+
+    clones("embeddings", ["vec_id"], extra=emb_extra, n_files=4)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
