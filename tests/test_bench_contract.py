@@ -83,3 +83,78 @@ def test_shared_artifacts_survive_between_key_block_cleanup(spark, sf_dir):
     # a second consumer of the same shared artifact also survives
     deg = q.queries()["graph_degree"](spark, sf_dir)
     assert deg.count() > 0
+
+
+def test_streaming_per_batch_latency_ceiling(spark, sf_dir, tmp_path):
+    """r09 verdict #8: the streaming twins carried no perf contract. Pin a
+    GENEROUS per-batch ceiling (≈5x the idle-box readings in BASELINE.md
+    round-10) at the sf0.001 fixture scale, proportionally bounded: a
+    structural regression — per-row state serialization, a lost
+    availableNow trigger, an accidental full-input rescan per batch —
+    blows through 5x; box noise cannot. Protocol mirrors
+    tools/stream_bench.py: warm-up run, then a fresh-checkpoint timed
+    run of 2 identical micro-batches."""
+    import os
+    import shutil
+    import time
+
+    from cassandra_data_migrator_spark.config import MigrationConfig
+    from cassandra_data_migrator_spark.streaming.bloom_dedup import (
+        streaming_dedup_bloom,
+    )
+    from cassandra_data_migrator_spark.streaming.migrate import streaming_migrate
+
+    stage = tmp_path / "orders_stream"
+    stage.mkdir()
+    src = f"{sf_dir}/orders.parquet"
+    shutil.copy(src, stage / "b0.parquet")
+    shutil.copy(src, stage / "b1.parquet")
+    static = spark.read.parquet(src)
+    cfg = MigrationConfig(
+        {"spark.cdm.filter.cassandra.whereCondition": "o_totalprice >= 50000"}
+    )
+
+    def run_migrate(tag):
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        t0 = time.perf_counter()
+        q = streaming_migrate(
+            stream, cfg, str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        )
+        q.awaitTermination()
+        return (time.perf_counter() - t0) / 2
+
+    run_migrate("warm")
+    assert run_migrate("timed") < 4.0  # BASELINE r10: 0.7-0.8 s at 30x the rows
+
+    dstage = tmp_path / "docs_stream"
+    dstage.mkdir()
+    dsrc = f"{sf_dir}/documents.parquet"
+    shutil.copy(dsrc, dstage / "b0.parquet")
+    shutil.copy(dsrc, dstage / "b1.parquet")
+    dstatic = spark.read.parquet(dsrc)
+
+    def run_bloom(tag):
+        stream = (
+            spark.readStream.schema(dstatic.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(dstage))
+        )
+        t0 = time.perf_counter()
+        q = (
+            streaming_dedup_bloom(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"bout_{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"bck_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (time.perf_counter() - t0) / 2
+
+    run_bloom("warm")
+    assert run_bloom("timed") < 12.0  # BASELINE r10: 2.4-2.5 s at 10x the docs
