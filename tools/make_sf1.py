@@ -54,9 +54,22 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
 
     def write(df, name, n_files):
-        path = f"{args.out}/{name}.parquet"
-        df.coalesce(n_files).write.mode("overwrite").parquet(path)
-        print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
+        # fixture convention (TESTDATA.md): ONE parquet FILE per table —
+        # DuckDB oracles read_parquet() the flat path, and Spark still
+        # parallelizes single-file scans by row-group splits. Write to a
+        # staging dir, move the single part file to the flat name.
+        import glob as _glob
+        import shutil as _shutil
+
+        stage = f"{args.out}/.stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = _glob.glob(f"{stage}/part-*.parquet")
+        final = f"{args.out}/{name}.parquet"
+        if os.path.isdir(final):
+            _shutil.rmtree(final)
+        os.replace(part, final)
+        _shutil.rmtree(stage)
+        print(f"{name}: {spark.read.parquet(final).count()} rows -> {final}")
 
     # dimensions stay fixed (TPC-H convention)
     for name in ("region", "nation"):
@@ -101,6 +114,19 @@ def main() -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     write(out, "events", 8)
+    # faithfulness pass: the driver fixture stores ts as INT64
+    # TIMESTAMP(NANOS) (parquet 2.6) — DuckDB reads it as a timestamp,
+    # Spark (with nanosAsLong) as BIGINT, and load_table's PRIMARY
+    # normalize branch depends on that. Re-annotate the int64 ns column.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    epath = f"{args.out}/events.parquet"
+    t = pq.read_table(epath)
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(t, epath, version="2.6")
+    print("events: ts re-annotated INT64 TIMESTAMP(NANOS)")
 
     def doc_extra(df, i):
         if i == 0:
