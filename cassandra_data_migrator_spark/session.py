@@ -27,6 +27,15 @@ RUNTIME_CONFS = {
     # — deterministic sums/rankings — so this is purely a latency knob. AQE
     # coalesces further at runtime.)
     "spark.sql.shuffle.partitions": "64",
+    # scan-split sizing (r10): fixture tables are single parquet FILES
+    # (driver convention), so the 128 MB default makes the sf1 tier's
+    # ~100 MB lineitem scan ONE task — a single-threaded scan feeding a
+    # 32-core box. 16 MB splits the file at row-group boundaries into
+    # ~8-10 parallel scan tasks; at sf0.1 every file is already under
+    # 16 MB so nothing changes there. This is exactly the knob a 100 TB
+    # deployment sizes per-executor (brief: "size maxPartitionBytes so
+    # partitions fit in executor memory at the target SF").
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
 }
 
 # Confs we want at build time for performance (AQE is default-on in Spark 4 but

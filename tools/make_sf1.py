@@ -54,22 +54,17 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
 
     def write(df, name, n_files):
-        # fixture convention (TESTDATA.md): ONE parquet FILE per table —
-        # DuckDB oracles read_parquet() the flat path, and Spark still
-        # parallelizes single-file scans by row-group splits. Write to a
-        # staging dir, move the single part file to the flat name.
-        import glob as _glob
-        import shutil as _shutil
-
-        stage = f"{args.out}/.stage_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        (part,) = _glob.glob(f"{stage}/part-*.parquet")
-        final = f"{args.out}/{name}.parquet"
-        if os.path.isdir(final):
-            _shutil.rmtree(final)
-        os.replace(part, final)
-        _shutil.rmtree(stage)
-        print(f"{name}: {spark.read.parquet(final).count()} rows -> {final}")
+        # MULTI-FILE directories (what Spark and every lake layout actually
+        # produce at scale), not the toy single-file convention: a 1-file
+        # table bounds SCAN parallelism at one task below maxPartitionBytes
+        # (and a coalesce(1) file is ONE row group, unsplittable at any
+        # conf) — measured at sf1: corr_stats 5.1 s -> 24 s single-file,
+        # sq8_recall_clustered 8.2 s -> 24.7 s on the single-file
+        # embeddings. tools/parity_check.py globs directory tables for the
+        # DuckDB oracle side.
+        path = f"{args.out}/{name}.parquet"
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        print(f"{name}: {spark.read.parquet(path).count()} rows -> {path} ({n_files} files)")
 
     # dimensions stay fixed (TPC-H convention)
     for name in ("region", "nation"):
@@ -90,11 +85,11 @@ def main() -> None:
             out = out.unionByName(p)
         write(out, name, n_files)
 
-    clones("customer", ["c_custkey"], n_files=2)
-    clones("supplier", ["s_suppkey"], n_files=1)
-    clones("part", ["p_partkey"], n_files=2)
-    clones("orders", ["o_orderkey", "o_custkey"], n_files=4)
-    clones("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n_files=8)
+    clones("customer", ["c_custkey"], n_files=4)
+    clones("supplier", ["s_suppkey"], n_files=2)
+    clones("part", ["p_partkey"], n_files=4)
+    clones("orders", ["o_orderkey", "o_custkey"], n_files=8)
+    clones("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], n_files=16)
 
     # events: keep the original column order and write ts back as raw ns
     ev = load_table(spark, args.src, "events")
@@ -113,7 +108,7 @@ def main() -> None:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    write(out, "events", 8)
+    write(out, "events", 16)
     # faithfulness pass: the driver fixture stores ts as INT64
     # TIMESTAMP(NANOS) (parquet 2.6) — DuckDB reads it as a timestamp,
     # Spark (with nanosAsLong) as BIGINT, and load_table's PRIMARY
@@ -121,12 +116,18 @@ def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    epath = f"{args.out}/events.parquet"
-    t = pq.read_table(epath)
-    idx = t.schema.get_field_index("ts")
-    t = t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("ns")))
-    pq.write_table(t, epath, version="2.6")
-    print("events: ts re-annotated INT64 TIMESTAMP(NANOS)")
+    import glob as _glob
+
+    for part in _glob.glob(f"{args.out}/events.parquet/part-*.parquet"):
+        t = pq.read_table(part)
+        idx = t.schema.get_field_index("ts")
+        t = t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("ns")))
+        pq.write_table(t, part, version="2.6")
+    # the rewrite invalidates Spark's .crc sidecars — drop them or every
+    # later read dies with ChecksumException
+    for crc in _glob.glob(f"{args.out}/events.parquet/.*.crc"):
+        os.remove(crc)
+    print("events: ts re-annotated INT64 TIMESTAMP(NANOS) per part file")
 
     def doc_extra(df, i):
         if i == 0:
@@ -140,7 +141,7 @@ def main() -> None:
             F.length(txt).cast("long").alias("n_chars"),
         )
 
-    clones("documents", ["doc_id"], extra=doc_extra, n_files=4)
+    clones("documents", ["doc_id"], extra=doc_extra, n_files=16)
 
     def emb_extra(df, i):
         if i == 0:
@@ -154,7 +155,7 @@ def main() -> None:
         )
         return df.select("vec_id", nudged.alias("embedding"), "label")
 
-    clones("embeddings", ["vec_id"], extra=emb_extra, n_files=4)
+    clones("embeddings", ["vec_id"], extra=emb_extra, n_files=16)
     spark.stop()
 
 

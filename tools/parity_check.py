@@ -91,7 +91,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            # driver fixtures are single files; the sf1 tier writes
+            # Spark-native multi-file DIRECTORIES (scan parallelism) — glob
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet{'/*.parquet' if os.path.isdir(f'{args.sf}/{t}.parquet') else ''}')"
         )
 
     failed = []
