@@ -27,16 +27,23 @@ RUNTIME_CONFS = {
     # — deterministic sums/rankings — so this is purely a latency knob. AQE
     # coalesces further at runtime.)
     "spark.sql.shuffle.partitions": "64",
-    # scan-split sizing (r10): fixture tables are single parquet FILES
-    # (driver convention), so the 128 MB default makes the sf1 tier's
-    # ~100 MB lineitem scan ONE task — a single-threaded scan feeding a
-    # 32-core box. 16 MB splits the file at row-group boundaries into
-    # ~8-10 parallel scan tasks; at sf0.1 every file is already under
-    # 16 MB so nothing changes there. This is exactly the knob a 100 TB
-    # deployment sizes per-executor (brief: "size maxPartitionBytes so
-    # partitions fit in executor memory at the target SF").
-    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
 }
+
+# Scan-split sizing is SCALE-APPROPRIATE, not a constant (r10, measured both
+# ways): at sf1 a 16 MB split turns the ~100 MB scans into 8-10 parallel
+# tasks (corr_stats 24 s -> 1.6 s vs a 1-task layout), but the SAME 16 MB at
+# sf0.1 doubles artifact-heavy sub-second keys (stratified_sample 0.44 ->
+# 0.86 s, dedup_cluster_sizes 1.9 -> 3.8 s: dozens of tiny session-artifact
+# files become dozens of ~ms tasks and launch overhead dominates). So the
+# knob rides an env var — sf1 bench runs set SPARK_GRAFT_MAX_PARTITION_BYTES
+# =16m, fixture scales keep Spark's 128 MB default. A 100 TB deployment
+# sizes this per executor-memory budget (the brief's own instruction).
+_MAX_PARTITION_ENV = "SPARK_GRAFT_MAX_PARTITION_BYTES"
+
+
+def _scan_split_conf() -> dict[str, str]:
+    v = os.environ.get(_MAX_PARTITION_ENV)
+    return {"spark.sql.files.maxPartitionBytes": v} if v else {}
 
 # Confs we want at build time for performance (AQE is default-on in Spark 4 but
 # be explicit — the 100 TB posture depends on it).
@@ -49,7 +56,7 @@ BUILD_CONFS = {
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, best-effort)."""
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **_scan_split_conf()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -87,7 +94,7 @@ def get_spark(app_name: str = "cdm-spark", cpus: int | None = None) -> SparkSess
             "spark.executorEnv.PYTHONPATH",
             f"{repo_root}:{extra}" if extra else repo_root,
         )
-    for k, v in {**RUNTIME_CONFS, **BUILD_CONFS}.items():
+    for k, v in {**RUNTIME_CONFS, **BUILD_CONFS, **_scan_split_conf()}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
