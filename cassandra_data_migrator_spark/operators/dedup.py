@@ -366,7 +366,15 @@ def prefix_filter_jaccard_pairs(
     so a clone-flood corpus (f near-identical docs sharing a rare prefix
     shingle) emits O(f²) candidate pairs from that bucket. That is
     inherent to exact All-Pairs; for adversarial inputs pre-filter with
-    a df-cap or route to the banded MinHash path (see SCALE.md)."""
+    a df-cap or route to the banded MinHash path (see SCALE.md).
+
+    Staleness caveat: the memo key is the CANONICALIZED LOGICAL PLAN, not
+    the data. If the files behind an identical plan are rewritten in
+    place within one session, the memo returns the previously persisted
+    ordered-sets table (Spark's own CacheManager plan-matching behaved the
+    same before this was made explicit module state). Stop/recreate the
+    session, vary a param, or clear ``_PREFIX_FILTER_CACHE`` after an
+    in-place rewrite."""
     t_relaxed = threshold - 0.001
     # One-slot keyed memo (ADVICE r09 cache hygiene): identical invocations
     # (same analyzed input plan + params) REUSE the persisted ordered-sets
@@ -425,7 +433,14 @@ def prefix_filter_jaccard_pairs(
         )
         prev = _PREFIX_FILTER_CACHE.get("docs")
         if prev is not None:
-            prev.unpersist(blocking=False)
+            # Best-effort eviction: the evicted slot may belong to a STOPPED
+            # SparkSession (a new applicationId misses the key), and py4j
+            # unpersist on a dead context raises — which would fail the first
+            # invocation in the new session for pure bookkeeping.
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
         _PREFIX_FILTER_CACHE.update(key=cache_key, docs=docs)
     prefix_len = F.greatest(
         F.lit(1),

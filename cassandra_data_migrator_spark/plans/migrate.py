@@ -63,10 +63,14 @@ def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> DataFrame:
     if col_name and col_value:
         df = transforms.column_value_skip_filter(df, col_name, col_value)
 
-    # 2. writetime compute + window filter
+    # 2. writetime compute + window filter. A custom (constant) writetime
+    # needs NO tracked per-cell columns — CDM's custom.writetime is a fixed
+    # override, so gate on (tracked cols OR the constant); previously a
+    # constant-writetime migration over an input with no tracked cells
+    # silently emitted no __writetime (ADVICE r10).
     wt_cols = writetime_columns(df)
-    if wt_cols:
-        custom = cfg.get("spark.cdm.transform.custom.writetime") or None
+    custom = cfg.get("spark.cdm.transform.custom.writetime") or None
+    if wt_cols or custom is not None:
         inc = cfg.get("spark.cdm.transform.custom.writetime.incrementBy")
         df = df.withColumn("__writetime", max_writetime(wt_cols, custom, inc))
         wmin = cfg.get("spark.cdm.filter.java.writetime.min") or None
@@ -79,8 +83,8 @@ def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> DataFrame:
     # cassandra sink forwards as a column-valued writer option. Without
     # this the sink's __ttl branch was unreachable (r09 verdict #6).
     ttl_cols = ttl_columns(df)
-    if ttl_cols:
-        custom_ttl = cfg.get("spark.cdm.transform.custom.ttl") or None
+    custom_ttl = cfg.get("spark.cdm.transform.custom.ttl") or None
+    if ttl_cols or custom_ttl is not None:
         df = df.withColumn("__ttl", max_ttl(ttl_cols, custom_ttl))
 
     # 3. row transforms

@@ -177,8 +177,8 @@ KMEANS_ITERS = 4
 _BINFILE_STAGE_DIRS: dict = {}
 
 
-def _binfile_stage_dir(spark, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _binfile_stage_dir(spark, sf_dir: str, tag: str = "") -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key not in _BINFILE_STAGE_DIRS:
         import atexit
         import shutil

@@ -14,6 +14,9 @@ from cassandra_data_migrator_spark.queries.oracles_c import (  # noqa: F401
 from cassandra_data_migrator_spark.queries.oracles_d import (  # noqa: F401
     oracles_d,
 )
+from cassandra_data_migrator_spark.queries.oracles_e import (  # noqa: F401
+    oracles_e,
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -22,4 +25,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(oracles_b())
     out.update(oracles_c())
     out.update(oracles_d())
+    out.update(oracles_e())
     return out

@@ -1,0 +1,99 @@
+"""DuckDB oracle SQL chunk (round-11 keys: WARC/HTML front door)."""
+
+from __future__ import annotations
+
+from cassandra_data_migrator_spark.queries.web_ingest import (  # noqa: F401
+    ORACLE_HTML_SQL,
+    WARC_GROUPS,
+    WARCINFO_BLOCK,
+)
+
+# collapse(san + adversarial tail + stripped-link texts) — the expected
+# visible text after a CORRECT extraction (see functions/html.py order)
+_EXPECTED_TEXT = """
+    trim(regexp_replace(
+        san || ' x<y & "q" it''s next menu'
+            || repeat(' l', CAST(doc_id % 3 AS INT)),
+        '\\s+', ' ', 'g'))
+"""
+
+
+def oracles_e() -> dict[str, str]:
+    return {
+        # re-derive every WARC record field from the SAME page construction
+        # (never parsing a WARC): response rows per doc + one warcinfo row
+        # per produced file-group
+        "warc_ingest": f"""
+            WITH built AS ({ORACLE_HTML_SQL}),
+            http AS (
+                SELECT doc_id,
+                       'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                       'Content-Type: text/html' || chr(13) || chr(10) ||
+                       'Content-Length: ' || length(html) ||
+                       chr(13) || chr(10) || chr(13) || chr(10) || html
+                           AS http,
+                       html
+                FROM built)
+            SELECT 'response' AS rec_type,
+                   doc_id,
+                   length(http) AS content_length,
+                   CAST(200 AS INT) AS http_status,
+                   length(html) AS payload_len,
+                   md5(html) AS payload_md5
+            FROM http
+            UNION ALL
+            SELECT 'warcinfo' AS rec_type,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST({len(WARCINFO_BLOCK)} AS BIGINT) AS content_length,
+                   CAST(NULL AS INT) AS http_status,
+                   CAST({len(WARCINFO_BLOCK)} AS BIGINT) AS payload_len,
+                   md5('software: cdm-spark' || chr(13) || chr(10))
+                       AS payload_md5
+            FROM (SELECT DISTINCT doc_id % {WARC_GROUPS}
+                  FROM documents)
+        """,
+        # expected extraction recomputed from the SOURCE text (the page is
+        # deterministic): leaked script bodies, double-unescape, or fused
+        # words all diverge from this
+        "html_extract": f"""
+            WITH src AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS san
+                FROM documents),
+            ex AS (
+                SELECT doc_id,
+                       'doc ' || doc_id AS title,
+                       CAST(1 + doc_id % 3 AS INT) AS n_links,
+                       {_EXPECTED_TEXT} AS text_out
+                FROM src)
+            SELECT doc_id, title, n_links, text_out,
+                   length(text_out) AS text_len
+            FROM ex
+        """,
+        "warc_text_pipeline": f"""
+            WITH src AS (
+                SELECT doc_id, lang,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS san
+                FROM documents),
+            ex AS (
+                SELECT lang,
+                       CAST(1 + doc_id % 3 AS BIGINT) AS n_links,
+                       length({_EXPECTED_TEXT}) AS text_len
+                FROM src),
+            agg AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_links) AS BIGINT) AS total_links,
+                       CAST(sum(text_len) AS BIGINT) * 10000 AS a
+                FROM ex
+                GROUP BY lang)
+            -- round(sum/n,4) via exact integer arithmetic (both engines
+            -- compute identical bits; see _nll4_exact)
+            SELECT lang, n_docs, total_links,
+                   CAST(CAST((a - a % n_docs) / n_docs AS BIGINT)
+                        + CASE WHEN 2 * (a % n_docs) >= n_docs
+                               THEN 1 ELSE 0 END AS DOUBLE)
+                       / 10000.0 + 0.0 AS mean_text_len
+            FROM agg
+        """,
+    }

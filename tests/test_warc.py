@@ -1,0 +1,134 @@
+"""WARC parser + HTML extractor unit tests (round 11).
+
+Pins: (a) parse_warc_bytes framing semantics incl. loud refusals, (b) the
+inlined mapInPandas kernel identical to the module-level reference, (c)
+the html_text strip ORDER (script before generic tag-strip; &amp; last).
+"""
+
+import hashlib
+
+import pytest
+
+from cassandra_data_migrator_spark.sources.warc import (
+    parse_warc_bytes,
+    warc_records,
+)
+
+
+def _record(uri: str, body: bytes, status: int = 200) -> bytes:
+    http = (
+        f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def _warcinfo(block: bytes = b"software: x\r\n") -> bytes:
+    return (
+        f"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: {len(block)}\r\n\r\n"
+    ).encode() + block + b"\r\n\r\n"
+
+
+def test_parse_warc_multi_record_with_embedded_blank_lines():
+    body1 = b"<p>a</p>\r\n\r\n<p>b</p>"  # CRLFCRLF INSIDE the payload
+    body2 = b"x" * 1000
+    buf = _warcinfo() + _record("https://e/d/1", body1) + _record(
+        "https://e/d/2", body2, status=404
+    )
+    recs = parse_warc_bytes(buf)
+    assert [r["rec_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1]["target_uri"] == "https://e/d/1"
+    assert recs[1]["payload_len"] == len(body1)
+    assert recs[1]["payload_md5"] == hashlib.md5(body1).hexdigest()
+    assert recs[1]["http_status"] == 200
+    assert recs[2]["http_status"] == 404
+    assert recs[0]["target_uri"] is None
+    assert recs[0]["payload_len"] == len(b"software: x\r\n")
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"GARB" + b[4:], "version line"),
+        (lambda b: b.replace(b"Content-Length", b"X-Length", 1), "Content-Length"),
+        (lambda b: b[:-4], "CRLFCRLF"),
+        (
+            lambda b: b.replace(b"Content-Length: 21", b"Content-Length: 9999", 1),
+            "overruns",
+        ),
+    ],
+)
+def test_parse_warc_refusals(mutate, msg):
+    buf = _warcinfo(b"software: cdm-spark\r\n")
+    with pytest.raises(ValueError, match=msg):
+        parse_warc_bytes(mutate(buf))
+
+
+def test_parse_warc_http_content_length_mismatch_refuses():
+    body = b"hello"
+    rec = _record("https://e/d/1", body)
+    bad = rec.replace(b"Content-Length: 5\r\n\r\nhello", b"Content-Length: 4\r\n\r\nhello")
+    with pytest.raises(ValueError, match="Content-Length != body"):
+        parse_warc_bytes(bad)
+
+
+def test_warc_kernel_matches_reference(spark):
+    """The inlined mapInPandas parser must agree with parse_warc_bytes
+    field-for-field (repo kernel convention)."""
+    files = [
+        _warcinfo() + _record("https://e/d/7", b"<p>x\r\n\r\ny</p>"),
+        _record("https://e/d/8", b"z" * 333, status=301),
+    ]
+    fields = (
+        "rec_type",
+        "target_uri",
+        "content_length",
+        "http_status",
+        "payload_len",
+        "payload_md5",
+    )
+    expected = [
+        tuple(rec[k] for k in fields)
+        for f in files
+        for rec in parse_warc_bytes(f)
+    ]
+    df = spark.createDataFrame([(bytearray(f),) for f in files], "content binary")
+    got = sorted(tuple(r) for r in warc_records(df).collect())
+    assert got == sorted(expected)
+
+
+def test_html_text_strip_order(spark):
+    """Script bodies never leak (even ones containing </p>), entities
+    unescape exactly once, adjacent elements don't fuse words, head/title
+    drop from text but title extracts."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.functions.html import (
+        html_link_count,
+        html_text,
+        html_title,
+    )
+
+    html = (
+        '<html><head><title>T1</title><script>var x = "</p>";</script>'
+        "<style>p{x}</style></head>"
+        "<body><p>a&amp;amp;b</p><p>c</p><!-- hidden -->"
+        '<a href="/x">l1</a><a id=2>l2</a>&lt;tag&gt;</body></html>'
+    )
+    row = (
+        spark.range(1)
+        .select(
+            html_text(F.lit(html)).alias("t"),
+            html_title(F.lit(html)).alias("title"),
+            html_link_count(F.lit(html)).alias("n"),
+        )
+        .first()
+    )
+    # &amp;amp; unescapes ONCE to &amp;; <p>a</p><p>c</p> must not fuse
+    assert row["t"] == "a&amp;b c l1 l2 <tag>"
+    assert row["title"] == "T1"
+    assert row["n"] == 2
