@@ -629,6 +629,445 @@ def encode_jpeg_gray_rst(
     )
 
 
+# progressive AC scans emit EOBn codes (T.81 §G.1.2.2: RS = n<<4, run in
+# [2^n, 2^(n+1)-1]); Annex-K's sequential AC table has no s=0 codes besides
+# EOB0/ZRL, so progressive streams carry their own small canonical table:
+# six 3-bit codes for EOB0..EOB5 (runs up to 63 blocks)
+JPEG_PROG_AC_BITS = [0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+JPEG_PROG_AC_VALS = [0x00, 0x10, 0x20, 0x30, 0x40, 0x50]
+
+
+def _put_eobrun(w, ac_map, run: int) -> None:
+    """Emit one EOBn code covering ``run`` consecutive all-zero-band
+    blocks (encoder side of §G.1.2.2)."""
+    while run > 0:
+        n = 0
+        while (2 << n) <= run and n < 5:
+            n += 1
+        take = min(run, (2 << n) - 1)
+        code, length = ac_map[n << 4]
+        w.put(code, length)
+        if n:
+            w.put(take - (1 << n), n)
+        run -= take
+
+
+def encode_jpeg_gray_progressive(
+    width: int, height: int, blocks: bytes
+) -> bytes:
+    """REAL progressive JPEG encode (T.81 §G / SOF2) for FLAT-BLOCK
+    grayscale — pure Python, stdlib-only, same fixture contract as
+    ``encode_jpeg_gray``. Five scans exercise BOTH progressive modes:
+
+    1. DC first   (Ss=0 Se=0  Ah=0 Al=1): DPCM over ``dc >> 1`` (the §G
+       point transform is an arithmetic shift), Annex-K DC huffman;
+    2. AC first   (Ss=1 Se=5  Ah=0 Al=1): spectral-selection low band —
+       flat blocks have zero AC, so the whole scan is ONE EOBRUN chain;
+    3. AC first   (Ss=6 Se=63 Ah=0 Al=1): the high band;
+    4. AC refine  (Ss=1 Se=63 Ah=1 Al=0): §G.1.2.3 refinement — EOBRUN
+       with zero correction bits (no nonzero history);
+    5. DC refine  (Ss=0 Se=0  Ah=1 Al=0): one raw bit per block
+       (``dc & 1``), no huffman table.
+
+    Flat-block exactness is unchanged: (dc >> 1) << 1 | (dc & 1) == dc
+    for any int, so the reassembled DC equals the baseline value and the
+    decoder recovers the exact pixels. Decoded by decode_jpeg's §G path;
+    the DuckDB oracle re-slices the ORIGINAL text bytes."""
+    import struct
+
+    if width % 8 or height % 8 or width < 8 or height < 8:
+        raise ValueError(
+            f"flat-block JPEG needs multiple-of-8 dims, got {width}x{height}"
+        )
+    bw, bh = width // 8, height // 8
+    if len(blocks) != bw * bh:
+        raise ValueError(
+            f"block section is {len(blocks)} bytes, expected {bw * bh}"
+        )
+    dc_map = _jpeg_huff_encode_map(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_map = _jpeg_huff_encode_map(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+    dcs = [v - 128 for v in blocks]
+
+    # scan 1: DC first, Al=1 — DPCM chain over the shifted values
+    w = _JpegBitWriter()
+    prev = 0
+    for dc in dcs:
+        hi = dc >> 1
+        diff = hi - prev
+        prev = hi
+        cat = _jpeg_category(diff)
+        code, length = dc_map[cat]
+        w.put(code, length)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    dc_first = w.flush()
+
+    # scans 2-4: every block's band is all-zero → pure EOBRUN chains
+    ac_scans = []
+    for _ in range(3):
+        w = _JpegBitWriter()
+        _put_eobrun(w, ac_map, len(dcs))
+        ac_scans.append(w.flush())
+
+    # scan 5: DC refinement — the Al=0 bit of every DC, raw
+    w = _JpegBitWriter()
+    for dc in dcs:
+        w.put(dc & 1, 1)
+    dc_refine = w.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    def sos(ss: int, se: int, ah: int, al: int, ta: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, ta, ss, se, (ah << 4) | al]))
+
+    dqt = seg(
+        0xFFDB,
+        bytes([0]) + bytes(JPEG_QTABLE[JPEG_ZIGZAG[i]] for i in range(64)),
+    )
+    sof = seg(
+        0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS[1:]) + bytes(JPEG_DC_VALS))
+    dht_ac = seg(
+        0xFFC4,
+        bytes([0x11]) + bytes(JPEG_PROG_AC_BITS[1:]) + bytes(JPEG_PROG_AC_VALS),
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        + sos(0, 0, 0, 1, 0x00) + dc_first
+        + sos(1, 5, 0, 1, 0x01) + ac_scans[0]
+        + sos(6, 63, 0, 1, 0x01) + ac_scans[1]
+        + sos(1, 63, 1, 0, 0x01) + ac_scans[2]
+        + sos(0, 0, 1, 0, 0x00) + dc_refine
+        + b"\xff\xd9"
+    )
+
+
+def _decode_progressive_gray(
+    payload: bytes,
+    i: int,
+    sos_data: bytes,
+    qtables: dict,
+    huff: dict,
+    width: int,
+    height: int,
+    comp_q: int,
+) -> bytes:
+    """Progressive (SOF2, T.81 §G) scan loop for the single-component
+    path: accumulates per-block coefficients across DC/AC first and
+    refinement scans (EOBRUN per §G.1.2.2, refinement per §G.1.2.3 —
+    the control flow follows the public libjpeg decode_mcu_AC_refine
+    structure), then dequantizes and runs the same IDCT/level-shift as
+    the baseline path. Scan-order violations (refinement before first,
+    duplicate first scans, non-unit approximation steps, bad bands) and
+    restart markers refuse loudly."""
+    import math
+
+    n = len(payload)
+    if comp_q not in qtables:
+        raise ValueError(f"missing quantization table {comp_q}")
+    qt = qtables[comp_q]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    nblocks = bw * bh
+    coeff = [[0] * 64 for _ in range(nblocks)]
+    dc_al = None  # Al of the last DC scan (None = no DC scan yet)
+    ac_al = [None] * 64  # per-zigzag-position Al of the last AC scan
+
+    while True:
+        # ---- this scan's header ----
+        if len(sos_data) < 6:
+            raise ValueError("truncated SOS")
+        if sos_data[0] != 1:
+            raise ValueError("progressive scan must cover the single component")
+        td, ta = sos_data[2] >> 4, sos_data[2] & 0xF
+        ss, se = sos_data[3], sos_data[4]
+        ah, al = sos_data[5] >> 4, sos_data[5] & 0xF
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "progressive DC scan must have Se=0 (Ss=0,Se=63 is a "
+                    "sequential scan header inside a SOF2 frame)"
+                )
+        elif not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral selection band {ss}..{se}")
+        if ah == 0:
+            if ss == 0:
+                if dc_al is not None:
+                    raise ValueError("duplicate progressive DC first scan")
+                dc_al = al
+            else:
+                for k in range(ss, se + 1):
+                    if ac_al[k] is not None:
+                        raise ValueError(
+                            f"duplicate progressive AC first scan at k={k}"
+                        )
+                    ac_al[k] = al
+        else:
+            if ah != al + 1:
+                raise ValueError(
+                    "successive approximation must refine one bit "
+                    f"(Ah={ah}, Al={al})"
+                )
+            if ss == 0:
+                if dc_al != ah:
+                    raise ValueError(
+                        "DC refinement scan without matching first scan"
+                    )
+                dc_al = al
+            else:
+                for k in range(ss, se + 1):
+                    if ac_al[k] != ah:
+                        raise ValueError(
+                            "AC refinement scan without matching first scan"
+                        )
+                    ac_al[k] = al
+
+        # ---- entropy-coded bytes (unstuffed; RSTn refuses) ----
+        bits_data = bytearray()
+        j = i
+        while j < n:
+            b = payload[j]
+            if b == 0xFF:
+                if j + 1 >= n:
+                    raise ValueError("truncated JPEG scan")
+                nxt = payload[j + 1]
+                if nxt == 0x00:
+                    bits_data.append(0xFF)
+                    j += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    raise ValueError(
+                        "restart intervals in progressive scans unsupported"
+                    )
+                break
+            bits_data.append(b)
+            j += 1
+        pos = 0
+
+        def read_bit() -> int:
+            nonlocal pos
+            if pos >> 3 >= len(bits_data):
+                raise ValueError("JPEG entropy stream exhausted mid-block")
+            bit = (bits_data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            return bit
+
+        def read_huff(tbl) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                if (length, code) in tbl:
+                    return tbl[(length, code)]
+            raise ValueError("invalid huffman code in JPEG scan")
+
+        def receive(cnt: int) -> int:
+            v = 0
+            for _ in range(cnt):
+                v = (v << 1) | read_bit()
+            return v
+
+        def receive_extend(cat: int) -> int:
+            if cat == 0:
+                return 0
+            v = receive(cat)
+            if v < (1 << (cat - 1)):
+                v -= (1 << cat) - 1
+            return v
+
+        # ---- decode one scan over all blocks ----
+        if ss == 0 and ah == 0:  # DC first: DPCM over the shifted values
+            if (0, td) not in huff:
+                raise ValueError("missing huffman table")
+            dc_tbl = huff[(0, td)]
+            prev = 0
+            for bi in range(nblocks):
+                prev += receive_extend(read_huff(dc_tbl))
+                coeff[bi][0] = prev << al
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for bi in range(nblocks):
+                if read_bit():
+                    coeff[bi][0] |= 1 << al
+        elif ah == 0:  # AC first (§G.1.2.2, EOBRUN)
+            if (1, ta) not in huff:
+                raise ValueError("missing huffman table")
+            ac_tbl = huff[(1, ta)]
+            eobrun = 0
+            for bi in range(nblocks):
+                cb = coeff[bi]
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = read_huff(ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run overflows the band")
+                    cb[JPEG_ZIGZAG[k]] = receive_extend(s) << al
+                    k += 1
+        else:  # AC refinement (§G.1.2.3; libjpeg decode_mcu_AC_refine flow)
+            if (1, ta) not in huff:
+                raise ValueError("missing huffman table")
+            ac_tbl = huff[(1, ta)]
+            p1, m1 = 1 << al, -(1 << al)
+            eobrun = 0
+            for bi in range(nblocks):
+                cb = coeff[bi]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = read_huff(ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement magnitude must be 1"
+                                )
+                            s = p1 if read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        # advance over r zero-history positions, emitting
+                        # correction bits for nonzero-history ones passed
+                        while k <= se:
+                            cz = JPEG_ZIGZAG[k]
+                            if cb[cz]:
+                                if read_bit() and not (cb[cz] & p1):
+                                    cb[cz] += p1 if cb[cz] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            cb[JPEG_ZIGZAG[k]] = s
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cz = JPEG_ZIGZAG[k]
+                        if cb[cz]:
+                            if read_bit() and not (cb[cz] & p1):
+                                cb[cz] += p1 if cb[cz] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+        if (pos + 7) >> 3 < len(bits_data):
+            raise ValueError("unconsumed bytes after final block in scan")
+
+        # ---- walk to the next scan / EOI ----
+        i = j
+        sos_data = None
+        while i < n:
+            if payload[i] != 0xFF:
+                raise ValueError(f"expected a marker at offset {i}")
+            marker = payload[i + 1]
+            i += 2
+            if marker == 0xD9:  # EOI
+                if i != n:
+                    raise ValueError("trailing bytes after JPEG EOI")
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                raise ValueError(
+                    "restart intervals in progressive scans unsupported"
+                )
+            if i + 2 > n:
+                raise ValueError("truncated JPEG segment header")
+            seglen = (payload[i] << 8) | payload[i + 1]
+            if seglen < 2 or i + seglen > n:
+                raise ValueError("truncated JPEG segment")
+            data = payload[i + 2 : i + seglen]
+            i += seglen
+            if marker == 0xC4:  # per-scan DHT updates
+                jj = 0
+                while jj < len(data):
+                    if jj + 17 > len(data):
+                        raise ValueError("truncated DHT")
+                    tc, th = data[jj] >> 4, data[jj] & 0xF
+                    bits = [0] + list(data[jj + 1 : jj + 17])
+                    nv = sum(bits)
+                    vals = list(data[jj + 17 : jj + 17 + nv])
+                    if len(vals) != nv:
+                        raise ValueError("truncated DHT")
+                    huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                    jj += 17 + nv
+            elif marker == 0xDA:
+                sos_data = data
+                break
+            elif marker == 0xDD:
+                raise ValueError(
+                    "restart intervals in progressive scans unsupported"
+                )
+            elif marker in (0xDB,):
+                raise ValueError("DQT between progressive scans unsupported")
+            else:
+                raise ValueError(
+                    f"unexpected marker 0x{marker:02x} between scans"
+                )
+        else:
+            raise ValueError("JPEG scan not terminated by EOI")
+        if sos_data is None:
+            break  # EOI reached
+
+    # ---- dequantize + IDCT (same math as the baseline path) ----
+    cos_t = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    out = bytearray(width * height)
+    for by in range(bh):
+        for bx in range(bw):
+            cb = coeff[by * bw + bx]
+            deq = [cb[idx] * qt[idx] for idx in range(64)]
+            nz = [(idx, cf) for idx, cf in enumerate(deq) if cf]
+            if not nz or (len(nz) == 1 and nz[0][0] == 0):
+                val = int(round(deq[0] / 8)) + 128
+                val = 0 if val < 0 else (255 if val > 255 else val)
+                block = [float(val)] * 64
+                flat_done = True
+            else:
+                acc = [0.0] * 64
+                for idx, cf in nz:
+                    v, u = idx // 8, idx % 8
+                    cvu = c[v] * c[u] * cf
+                    for y in range(8):
+                        cy = cos_t[y][v] * cvu
+                        row = y * 8
+                        for x in range(8):
+                            acc[row + x] += cy * cos_t[x][u]
+                block = acc
+                flat_done = False
+            for y in range(8):
+                py = by * 8 + y
+                if py >= height:
+                    break
+                row_off = py * width
+                brow = y * 8
+                for x in range(8):
+                    px = bx * 8 + x
+                    if px >= width:
+                        continue
+                    if flat_done:
+                        out[row_off + px] = int(block[brow + x])
+                    else:
+                        val = int(round(block[brow + x] / 4)) + 128
+                        out[row_off + px] = (
+                            0 if val < 0 else (255 if val > 255 else val)
+                        )
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decode — pure Python, stdlib-only: baseline
     sequential DCT (SOF0), 8-bit, single-component grayscale OR
@@ -651,10 +1090,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     DRI (T.81 §B.2.4.4) sets the MCU interval, RSTn markers split the
     scan into byte-aligned segments with DC predictors reset per
     interval (§E.2.4); wrong-order / missing / unconsumed segments
-    refuse loudly. Raises ValueError on anything else (progressive
-    JPEG and sampling factors 3/4 stay honest refusals). Bounded:
-    output allocation is width*height*nc from SOF0, validated against
-    65535x65535 max."""
+    refuse loudly. Progressive (SOF2, T.81 §G) decodes since r11 for
+    the single-component path — multi-scan coefficient accumulation,
+    spectral selection, successive approximation, EOBRUN (see
+    _decode_progressive_gray); COLOR progressive and sampling factors
+    3/4 stay honest refusals. Bounded: output allocation is
+    width*height*nc from SOF0, validated against 65535x65535 max."""
     import math
     import struct
 
@@ -665,6 +1106,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     width = height = 0
     restart_interval = 0  # DRI: MCUs per restart interval (0 = none)
+    progressive = False  # SOF2 (T.81 §G) — single-component path
     # (component_id, quant_table_id, h_sampling, v_sampling)
     comps: list[tuple[int, int, int, int]] = []
     scan_ids: list[tuple[int, int]] = []  # (dc_table_id, ac_table_id)
@@ -712,12 +1154,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 j += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(data) < 6:
                 raise ValueError("truncated SOF0")
             precision, height, width, nc = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
+            if progressive and nc != 1:
+                raise ValueError(
+                    "progressive (SOF2) JPEG decodes single-component "
+                    "(grayscale) only; color progressive refuses loudly"
+                )
             if nc not in (1, 3):
                 raise ValueError(
                     "only 1-component (grayscale) or 3-component color "
@@ -739,12 +1187,25 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
                 comps.append((cid, tq, ch, cv))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) JPEG decodes")
+            raise ValueError(
+                "only baseline sequential (SOF0) or progressive (SOF2) "
+                "JPEG decodes"
+            )
         elif marker == 0xDA:  # SOS
             if width == 0:
                 raise ValueError("SOS before SOF0")
+            if progressive:
+                if restart_interval:
+                    raise ValueError(
+                        "restart intervals in progressive scans unsupported"
+                    )
+                gray = _decode_progressive_gray(
+                    payload, i, data, qtables, huff, width, height,
+                    comps[0][1],
+                )
+                return width, height, 1, gray
             if len(data) < 1 + 2 * len(comps) + 3:
                 raise ValueError("truncated SOS")
             if data[0] != len(comps):
@@ -2384,6 +2845,134 @@ def jpeg_encode_gray(
     return df.mapInPandas(_batches, PNG_PAYLOAD_SCHEMA)
 
 
+def jpeg_encode_gray_progressive(df: DataFrame, block_width: int) -> DataFrame:
+    """Arrow-batched flat-block PROGRESSIVE (SOF2) JPEG encode over
+    mapInPandas: the five-scan layout of ``encode_jpeg_gray_progressive``
+    (DC first at Al=1, two spectral-selection AC EOBRUN scans, AC
+    refinement, raw-bit DC refinement). Closure captures only data
+    constants and inlines the logic (repo kernel convention); pinned
+    byte-identical to the module encoder by tests."""
+    dc_bits, dc_vals = JPEG_DC_BITS, JPEG_DC_VALS
+    pac_bits, pac_vals = JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS
+    qtable, zigzag = JPEG_QTABLE, JPEG_ZIGZAG
+
+    def _batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def huff_map(bits, vals):
+            out, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length]):
+                    out[vals[k]] = (code, length)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        dc_map, ac_map = huff_map(dc_bits, dc_vals), huff_map(pac_bits, pac_vals)
+
+        def category(v):
+            mag, cat = abs(v), 0
+            while mag:
+                mag >>= 1
+                cat += 1
+            return cat
+
+        class Writer:
+            def __init__(self):
+                self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+            def put(self, code, length):
+                self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+                self.nb += length
+                while self.nb >= 8:
+                    b = (self.acc >> (self.nb - 8)) & 0xFF
+                    self.buf.append(b)
+                    if b == 0xFF:
+                        self.buf.append(0x00)
+                    self.nb -= 8
+
+            def flush(self):
+                if self.nb:
+                    pad = 8 - self.nb
+                    self.put((1 << pad) - 1, pad)
+                return bytes(self.buf)
+
+        def put_eobrun(w, run):
+            while run > 0:
+                e = 0
+                while (2 << e) <= run and e < 5:
+                    e += 1
+                take = min(run, (2 << e) - 1)
+                code, length = ac_map[e << 4]
+                w.put(code, length)
+                if e:
+                    w.put(take - (1 << e), e)
+                run -= take
+
+        def encode(blocks: bytes) -> bytes:
+            bw = block_width
+            if not blocks or len(blocks) % bw:
+                raise ValueError(
+                    f"block section is {len(blocks)} bytes, not a multiple of {bw}"
+                )
+            bh = len(blocks) // bw
+            dcs = [v - 128 for v in blocks]
+            w = Writer()
+            prev = 0
+            for dc in dcs:
+                hi = dc >> 1
+                diff = hi - prev
+                prev = hi
+                cat = category(diff)
+                code, ln = dc_map[cat]
+                w.put(code, ln)
+                if cat:
+                    w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            dc_first = w.flush()
+            ac_scans = []
+            for _ in range(3):
+                w = Writer()
+                put_eobrun(w, len(dcs))
+                ac_scans.append(w.flush())
+            w = Writer()
+            for dc in dcs:
+                w.put(dc & 1, 1)
+            dc_refine = w.flush()
+
+            def seg(marker, data):
+                return struct.pack(">HH", marker, len(data) + 2) + data
+
+            def sos(ss, se, ah, al, ta):
+                return seg(0xFFDA, bytes([1, 1, ta, ss, se, (ah << 4) | al]))
+
+            width, height = bw * 8, bh * 8
+            return (
+                b"\xff\xd8"
+                + seg(0xFFDB, bytes([0]) + bytes(qtable[zigzag[i]] for i in range(64)))
+                + seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+                + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(dc_vals))
+                + seg(0xFFC4, bytes([0x11]) + bytes(pac_bits[1:]) + bytes(pac_vals))
+                + sos(0, 0, 0, 1, 0x00) + dc_first
+                + sos(1, 5, 0, 1, 0x01) + ac_scans[0]
+                + sos(6, 63, 0, 1, 0x01) + ac_scans[1]
+                + sos(1, 63, 1, 0, 0x01) + ac_scans[2]
+                + sos(0, 0, 1, 0, 0x00) + dc_refine
+                + b"\xff\xd9"
+            )
+
+        for pdf in it:
+            ids, payloads = [], []
+            for media_id, blocks in zip(pdf["media_id"], pdf["blocks"]):
+                ids.append(media_id)
+                payloads.append(encode(bytes(blocks)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(_batches, PNG_PAYLOAD_SCHEMA)
+
+
 def jpeg_stats(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL baseline-JPEG decode over mapInPandas: full
     marker walk, huffman DC/AC decode with byte-unstuffing, dequant,
@@ -2416,6 +3005,310 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                 code <<= 1
             return out
 
+        def decode_progressive(payload, i, sos_data, qtables, huff,
+                               width, height, comp_q):
+            # §G scan loop, mirroring _decode_progressive_gray (module
+            # reference; pinned identical by tests/test_multimodal.py)
+            n = len(payload)
+            if comp_q not in qtables:
+                raise ValueError(f"missing quantization table {comp_q}")
+            qt = qtables[comp_q]
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            nblocks = bw * bh
+            coeff = [[0] * 64 for _ in range(nblocks)]
+            dc_al = None
+            ac_al = [None] * 64
+            while True:
+                if len(sos_data) < 6:
+                    raise ValueError("truncated SOS")
+                if sos_data[0] != 1:
+                    raise ValueError(
+                        "progressive scan must cover the single component"
+                    )
+                td, ta = sos_data[2] >> 4, sos_data[2] & 0xF
+                ss, se = sos_data[3], sos_data[4]
+                ah, al = sos_data[5] >> 4, sos_data[5] & 0xF
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError(
+                            "progressive DC scan must have Se=0 (Ss=0,Se=63 "
+                            "is a sequential scan header inside a SOF2 frame)"
+                        )
+                elif not (1 <= ss <= se <= 63):
+                    raise ValueError(f"bad spectral selection band {ss}..{se}")
+                if ah == 0:
+                    if ss == 0:
+                        if dc_al is not None:
+                            raise ValueError(
+                                "duplicate progressive DC first scan"
+                            )
+                        dc_al = al
+                    else:
+                        for k in range(ss, se + 1):
+                            if ac_al[k] is not None:
+                                raise ValueError(
+                                    f"duplicate progressive AC first scan at k={k}"
+                                )
+                            ac_al[k] = al
+                else:
+                    if ah != al + 1:
+                        raise ValueError(
+                            "successive approximation must refine one bit "
+                            f"(Ah={ah}, Al={al})"
+                        )
+                    if ss == 0:
+                        if dc_al != ah:
+                            raise ValueError(
+                                "DC refinement scan without matching first scan"
+                            )
+                        dc_al = al
+                    else:
+                        for k in range(ss, se + 1):
+                            if ac_al[k] != ah:
+                                raise ValueError(
+                                    "AC refinement scan without matching first scan"
+                                )
+                            ac_al[k] = al
+                bits_data = bytearray()
+                j = i
+                while j < n:
+                    b = payload[j]
+                    if b == 0xFF:
+                        if j + 1 >= n:
+                            raise ValueError("truncated JPEG scan")
+                        nxt = payload[j + 1]
+                        if nxt == 0x00:
+                            bits_data.append(0xFF)
+                            j += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:
+                            raise ValueError(
+                                "restart intervals in progressive scans unsupported"
+                            )
+                        break
+                    bits_data.append(b)
+                    j += 1
+                pos = 0
+
+                def read_bit():
+                    nonlocal pos
+                    if pos >> 3 >= len(bits_data):
+                        raise ValueError(
+                            "JPEG entropy stream exhausted mid-block"
+                        )
+                    bit = (bits_data[pos >> 3] >> (7 - (pos & 7))) & 1
+                    pos += 1
+                    return bit
+
+                def read_huff(tbl):
+                    code = 0
+                    for length in range(1, 17):
+                        code = (code << 1) | read_bit()
+                        if (length, code) in tbl:
+                            return tbl[(length, code)]
+                    raise ValueError("invalid huffman code in JPEG scan")
+
+                def receive(cnt):
+                    v = 0
+                    for _ in range(cnt):
+                        v = (v << 1) | read_bit()
+                    return v
+
+                def receive_extend(cat):
+                    if cat == 0:
+                        return 0
+                    v = receive(cat)
+                    if v < (1 << (cat - 1)):
+                        v -= (1 << cat) - 1
+                    return v
+
+                if ss == 0 and ah == 0:
+                    if (0, td) not in huff:
+                        raise ValueError("missing huffman table")
+                    dc_tbl = huff[(0, td)]
+                    prev = 0
+                    for bi in range(nblocks):
+                        prev += receive_extend(read_huff(dc_tbl))
+                        coeff[bi][0] = prev << al
+                elif ss == 0:
+                    for bi in range(nblocks):
+                        if read_bit():
+                            coeff[bi][0] |= 1 << al
+                elif ah == 0:
+                    if (1, ta) not in huff:
+                        raise ValueError("missing huffman table")
+                    ac_tbl = huff[(1, ta)]
+                    eobrun = 0
+                    for bi in range(nblocks):
+                        cb = coeff[bi]
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = read_huff(ac_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG AC run overflows the band"
+                                )
+                            cb[zigzag[k]] = receive_extend(s) << al
+                            k += 1
+                else:
+                    if (1, ta) not in huff:
+                        raise ValueError("missing huffman table")
+                    ac_tbl = huff[(1, ta)]
+                    p1, m1 = 1 << al, -(1 << al)
+                    eobrun = 0
+                    for bi in range(nblocks):
+                        cb = coeff[bi]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = read_huff(ac_tbl)
+                                r, s = rs >> 4, rs & 0xF
+                                if s:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "AC refinement magnitude must be 1"
+                                        )
+                                    s = p1 if read_bit() else m1
+                                elif r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += receive(r)
+                                    break
+                                while k <= se:
+                                    cz = zigzag[k]
+                                    if cb[cz]:
+                                        if read_bit() and not (cb[cz] & p1):
+                                            cb[cz] += p1 if cb[cz] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if s and k <= se:
+                                    cb[zigzag[k]] = s
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                cz = zigzag[k]
+                                if cb[cz]:
+                                    if read_bit() and not (cb[cz] & p1):
+                                        cb[cz] += p1 if cb[cz] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+                if (pos + 7) >> 3 < len(bits_data):
+                    raise ValueError(
+                        "unconsumed bytes after final block in scan"
+                    )
+                i = j
+                sos_data = None
+                while i < n:
+                    if payload[i] != 0xFF:
+                        raise ValueError(f"expected a marker at offset {i}")
+                    marker = payload[i + 1]
+                    i += 2
+                    if marker == 0xD9:
+                        if i != n:
+                            raise ValueError("trailing bytes after JPEG EOI")
+                        break
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                        raise ValueError(
+                            "restart intervals in progressive scans unsupported"
+                        )
+                    if i + 2 > n:
+                        raise ValueError("truncated JPEG segment header")
+                    seglen = (payload[i] << 8) | payload[i + 1]
+                    if seglen < 2 or i + seglen > n:
+                        raise ValueError("truncated JPEG segment")
+                    data = payload[i + 2 : i + seglen]
+                    i += seglen
+                    if marker == 0xC4:
+                        jj = 0
+                        while jj < len(data):
+                            if jj + 17 > len(data):
+                                raise ValueError("truncated DHT")
+                            tc, th = data[jj] >> 4, data[jj] & 0xF
+                            bits = [0] + list(data[jj + 1 : jj + 17])
+                            nv = sum(bits)
+                            vals = list(data[jj + 17 : jj + 17 + nv])
+                            if len(vals) != nv:
+                                raise ValueError("truncated DHT")
+                            huff[(tc, th)] = huff_table(bits, vals)
+                            jj += 17 + nv
+                    elif marker == 0xDA:
+                        sos_data = data
+                        break
+                    elif marker == 0xDD:
+                        raise ValueError(
+                            "restart intervals in progressive scans unsupported"
+                        )
+                    elif marker == 0xDB:
+                        raise ValueError(
+                            "DQT between progressive scans unsupported"
+                        )
+                    else:
+                        raise ValueError(
+                            f"unexpected marker 0x{marker:02x} between scans"
+                        )
+                else:
+                    raise ValueError("JPEG scan not terminated by EOI")
+                if sos_data is None:
+                    break
+            out = bytearray(width * height)
+            for by in range(bh):
+                for bx in range(bw):
+                    cb = coeff[by * bw + bx]
+                    deq = [cb[idx] * qt[idx] for idx in range(64)]
+                    nz = [(idx, cf) for idx, cf in enumerate(deq) if cf]
+                    if not nz or (len(nz) == 1 and nz[0][0] == 0):
+                        val = int(round(deq[0] / 8)) + 128
+                        val = 0 if val < 0 else (255 if val > 255 else val)
+                        block = [float(val)] * 64
+                        flat_done = True
+                    else:
+                        acc = [0.0] * 64
+                        for idx, cf in nz:
+                            v, u = idx // 8, idx % 8
+                            cvu = c[v] * c[u] * cf
+                            for y in range(8):
+                                cy = cos_t[y][v] * cvu
+                                row = y * 8
+                                for x in range(8):
+                                    acc[row + x] += cy * cos_t[x][u]
+                        block = acc
+                        flat_done = False
+                    for y in range(8):
+                        py = by * 8 + y
+                        if py >= height:
+                            break
+                        row_off = py * width
+                        brow = y * 8
+                        for x in range(8):
+                            px = bx * 8 + x
+                            if px >= width:
+                                continue
+                            if flat_done:
+                                out[row_off + px] = int(block[brow + x])
+                            else:
+                                val = int(round(block[brow + x] / 4)) + 128
+                                out[row_off + px] = (
+                                    0 if val < 0
+                                    else (255 if val > 255 else val)
+                                )
+            return width, height, bytes(out)
+
         def decode(payload: bytes):
             if len(payload) < 4 or payload[:2] != b"\xff\xd8":
                 raise ValueError("not a JPEG (SOI missing)")
@@ -2425,6 +3318,7 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
             comp_q = 0
             dc_id = ac_id = 0
             restart_interval = 0
+            progressive = False
             scan_start = -1
             while i < n:
                 if payload[i] != 0xFF:
@@ -2469,7 +3363,8 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                             raise ValueError("truncated DHT")
                         huff[(tc, th)] = huff_table(bits, vals)
                         j += 17 + nv
-                elif marker == 0xC0:
+                elif marker in (0xC0, 0xC2):
+                    progressive = marker == 0xC2
                     if len(data) < 9:
                         raise ValueError("truncated SOF0")
                     precision, height, width, nc = struct.unpack(">BHHB", data[:6])
@@ -2477,14 +3372,20 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                         raise ValueError(f"unsupported JPEG precision {precision}")
                     if nc != 1:
                         raise ValueError(
+                            "progressive (SOF2) JPEG decodes single-component "
+                            "(grayscale) only"
+                            if progressive else
                             "only single-component (grayscale) baseline JPEG decodes"
                         )
                     if data[7] != 0x11:
                         raise ValueError("subsampled JPEG unsupported")
                     comp_q = data[8]
-                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                                 0xCB, 0xCD, 0xCE, 0xCF):
-                    raise ValueError("only baseline sequential (SOF0) JPEG decodes")
+                    raise ValueError(
+                        "only baseline sequential (SOF0) or progressive "
+                        "(SOF2) JPEG decodes"
+                    )
                 elif marker == 0xDD:  # DRI
                     if len(data) != 2:
                         raise ValueError("malformed DRI segment")
@@ -2494,6 +3395,20 @@ def jpeg_stats(df: DataFrame) -> DataFrame:
                         raise ValueError("SOS before SOF0")
                     if len(data) < 3:
                         raise ValueError("truncated SOS")
+                    if progressive:
+                        if restart_interval:
+                            raise ValueError(
+                                "restart intervals in progressive scans unsupported"
+                            )
+                        if (width < 1 or height < 1
+                                or width > 65535 or height > 65535):
+                            raise ValueError(
+                                f"invalid JPEG dimensions {width}x{height}"
+                            )
+                        return decode_progressive(
+                            payload, i, data, qtables, huff,
+                            width, height, comp_q,
+                        )
                     dc_id, ac_id = data[2] >> 4, data[2] & 0xF
                     scan_start = i
                     break

@@ -19,12 +19,12 @@ from cassandra_data_migrator_spark.queries.sql_frontend import (  # noqa: F401
 )
 
 
-def oracles_d() -> dict[str, str]:
-    return {
-        # identical to the multimodal_jpeg oracle: restart markers change
-        # the WIRE layout, never the pixels — the oracle re-slices the
-        # ORIGINAL text bytes and never sees a JPEG
-        "multimodal_jpeg_rst": f"""
+# identical to the multimodal_jpeg oracle: the scan layout (restart
+# markers, progressive multi-scan) changes the WIRE format, never the
+# pixels — the oracle re-slices the ORIGINAL text bytes and never sees a
+# JPEG. Shared by multimodal_jpeg_rst (here) and
+# multimodal_jpeg_progressive (oracles_e).
+JPEG_GRAY_ORACLE_SQL = f"""
             WITH san AS (SELECT doc_id,
                                 regexp_replace(text, '[^ -~]', '', 'g') AS s
                          FROM documents),
@@ -48,7 +48,12 @@ def oracles_d() -> dict[str, str]:
                    ROUND(64.0 * SUM(val) / ({JPEG_BW} * 8 * bh * 8), 4)
                        AS px_mean
             FROM b GROUP BY doc_id, bh
-        """,
+        """
+
+
+def oracles_d() -> dict[str, str]:
+    return {
+        "multimodal_jpeg_rst": JPEG_GRAY_ORACLE_SQL,
         "sql_frontend_ds1": SQL_DS1_SQL,
         "sql_frontend_ds2": SQL_DS2_SQL,
         "sql_frontend_ds3": SQL_DS3_SQL,

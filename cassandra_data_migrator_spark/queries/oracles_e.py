@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from cassandra_data_migrator_spark.queries.oracles_d import (  # noqa: F401
+    JPEG_GRAY_ORACLE_SQL,
+)
 from cassandra_data_migrator_spark.queries.web_ingest import (  # noqa: F401
     ORACLE_HTML_SQL,
     WARC_GROUPS,
@@ -20,6 +23,9 @@ _EXPECTED_TEXT = """
 
 def oracles_e() -> dict[str, str]:
     return {
+        # same pixels as multimodal_jpeg: progressive is a WIRE-format
+        # change only (see oracles_d.JPEG_GRAY_ORACLE_SQL)
+        "multimodal_jpeg_progressive": JPEG_GRAY_ORACLE_SQL,
         # re-derive every WARC record field from the SAME page construction
         # (never parsing a WARC): response rows per doc + one warcinfo row
         # per produced file-group

@@ -850,11 +850,12 @@ def test_decode_jpeg_rejects_malformed():
         decode_jpeg(good[:-4])  # truncated before EOI
     with pytest.raises(ValueError, match="trailing"):
         decode_jpeg(good + b"x")
-    # progressive (SOF2) must refuse
+    # SOF2 with a SEQUENTIAL scan header (Ss=0,Se=63) must refuse — real
+    # progressive streams decode since r11 (see test_round11_ops)
     bad = bytearray(good)
     sof = bad.find(b"\xff\xc0")
     bad[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="sequential scan header"):
         decode_jpeg(bytes(bad))
     # 2-component SOF0 must refuse (only grayscale or 4:4:4 color decode)
     bad2 = bytearray(good)
@@ -1005,8 +1006,8 @@ def test_jpeg_color_refusals():
     with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(bad))
     bad2 = bytearray(good)
-    bad2[i + 1] = 0xC2  # progressive SOF2
-    with pytest.raises(ValueError, match="SOF0"):
+    bad2[i + 1] = 0xC2  # progressive SOF2: COLOR progressive still refuses
+    with pytest.raises(ValueError, match="single-component"):
         decode_jpeg(bytes(bad2))
     j = good.index(b"\xff\xda")
     bad3 = bytearray(good)
