@@ -12,6 +12,11 @@ from cassandra_data_migrator_spark.queries.multimodal_keys import (  # noqa: F40
 )
 from cassandra_data_migrator_spark.queries.sql_frontend import (  # noqa: F401
     SQL_DS1_SQL,
+    SQL_DS6_SQL,
+    SQL_DS7_SQL,
+    SQL_DS8_SQL,
+    SQL_DS9_SQL,
+    SQL_DS10_SQL,
     SQL_DS2_SQL,
     SQL_DS3_SQL,
     SQL_DS4_SQL,
@@ -59,4 +64,9 @@ def oracles_d() -> dict[str, str]:
         "sql_frontend_ds3": SQL_DS3_SQL,
         "sql_frontend_ds4": SQL_DS4_SQL,
         "sql_frontend_ds5": SQL_DS5_SQL,
+        "sql_frontend_ds6": SQL_DS6_SQL,
+        "sql_frontend_ds7": SQL_DS7_SQL,
+        "sql_frontend_ds8": SQL_DS8_SQL,
+        "sql_frontend_ds9": SQL_DS9_SQL,
+        "sql_frontend_ds10": SQL_DS10_SQL,
     }

@@ -1623,3 +1623,191 @@ def q_sql_frontend_ds5(spark, sf_dir):
     configure_session(spark)
     register_tables(spark, sf_dir, ["lineitem"])
     return spark.sql(SQL_DS5_SQL)
+
+
+SQL_DS6_SQL = """
+    WITH freq AS (
+        SELECT l_partkey AS pk FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 8
+    ),
+    ch AS (
+        SELECT 'returned' AS channel, l_partkey AS pk,
+               l_extendedprice AS price
+        FROM lineitem WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT 'accepted', l_partkey, l_extendedprice
+        FROM lineitem WHERE l_returnflag = 'A'
+        UNION ALL
+        SELECT 'open', l_partkey, l_extendedprice
+        FROM lineitem WHERE l_returnflag = 'N'
+    )
+    SELECT channel, p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM ch
+    JOIN freq ON ch.pk = freq.pk
+    JOIN part ON p_partkey = ch.pk
+    GROUP BY channel, p_brand
+"""
+
+
+def q_sql_frontend_ds6(spark, sf_dir):
+    """TPC-DS q14/q23 shape: a shared frequent-items CTE (HAVING-filtered
+    aggregate) consumed by a three-channel UNION ALL of filtered scans,
+    semi-filtered through the CTE and re-aggregated per (channel, brand)
+    — the cross-channel union-of-CTEs plan TPC-H never produces (its 22
+    queries have zero UNION). Exact DECIMAL sums cast to double at the
+    end. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(SQL_DS6_SQL)
+
+
+SQL_DS7_SQL = """
+    WITH v1 AS (
+        SELECT o_orderpriority AS pri,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    v2 AS (
+        SELECT pri, yr, mo, rev,
+               SUM(rev) OVER (PARTITION BY pri, yr) AS s_yr,
+               COUNT(*) OVER (PARTITION BY pri, yr) AS n_yr,
+               CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY yr, mo)
+                    AS INT) AS rn
+        FROM v1
+    )
+    SELECT v.pri, v.yr, v.mo,
+           CAST(v.rev AS DOUBLE) AS rev,
+           CAST(l.rev AS DOUBLE) AS prev_rev,
+           CAST(r.rev AS DOUBLE) AS next_rev
+    FROM v2 v
+    JOIN v2 l ON l.pri = v.pri AND l.rn = v.rn - 1
+    JOIN v2 r ON r.pri = v.pri AND r.rn = v.rn + 1
+    WHERE 10 * ABS(v.rev * v.n_yr - v.s_yr) > v.s_yr
+"""
+
+
+def q_sql_frontend_ds7(spark, sf_dir):
+    """TPC-DS q57 shape: a per-entity monthly series CTE self-joined on
+    ROW_NUMBER()±1 for the lag/lead months (the v1⋈v1_lag⋈v1_lead plan
+    q57 uses instead of LAG/LEAD), with the year-average deviation filter
+    |rev − avg_yr| > 0.1·avg_yr evaluated as EXACT decimal cross-
+    multiplication (10·|rev·n − s| > s) — no float division anywhere, so
+    both engines compare identical exact values. IDENTICAL text runs on
+    DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(SQL_DS7_SQL)
+
+
+SQL_DS8_SQL = """
+    SELECT type_lvl, brand_lvl, lvl,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(RANK() OVER (
+                    PARTITION BY lvl,
+                                 CASE WHEN lvl = 0 THEN type_lvl END
+                    ORDER BY rev DESC)
+                AS INT) AS rank_in_parent
+    FROM (
+        SELECT COALESCE(p_type, 'ALL') AS type_lvl,
+               COALESCE(p_brand, 'ALL') AS brand_lvl,
+               CAST(GROUPING(p_type) AS INT)
+                   + CAST(GROUPING(p_brand) AS INT) AS lvl,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY ROLLUP(p_type, p_brand)
+    ) t
+"""
+
+
+def q_sql_frontend_ds8(spark, sf_dir):
+    """TPC-DS q86 shape: RANK() window OVER the rolled-up aggregate — the
+    partition spec keys on the grouping LEVEL (GROUPING() sum) plus the
+    parent prefix (CASE WHEN lvl=0 THEN type END), exactly q86's
+    lochierarchy ranking. Rank ties on equal exact-decimal revenue are
+    deterministic (same rank value). The window-over-ROLLUP plan appears
+    nowhere in TPC-H or ds1-ds5. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(SQL_DS8_SQL)
+
+
+SQL_DS9_SQL = """
+    WITH ret AS (
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(ret.l_orderkey) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN ret.l_orderkey IS NOT NULL
+                         THEN CAST(li.l_quantity AS DECIMAL(18,4))
+                              - CAST(ret.l_quantity AS DECIMAL(18,4))
+                         ELSE CAST(li.l_quantity AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS net_qty
+    FROM lineitem li
+    LEFT JOIN ret ON ret.l_orderkey = li.l_orderkey
+                 AND ret.l_linenumber = li.l_linenumber
+    JOIN orders ON o_orderkey = li.l_orderkey
+    GROUP BY o_custkey
+"""
+
+
+def q_sql_frontend_ds9(spark, sf_dir):
+    """TPC-DS q93 shape: the fact table LEFT JOINed to its own returns
+    subset on the composite line key, with the aggregate branching on the
+    NULL side (returned lines contribute quantity minus returned
+    quantity, kept lines full quantity) — the null-heavy outer-join
+    aggregation TPC-H's inner-join-only q1-q22 never exercise.
+    COUNT(ret.l_orderkey) counts only matched rows (SQL null-skip
+    semantics under the outer join). IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(SQL_DS9_SQL)
+
+
+SQL_DS10_SQL = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      AND (EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+                       ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_custkey = c_custkey AND l.l_returnflag = 'R')
+           OR EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+                          ON l.l_orderkey = o.o_orderkey
+                      WHERE o.o_custkey = c_custkey
+                        AND l.l_returnflag = 'A'))
+    GROUP BY n_name
+"""
+
+
+def q_sql_frontend_ds10(spark, sf_dir):
+    """TPC-DS q10/q35 shape: a conjunct EXISTS plus an OR of two
+    correlated EXISTS over different channels — Spark can't rewrite the
+    OR branch into semi-joins, so the plan carries ExistenceJoin
+    operators (existence flags joined in, then OR'd in the filter), a
+    physical shape none of TPC-H's single-EXISTS queries produce.
+    IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(
+        spark, sf_dir, ["customer", "nation", "orders", "lineitem"]
+    )
+    return spark.sql(SQL_DS10_SQL)

@@ -386,6 +386,20 @@ def test_sql_frontend_q5_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_sql_frontend_ds_batch2_plans(spark, sf_dir):
+    """ds6-ds9 stay equi-join only; ds10's OR-of-EXISTS must plan as
+    ExistenceJoin (the physical shape the key exists to exercise), never
+    a cartesian fallback."""
+    for key in ("sql_frontend_ds6", "sql_frontend_ds7",
+                "sql_frontend_ds8", "sql_frontend_ds9"):
+        p = _plan(spark, sf_dir, key, mode="simple")
+        assert "CartesianProduct" not in p, key
+        assert "BroadcastNestedLoopJoin" not in p, key
+    p = _plan(spark, sf_dir, "sql_frontend_ds10", mode="simple")
+    assert "ExistenceJoin" in p, "OR-of-EXISTS lost its ExistenceJoin plan"
+    assert "CartesianProduct" not in p
+
+
 # Keys deliberately using Arrow-VECTORIZED Python (pandas_udf GEMM for dense
 # band signatures — interpreted Catalyst lambdas measured 7× slower — and the
 # mapInPandas multimodal digest). Row-at-a-time BatchEvalPython is banned
