@@ -652,25 +652,98 @@ def simhash_near_dup_pairs(
     real: a uniform width of ceil(64/n) would shift the last chunk past bit
     63 (the JVM masks shifts mod 64, silently duplicating chunk 0) and break
     the ≥1-clean-chunk pigeonhole guarantee at hamming == max_hamming.
+
+    Hot buckets CASCADE instead of immediately star-linking (r11, found by
+    the sf1 full-surface certification: low-entropy chunk regions of a
+    shared-vocabulary corpus put ~thousands of docs in one bucket, and
+    star-linking there dropped pair recall to 0.30): members of a bucket
+    over ``max_bucket_size`` are RE-BANDED by the chunks of the signature
+    ROTATED by 29 bits — the pigeonhole guarantee recurses (the pair still
+    has ≤ max_hamming dirty bits total, and the rotated decomposition is a
+    fresh 9-way partition of the same 64 bits, so ≥1 rotated chunk is
+    clean) while the rotation decorrelates the sub-bucket key from the
+    parent's low-entropy region. Only sub-buckets STILL over the cap
+    (exact-duplicate floods — h=0 pairs agree on every chunk at every
+    rotation, so their family never splits) degrade to star linking, which
+    preserves connectivity for cluster assignment (every star pair passes
+    the exact hamming refine there).
     """
     if max_hamming >= num_chunks:
         raise ValueError("pigeonhole requires max_hamming < num_chunks")
     bounds = [(64 * i) // num_chunks for i in range(num_chunks + 1)]
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk_idx"),
-                F.shiftrightunsigned(F.col("simhash"), bounds[i])
-                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-                .alias("chunk_val"),
-            )
-            for i in range(num_chunks)
-        ]
+
+    def _chunks_of(sig, tag):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias(f"{tag}_idx"),
+                    F.shiftrightunsigned(sig, bounds[i])
+                    .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                    .alias(f"{tag}_val"),
+                )
+                for i in range(num_chunks)
+            ]
+        )
+
+    banded = sigs.select(
+        F.col(id_col), F.explode(_chunks_of(F.col("simhash"), "c")).alias("c")
+    ).select(
+        id_col,
+        F.col("c.c_idx").alias("chunk_idx"),
+        F.col("c.c_val").alias("chunk_val"),
     )
-    banded = sigs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
-        id_col, F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val")
+    grouped = (
+        banded.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    cand = _bucketed_pairs(banded, id_col, ["chunk_idx", "chunk_val"], max_bucket_size)
+    if max_bucket_size is None:
+        cand = _pairs_from_sorted_ids(grouped, None).distinct()
+    else:
+        small = grouped.filter(F.size("ids") <= max_bucket_size)
+        hot = grouped.filter(F.size("ids") > max_bucket_size)
+        p_small = _pairs_from_sorted_ids(small, None)
+        # cascade PER PARENT bucket: hot members re-banded by the rotated
+        # chunks UNDER the parent key. The conditioning matters — a parent
+        # bucket of f docs splits into rotated sub-buckets of ~f/2^w, while
+        # a pooled re-banding of all hot members would re-band ~N docs into
+        # ~N/2^w buckets that are hot all over again (measured: pooled
+        # recall 0.72 at sf1 vs 0.97 per-parent). Membership rows are
+        # bounded by the level-0 banding size (each doc sits in ≤ 9 hot
+        # parents), and the signature rides a join on the one-row-per-doc
+        # sigs table rather than fattening the main groupBy payload.
+        rot = 29
+        hm = hot.select(
+            "chunk_idx", "chunk_val", F.explode("ids").alias(id_col)
+        ).join(sigs.select(F.col(id_col), F.col("simhash")), id_col)
+        sub = hm.select(
+            "chunk_idx",
+            "chunk_val",
+            F.col(id_col),
+            F.explode(
+                _chunks_of(
+                    F.shiftrightunsigned(F.col("simhash"), rot).bitwiseOR(
+                        F.shiftleft(F.col("simhash"), 64 - rot)
+                    ),
+                    "s",
+                )
+            ).alias("s"),
+        ).select(
+            "chunk_idx",
+            "chunk_val",
+            id_col,
+            F.col("s.s_idx").alias("sub_idx"),
+            F.col("s.s_val").alias("sub_val"),
+        )
+        sub_grouped = (
+            sub.groupBy("chunk_idx", "chunk_val", "sub_idx", "sub_val")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        # level-2: full pairs when small, star when still hot (exact-dup
+        # floods — identical signatures never split under any rotation)
+        p_sub = _pairs_from_sorted_ids(sub_grouped, max_bucket_size)
+        cand = p_small.unionByName(p_sub).distinct()
     # exact hamming refine: join the (small, one-row-per-doc) signature table
     # back onto the candidate ids — AQE broadcasts it when it fits
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"))

@@ -166,7 +166,7 @@ def _retrieval_eval_sql() -> str:
                           label AS qlabel
                    FROM embeddings WHERE {TOPK_QUERY_PRED}),
         s AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label AS dlabel,
-                     ROUND(list_cosine_similarity(q.qe, e.embedding), 4)
+                     ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
                          AS score_r
               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

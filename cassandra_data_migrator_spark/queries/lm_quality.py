@@ -270,9 +270,13 @@ def _pagerank_oracle_sql() -> str:
                       FROM inter JOIN sizes sa ON sa.doc_id = id_a
                                  JOIN sizes sb ON sb.doc_id = id_b
                       WHERE ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) >= {NGRAM_THRESHOLD}),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            -- MATERIALIZED: the {PAGERANK_ITERS} unrolled iterations each
+            -- reference edges/deg; DuckDB inlines plain CTEs, so without
+            -- this the shingle self-join runs once PER ITERATION — at sf1
+            -- that filled the disk with spill (r11 sf1 certification)
+            edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                       UNION ALL SELECT id_b, id_a FROM pairs),
-            deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+            deg AS MATERIALIZED (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
                     FROM edges GROUP BY 1),
             nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
             pr0 AS (SELECT doc_id, deg, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)"""

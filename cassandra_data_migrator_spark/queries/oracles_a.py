@@ -765,7 +765,7 @@ def oracles_a() -> dict[str, str]:
             pruned AS (
                 SELECT b.vec_id FROM m a JOIN m b
                   ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-                WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
                       >= {SEMDEDUP_TAU}
                 GROUP BY b.vec_id
             )

@@ -453,7 +453,7 @@ def oracles_c() -> dict[str, str]:
         "topk_similarity": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {TOPK_QUERY_PRED}),
             s AS (SELECT q.query_id, e.vec_id,
-                         ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS score_r
+                         ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS score_r
                   FROM embeddings e, q WHERE e.vec_id <> q.query_id),
             r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_r DESC, vec_id) AS rnk
                   FROM s)
@@ -463,9 +463,9 @@ def oracles_c() -> dict[str, str]:
             WITH p AS (SELECT vec_id AS id_a, embedding AS ae FROM embeddings
                        WHERE vec_id % {NEAR_DUP_PROBE_MOD} = 0)
             SELECT p.id_a, e.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(p.ae, e.embedding), 4) AS score_r
+                   ROUND(list_cosine_similarity(CAST(p.ae AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS score_r
             FROM embeddings e, p WHERE p.id_a < e.vec_id
-              AND ROUND(list_cosine_similarity(p.ae, e.embedding), 4) >= {NEAR_DUP_THRESHOLD}
+              AND ROUND(list_cosine_similarity(CAST(p.ae AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) >= {NEAR_DUP_THRESHOLD}
         """,
         "text_tokens": f"""
             SELECT word, COUNT(*) AS cnt FROM (

@@ -332,3 +332,55 @@ def test_prefix_filter_cache_survives_stale_slot(spark, sf_dir):
                 pass
         dedup._PREFIX_FILTER_CACHE.clear()
         dedup._PREFIX_FILTER_CACHE.update(saved)
+
+
+def test_simhash_hot_bucket_cascade_recovers_pairs(spark):
+    """Hot-bucket CASCADE (r11, sf1 certification finding): a pair whose
+    ONLY clean chunk is a hot bucket must still be emitted — the rotated
+    re-banding recovers it (pigeonhole recurses) where the old immediate
+    star-linking dropped it (sf1 recall was 0.30). Exact-duplicate floods
+    still degrade to star linking (connectivity, linear pairs)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators import dedup
+
+    # bits 0-6 are chunk 0 (9 chunks over 64 bits). All docs share chunk 0
+    # = 0 -> one hot bucket at cap 4. Docs 100/101 differ by ONE bit in
+    # EACH of the 8 other chunks (hamming 8): they agree ONLY on the hot
+    # chunk, so the old star guard (min id 1 links the bucket) missed
+    # (100, 101) entirely.
+    bounds = [(64 * i) // 9 for i in range(10)]
+    flip_each_chunk = 0
+    for i in range(1, 9):
+        flip_each_chunk |= 1 << bounds[i]
+    base = 0
+    for i in range(1, 9):
+        base |= 0b101 << bounds[i]
+    rows = [(100, base), (101, base ^ flip_each_chunk)]
+    # fillers: distinct high-bit patterns, chunk 0 still 0, pairwise far
+    for j in range(8):
+        v = 0
+        for i in range(1, 9):
+            v |= ((j * 7 + i * 3) % 127) << bounds[i]
+        rows.append((j + 1, v & ~0x7F))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(
+            sigs, max_hamming=8, max_bucket_size=4
+        ).collect()
+    }
+    assert (100, 101) in got, "cascade failed to recover the hot-bucket pair"
+
+    # exact-dup flood: identical signatures never split under rotation ->
+    # star linking at level 2: exactly f-1 pairs, all from the min id
+    flood = spark.createDataFrame(
+        [(i, 12345) for i in range(1, 11)], "doc_id long, simhash long"
+    )
+    fp = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(
+            flood, max_hamming=8, max_bucket_size=4
+        ).collect()
+    )
+    assert fp == [(1, i) for i in range(2, 11)]

@@ -80,6 +80,15 @@ def main() -> int:
         spark = (
             SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
             .config("spark.ui.enabled", "false")
+            # everything else stays default (the verify driver's plain-
+            # session conf bootstrap is still exercised), but the stock 1g
+            # heap shared by 32 executor threads OOMs the join-heavy keys
+            # at sf1 (ds9's 6M-row outer join found this in r11) — size it
+            # like session.get_spark does
+            .config(
+                "spark.driver.memory",
+                os.environ.get("CDM_DRIVER_MEMORY", "8g"),
+            )
             .getOrCreate()
         )
     qs, os_ = m.queries(), m.oracle_sql()
