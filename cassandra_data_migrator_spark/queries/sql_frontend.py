@@ -1080,10 +1080,18 @@ def q_sql_frontend_recursive(spark, sf_dir):
     Spark and CAST(double AS BIGINT) ROUNDS in DuckDB but TRUNCATES in
     Spark — floor-then-cast is the one spelling both engines state
     identically. IDENTICAL text runs on DuckDB; recursion depth is
-    key-length-bounded (≤ 7 at sf1), never data-volume-bounded."""
+    key-length-bounded (≤ 7 at sf1), never data-volume-bounded.
+
+    The recursion ROW budget is depth·|customer| (every key contributes
+    one row per level walked), so Spark's 1M default
+    ``cteRecursionRowLimit`` trips at sf1 (150k keys × 7 levels — found
+    by the r11 full-surface sf1 certification); sized to 100M here, a
+    bound the depth-7 forest cannot reach below ~14M customers per the
+    formula above."""
     from cassandra_data_migrator_spark.sources.parquet import register_tables
 
     configure_session(spark)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     register_tables(spark, sf_dir, ["customer"])
     return spark.sql(SQL_RECURSIVE_SQL)
 
