@@ -76,6 +76,29 @@ def oracles_e() -> dict[str, str]:
                    length(text_out) AS text_len
             FROM ex
         """,
+        # indegree table recomputed from the SAME page construction: each
+        # doc emits one '/d/(doc_id+1)' link + (doc_id%3) '#' links
+        "warc_outlinks": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            ring AS (
+                SELECT '/d/' || (doc_id + 1) AS href,
+                       CAST(1 AS BIGINT) AS n_inlinks,
+                       CAST(1 AS BIGINT) AS n_src_docs,
+                       doc_id AS min_src
+                FROM d),
+            frag AS (
+                SELECT '#' AS href,
+                       CAST(SUM(doc_id % 3) AS BIGINT) AS n_inlinks,
+                       CAST(COUNT(*) FILTER (WHERE doc_id % 3 > 0) AS BIGINT)
+                           AS n_src_docs,
+                       CAST(MIN(doc_id) FILTER (WHERE doc_id % 3 > 0)
+                            AS BIGINT) AS min_src
+                FROM d)
+            SELECT href, n_inlinks, n_src_docs, min_src FROM ring
+            UNION ALL
+            SELECT href, n_inlinks, n_src_docs, min_src FROM frag
+            WHERE n_inlinks > 0
+        """,
         "warc_text_pipeline": f"""
             WITH src AS (
                 SELECT doc_id, lang,

@@ -219,6 +219,34 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_warc_outlinks(spark, sf_dir):
+    """Outlink extraction — the URL-frontier step after HTML extraction
+    (crawl graph construction): every href pulled from the page JVM-side
+    (regexp_extract_all), exploded, and aggregated into the inbound-degree
+    table a frontier scheduler / PageRank-over-hosts step consumes. The
+    fixture page carries one numeric next-doc link (/d/doc_id+1, a ring)
+    plus doc_id%3 fragment links, so the oracle recomputes indegrees in
+    closed form: '#' gets the fragment links of every doc with that
+    residue; '/d/N' gets one hit iff doc N-1 exists. Pure JVM — scan,
+    explode, one partial-agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    page = d.select(
+        F.col("doc_id"),
+        _doc_html(F.col("doc_id"), _san(F.col("text"))).alias("html"),
+    )
+    links = page.select(
+        F.col("doc_id").alias("src_doc"),
+        F.explode(
+            F.expr(r"""regexp_extract_all(html, '<a href="([^"]*)"', 1)""")
+        ).alias("href"),
+    )
+    return links.groupBy("href").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inlinks"),
+        F.countDistinct("src_doc").cast("bigint").alias("n_src_docs"),
+        F.min("src_doc").cast("bigint").alias("min_src"),
+    )
+
+
 def q_warc_text_pipeline(spark, sf_dir):
     """The chained crawl pipeline over the SAME page construction
     (in-plan, no files — the framing is covered by warc_ingest): HTML →
