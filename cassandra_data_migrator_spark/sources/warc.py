@@ -96,6 +96,7 @@ def parse_warc_bytes(buf: bytes) -> list[dict]:
                 "http_status": status,
                 "payload_len": len(payload),
                 "payload_md5": hashlib.md5(payload).hexdigest(),
+                "payload": payload,
             }
         )
     return out
@@ -105,16 +106,22 @@ WARC_RECORD_SCHEMA = (
     "rec_type string, target_uri string, content_length bigint, "
     "http_status int, payload_len bigint, payload_md5 string"
 )
+WARC_RECORD_PAYLOAD_SCHEMA = WARC_RECORD_SCHEMA + ", payload binary"
 
 
-def warc_records(df: DataFrame, content_col: str = "content") -> DataFrame:
+def warc_records(
+    df: DataFrame, content_col: str = "content", with_payload: bool = False
+) -> DataFrame:
     """Arrow-batched WARC record extraction over mapInPandas: each input
     row carries one whole WARC file (binary); output is one row per
     record with exact integer/string fields only (bit-reproducible, no
     floats). The closure inlines the parser — repo kernel convention:
     python workers must not need this package importable.
     tests/test_warc.py pins the inlined copy byte-identical to
-    ``parse_warc_bytes``."""
+    ``parse_warc_bytes``. ``with_payload=True`` additionally emits the
+    raw record payload (the HTTP body for responses) — the column the
+    streaming HTML/text pipeline consumes; the digest-only default keeps
+    batch record audits from hauling page bytes through the shuffle."""
 
     def _batches(it: Iterator) -> Iterator:
         import hashlib as _hashlib
@@ -172,16 +179,15 @@ def warc_records(df: DataFrame, content_col: str = "content") -> DataFrame:
                         if hk > 0 and hline[:hk].strip().lower() == b"content-length":
                             if int(hline[hk + 1 :].strip()) != len(payload):
                                 raise ValueError("HTTP Content-Length != body length")
-                recs.append(
-                    (
-                        rec_type,
-                        uri.decode("ascii") if uri is not None else None,
-                        cl,
-                        status,
-                        len(payload),
-                        _hashlib.md5(payload).hexdigest(),
-                    )
+                rec = (
+                    rec_type,
+                    uri.decode("ascii") if uri is not None else None,
+                    cl,
+                    status,
+                    len(payload),
+                    _hashlib.md5(payload).hexdigest(),
                 )
+                recs.append(rec + (payload,) if with_payload else rec)
             return recs
 
         cols = (
@@ -191,7 +197,7 @@ def warc_records(df: DataFrame, content_col: str = "content") -> DataFrame:
             "http_status",
             "payload_len",
             "payload_md5",
-        )
+        ) + (("payload",) if with_payload else ())
         for pdf in it:
             out = {c: [] for c in cols}
             for payload in pdf["__warc"]:
@@ -206,4 +212,5 @@ def warc_records(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield frame
 
     src = df.selectExpr(f"{content_col} as __warc")
-    return src.mapInPandas(_batches, schema=WARC_RECORD_SCHEMA)
+    schema = WARC_RECORD_PAYLOAD_SCHEMA if with_payload else WARC_RECORD_SCHEMA
+    return src.mapInPandas(_batches, schema=schema)
