@@ -22,6 +22,14 @@ _EXPECTED_TEXT = """
 
 
 def oracles_e() -> dict[str, str]:
+    out = _oracles_e_base()
+    # identical to the warc_ingest oracle: per-record gzip changes the
+    # wire CONTAINER, never the record fields
+    out["warc_gzip_ingest"] = out["warc_ingest"]
+    return out
+
+
+def _oracles_e_base() -> dict[str, str]:
     return {
         # same pixels as multimodal_jpeg: progressive is a WIRE-format
         # change only (see oracles_d.JPEG_GRAY_ORACLE_SQL)

@@ -199,6 +199,79 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+def q_warc_gzip_ingest(spark, sf_dir):
+    """Per-record-gzipped WARC ingestion (.warc.gz — the Common Crawl
+    convention, i.e. the container 100 TB of crawl ACTUALLY arrives in:
+    every record its own gzip member so readers can seek to member
+    offsets). Same page/record construction as warc_ingest, but the
+    executor-side writer gzip-compresses each record separately
+    (mtime=0 → byte-deterministic files, idempotent re-runs), and the
+    read-back kernel must walk gzip members (zlib multi-member split,
+    truncated/garbage members refuse), inflate, and re-frame each one as
+    exactly one record. The ORACLE IS THE SAME TEXT as warc_ingest —
+    compression changes the wire container, never the record fields —
+    so a mis-split member, a lost record, or any inflate corruption
+    turns the key red against the uncompressed derivation."""
+    from cassandra_data_migrator_spark.sources.warc import warc_gzip_records
+
+    out_dir = _binfile_stage_dir(spark, sf_dir, tag="warcgz")
+
+    d = _t(spark, sf_dir, "documents")
+    html = _doc_html(F.col("doc_id"), _san(F.col("text")))
+    rec = _warc_response_record(F.col("doc_id"), _http_response(html))
+    files = (
+        d.select(
+            F.pmod(F.col("doc_id"), F.lit(WARC_GROUPS)).alias("grp"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.array_prepend(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                F.lit(_WARCINFO_RECORD),
+            ).alias("recs"),
+        )
+    )
+
+    def _write(rows):
+        # self-contained closure (stdlib only): one gzip MEMBER per record
+        import gzip as _gzip
+        import io as _io
+        import os as _os
+
+        for r in rows:
+            path = _os.path.join(out_dir, f"{r['grp']}.warc.gz")
+            buf = _io.BytesIO()
+            for rec_str in r["recs"]:
+                with _gzip.GzipFile(
+                    fileobj=buf, mode="wb", mtime=0
+                ) as gz:  # mtime=0: deterministic bytes
+                    gz.write(rec_str.encode("ascii"))
+            with open(path, "wb") as fh:
+                fh.write(buf.getvalue())
+
+    files.foreachPartition(_write)
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(out_dir)
+    )
+    recs = warc_gzip_records(bf, content_col="content")
+    return recs.select(
+        F.col("rec_type"),
+        F.regexp_extract(F.col("target_uri"), r"/d/(\d+)$", 1)
+        .try_cast("bigint")
+        .alias("doc_id"),
+        F.col("content_length"),
+        F.col("http_status"),
+        F.col("payload_len"),
+        F.col("payload_md5"),
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → text extraction, pure JVM (functions/html.py regexp chain):
     title, anchor count, visible text (script/style/head/comments dropped,

@@ -423,6 +423,7 @@ ARROW_PYTHON_KEYS = {
     "multimodal_jpeg_420",  # real 4:2:0 subsampled JPEG kernels (multimodal.jpeg_encode_color_420/jpeg_color_stats)
     "multimodal_jpeg_rst",  # real DRI/RSTn restart-interval JPEG encode+decode kernels (multimodal.jpeg_encode_gray_rst/jpeg_stats)
     "warc_ingest",  # real Content-Length-framed WARC record parse kernel (sources/warc.warc_records)
+    "warc_gzip_ingest",  # gzip-member split + record parse kernels (sources/warc.warc_gzip_records)
     "multimodal_jpeg_progressive",  # real SOF2 five-scan encode+decode kernels (multimodal.jpeg_encode_gray_progressive/jpeg_stats)
     "multimodal_exif",  # real Exif/TIFF IFD build+parse kernels (multimodal.jpeg_exif_encode/jpeg_exif_stats)
     "seq_align_diff",  # cogroup sequence-alignment kernel (align.sequence_align_diff — Jaro-Winkler has no JVM builtin)

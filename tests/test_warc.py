@@ -132,3 +132,63 @@ def test_html_text_strip_order(spark):
     assert row["t"] == "a&amp;b c l1 l2 <tag>"
     assert row["title"] == "T1"
     assert row["n"] == 2
+
+
+def test_gzip_member_split_and_refusals():
+    """CC-style .warc.gz: per-record gzip members split exactly; trailing
+    garbage, truncated members, and multi-record members refuse."""
+    import gzip
+    import io
+
+    import pytest
+
+    from cassandra_data_migrator_spark.sources.warc import split_gzip_members
+
+    recs = [_warcinfo(), _record("https://e/d/1", b"<p>x\r\n\r\ny</p>")]
+    buf = io.BytesIO()
+    for r in recs:
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(r)
+    data = buf.getvalue()
+    assert split_gzip_members(data) == recs
+    with pytest.raises(ValueError, match="magic missing"):
+        split_gzip_members(data + b"garbage")
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        split_gzip_members(data[:-4])
+
+
+def test_gzip_warc_kernel_matches_plain(spark):
+    """warc_gzip_records over per-record-gzipped bytes must equal
+    warc_records over the concatenated plain bytes, field for field —
+    and a member holding TWO records refuses."""
+    import gzip
+    import io
+
+    import pytest
+
+    from cassandra_data_migrator_spark.sources.warc import (
+        warc_gzip_records,
+        warc_records,
+    )
+
+    recs = [
+        _warcinfo(),
+        _record("https://e/d/7", b"<p>x\r\n\r\ny</p>"),
+        _record("https://e/d/8", b"z" * 333, status=301),
+    ]
+    buf = io.BytesIO()
+    for r in recs:
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(r)
+    gz_df = spark.createDataFrame([(bytearray(buf.getvalue()),)], "content binary")
+    plain_df = spark.createDataFrame([(bytearray(b"".join(recs)),)], "content binary")
+    got = sorted(tuple(r) for r in warc_gzip_records(gz_df).collect())
+    want = sorted(tuple(r) for r in warc_records(plain_df).collect())
+    assert got == want
+
+    two = io.BytesIO()
+    with gzip.GzipFile(fileobj=two, mode="wb", mtime=0) as gz:
+        gz.write(recs[1] + recs[2])  # two records in ONE member
+    bad = spark.createDataFrame([(bytearray(two.getvalue()),)], "content binary")
+    with pytest.raises(Exception, match="exactly one"):
+        warc_gzip_records(bad).collect()
