@@ -204,10 +204,23 @@ def _minhash_sigs(spark, sf_dir):
     )
 
 
-def q_simhash_near_dup(spark, sf_dir):
-    return dedup.simhash_near_dup_pairs(
-        _simhash_sigs(spark, sf_dir), max_hamming=8
+def _simhash_pairs(spark, sf_dir):
+    """Session-shared SimHash pair list at hamming<=8 (the _ngram_pairs
+    precedent): the cascade pipeline (level-0 banding + per-parent rotated
+    re-banding + hamming refine, r11) is deterministic, and BOTH consumers
+    (simhash_near_dup, simhash_recall_audit) need the identical set — one
+    derivation per session instead of two."""
+    return _session_artifact(
+        spark,
+        f"simhash_pairs|{sf_dir}",
+        lambda: dedup.simhash_near_dup_pairs(
+            _simhash_sigs(spark, sf_dir), max_hamming=8
+        ),
     )
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    return _simhash_pairs(spark, sf_dir)
 
 
 def _brute_topk(spark, sf_dir):

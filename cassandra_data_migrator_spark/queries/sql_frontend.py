@@ -29,6 +29,7 @@ from cassandra_data_migrator_spark.queries.dedup_text import (  # noqa: F401
     _ivf_centroids,
     _minhash_sigs,
     _ngram_pairs,
+    _simhash_pairs,
     _simhash_sigs,
 )
 
@@ -472,10 +473,9 @@ def q_simhash_recall_audit(spark, sf_dir):
     # session-shared exact pair set (see minhash_recall_audit) and the
     # session-shared signature table (see q_simhash_near_dup)
     exact = _ngram_pairs(spark, sf_dir, threshold=MINHASH_AUDIT_THRESHOLD)
-    sigs = _simhash_sigs(spark, sf_dir)
-    pairs = dedup.simhash_near_dup_pairs(sigs, max_hamming=SIMHASH_AUDIT_MAX_HAMMING).select(
-        "id_a", "id_b"
-    )
+    # session-shared pair list (same derivation as simhash_near_dup;
+    # SIMHASH_AUDIT_MAX_HAMMING == the near-dup key's 8)
+    pairs = _simhash_pairs(spark, sf_dir).select("id_a", "id_b")
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_hit = exact.join(pairs, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit")
