@@ -118,46 +118,119 @@ def semdedup_pruned_ids(
     max_cluster_compare: int = 4096,
 ) -> DataFrame:
     """SemDeDup's within-cluster prune set: ids having a lower-id member of
-    the SAME cluster at rounded cosine ≥ τ. One ``applyInPandas`` per
-    cluster — a single numpy GEMM computes the pairwise score matrix for
-    that cluster (the reference SemDeDup implementation's shape), vs
-    ~|c|²/2 interpreted lambda dot-folds for the expression self-join
-    (measured 9.4 s → GEMM ~1 s at sf0.1).
+    the SAME cluster at rounded cosine ≥ τ. ``applyInPandas`` GEMM groups —
+    a single numpy matmul computes the chunk's score matrix (the reference
+    SemDeDup implementation's shape), vs ~|c|²/2 interpreted lambda
+    dot-folds for the expression self-join (measured 9.4 s → GEMM ~1 s at
+    sf0.1).
 
-    Mega-cluster cap (round-4 verdict #8, the same degradation contract as
-    dedup._bucketed_pairs' star linking): clusters up to
-    ``max_cluster_compare`` members get the EXACT all-pairs check; beyond
-    that, each member is compared only against the ``max_cluster_compare``
-    lowest-id anchor members, so one degenerate cluster costs
-    O(|c|·cap·dim) GEMM and O(|c|·cap) memory instead of O(|c|²) — it can
-    stall the sweep but not OOM the executor. The only pairs an over-cap
-    cluster can miss are those whose BOTH members sit beyond the anchor
-    set; deterministic (anchors = lowest ids), and a cluster that big means
-    the k-means k was mis-sized for the corpus — resize k rather than raise
-    the cap."""
+    Mega-cluster cap + re-split (round-4 verdict #8 / round-11 verdict #1,
+    the same degradation contract as dedup's simhash hot-bucket cascade):
+
+    - ANCHORS = the ``max_cluster_compare`` lowest-id members of each
+      cluster; a member is pruned iff some LOWER-ID ANCHOR scores ≥ τ.
+      For clusters ≤ cap this is the exact all-pairs-lower check (every
+      member is an anchor); beyond the cap the only pairs missed are those
+      whose BOTH members sit past the anchor set — deterministic, and a
+      cluster that big means k was mis-sized for the corpus.
+    - GROUP RE-SPLIT: members are chunked ``cap`` at a time by their
+      per-cluster id rank, and the anchor rows are REPLICATED into every
+      later chunk, so one pandas group holds ≤ 2·cap rows and one GEMM is
+      ≤ cap×cap NO MATTER how degenerate the cluster — a cluster holding
+      half the corpus costs |c|/cap bounded tasks, never one executor-OOM
+      group (the pre-r12 shape put the whole cluster in a single group and
+      only capped the GEMM's anchor dimension). Anchor replication totals
+      ≤ |c| extra rows per over-cap cluster and is ZERO rows when no
+      cluster exceeds the cap.
+
+    Plan: one window (row_number per cluster — WindowExec's sort is
+    external/spillable, so ranking a mega-cluster spills instead of
+    OOMing), a broadcast join of the k-row chunk-count table, and the
+    (cluster, chunk) groupBy shuffle. Pinned by
+    tests/test_cluster.py::test_semdedup_megacluster_resplit (one cluster
+    holding 50% of all vectors; per-group boundedness + semantics vs the
+    unchunked reference)."""
     import numpy as np
     import pandas
 
     if max_cluster_compare < 2:
         raise ValueError(f"max_cluster_compare must be >= 2, got {max_cluster_compare}")
 
-    def _prune(pdf: pandas.DataFrame) -> pandas.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        if len(X) < 2:
-            return pandas.DataFrame({id_col: []}).astype({id_col: "int64"})
-        n_anchor = min(len(X), max_cluster_compare)
-        A = X[:n_anchor]
-        nx = np.sqrt((X * X).sum(axis=1))
-        S = np.round((X @ A.T) / np.outer(nx, nx[:n_anchor]), 4)  # (n, n_anchor)
-        # anchor column j IS global row j (both share the id sort), so
-        # "lower-id partner" = any anchor j < i scoring >= tau
-        lower = np.arange(n_anchor)[None, :] < np.arange(len(X))[:, None]
-        hit = ((S >= tau) & lower).any(axis=1)
-        return pandas.DataFrame({id_col: pdf[id_col].to_numpy()[hit]})
+    grouped = _semdedup_groups(
+        assigned, id_col, vec_col, cluster_col, max_cluster_compare
+    )
+    tau = float(tau)
 
-    return assigned.select(cluster_col, id_col, vec_col).groupBy(cluster_col).applyInPandas(
+    def _prune(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        a = pdf[pdf["__is_anchor"] == 1].sort_values(id_col)
+        m = pdf[pdf["__is_member"] == 1].sort_values(id_col)
+        if len(a) == 0 or len(m) == 0:
+            return pandas.DataFrame({id_col: []}).astype({id_col: "int64"})
+        A = np.array(a[vec_col].tolist(), dtype=np.float64)
+        X = np.array(m[vec_col].tolist(), dtype=np.float64)
+        na = np.sqrt((A * A).sum(axis=1))
+        nx = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ A.T) / np.outer(nx, na), 4)  # (|chunk|, |anchors|)
+        lower = (
+            a[id_col].to_numpy()[None, :] < m[id_col].to_numpy()[:, None]
+        )
+        hit = ((S >= tau) & lower).any(axis=1)
+        return pandas.DataFrame({id_col: m[id_col].to_numpy()[hit]})
+
+    return grouped.groupBy(cluster_col, "__chunk").applyInPandas(
         _prune, f"{id_col} long"
+    )
+
+
+def _semdedup_groups(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    cap: int,
+) -> DataFrame:
+    """The bounded (cluster, chunk) group layout `semdedup_pruned_ids`
+    GEMMs over — split out so tests can assert the boundedness invariant
+    directly: every (cluster, chunk) group holds ≤ 2·cap rows (≤ cap
+    member rows + ≤ cap replicated anchor rows).
+
+    One evaluation of `assigned`, one shuffle: the per-cluster rank AND
+    size are two window functions over the SAME partition spec (one
+    exchange, stacked window execs — no second pass over the expensive
+    assignment), and anchor replication is a single explode — anchor rows
+    (rank ≤ cap, hence chunk 0) emit one copy per chunk of their cluster,
+    everything else emits itself once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(id_col)
+    wall = Window.partitionBy(cluster_col)
+    ranked = (
+        assigned.select(cluster_col, id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__max_chunk",
+            F.floor((F.count(F.lit(1)).over(wall) - 1) / cap).cast("int"),
+        )
+    )
+    own = F.floor((F.col("__rn") - 1) / cap).cast("int")
+    emit = F.when(
+        F.col("__rn") <= cap,
+        F.sequence(F.lit(0), F.col("__max_chunk")),
+    ).otherwise(F.array(own))
+    return ranked.select(
+        cluster_col,
+        id_col,
+        vec_col,
+        own.alias("__own"),
+        (F.col("__rn") <= cap).cast("int").alias("__is_anchor"),
+        F.explode(emit).alias("__chunk"),
+    ).select(
+        cluster_col,
+        id_col,
+        vec_col,
+        "__chunk",
+        "__is_anchor",
+        (F.col("__chunk") == F.col("__own")).cast("int").alias("__is_member"),
     )
 
 

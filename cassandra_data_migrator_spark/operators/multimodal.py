@@ -1201,6 +1201,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         "restart intervals in progressive scans unsupported"
                     )
+                if width < 1 or height < 1 or width > 65535 or height > 65535:
+                    raise ValueError(
+                        f"invalid JPEG dimensions {width}x{height}"
+                    )
                 gray = _decode_progressive_gray(
                     payload, i, data, qtables, huff, width, height,
                     comps[0][1],
