@@ -5,7 +5,11 @@ from __future__ import annotations
 from cassandra_data_migrator_spark.queries.oracles_d import (  # noqa: F401
     JPEG_GRAY_ORACLE_SQL,
 )
+from cassandra_data_migrator_spark.functions.text import (  # noqa: F401
+    SCRIPT_TOKEN_RE_RE2,
+)
 from cassandra_data_migrator_spark.queries.web_ingest import (  # noqa: F401
+    CHARSET_PLANTS,
     ORACLE_HTML_SQL,
     WARC_GROUPS,
     WARCINFO_BLOCK,
@@ -106,6 +110,52 @@ def _oracles_e_base() -> dict[str, str]:
             UNION ALL
             SELECT href, n_inlinks, n_src_docs, min_src FROM frag
             WHERE n_inlinks > 0
+        """,
+        # charset classes re-derived in closed form (cls = doc_id % 3):
+        # decode∘encode is the identity per class, so expected text is the
+        # constructed page text; payload_len is BYTES — utf-8 strlen for
+        # cls 0, char length (== latin-1 bytes) otherwise
+        "warc_charset_extract": f"""
+            WITH src AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS san,
+                       CAST(doc_id % 3 AS INT) AS cls
+                FROM documents),
+            built AS (
+                SELECT doc_id, cls,
+                       '<html><head><title>doc ' || doc_id || '</title>' ||
+                       CASE WHEN cls = 1
+                            THEN '<meta charset="iso-8859-1">' ELSE '' END ||
+                       '</head><body><p>' ||
+                       replace(replace(replace(replace(replace(
+                           san || CASE cls WHEN 0 THEN '{CHARSET_PLANTS[0]}'
+                                           WHEN 1 THEN '{CHARSET_PLANTS[1]}'
+                                           ELSE '{CHARSET_PLANTS[2]}' END,
+                           '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                           '"', '&quot;'), '''', '&#39;') ||
+                       '</p></body></html>' AS html,
+                       trim(regexp_replace(
+                           san || CASE cls WHEN 0 THEN '{CHARSET_PLANTS[0]}'
+                                           WHEN 1 THEN '{CHARSET_PLANTS[1]}'
+                                           ELSE '{CHARSET_PLANTS[2]}' END,
+                           '\\s+', ' ', 'g')) AS text_out
+                FROM src)
+            SELECT doc_id,
+                   CASE cls WHEN 0 THEN 'utf-8'
+                            WHEN 1 THEN 'iso-8859-1' END AS declared_charset,
+                   CASE cls WHEN 0 THEN 'http' WHEN 1 THEN 'meta'
+                            ELSE 'default' END AS charset_source,
+                   CASE cls WHEN 0 THEN 'utf-8'
+                            ELSE 'iso-8859-1' END AS used_charset,
+                   cls = 2 AS charset_fallback,
+                   CAST(CASE WHEN cls = 0 THEN strlen(html)
+                             ELSE length(html) END AS BIGINT) AS payload_len,
+                   text_out,
+                   CAST(length(text_out) AS BIGINT) AS text_len,
+                   CAST(len(regexp_extract_all(lower(text_out),
+                        '{SCRIPT_TOKEN_RE_RE2}', 1)) AS BIGINT)
+                       AS n_script_tokens
+            FROM built
         """,
         "warc_text_pipeline": f"""
             WITH src AS (

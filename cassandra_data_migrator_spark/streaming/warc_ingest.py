@@ -27,7 +27,7 @@ from cassandra_data_migrator_spark.functions.html import (
     html_link_count,
     html_text,
 )
-from cassandra_data_migrator_spark.sources.warc import warc_records
+from cassandra_data_migrator_spark.sources.warc import warc_decoded_pages
 
 PROFILE_DEC = "decimal(28,4)"
 
@@ -35,17 +35,20 @@ PROFILE_DEC = "decimal(28,4)"
 def warc_page_metrics(files: DataFrame) -> DataFrame:
     """Per-page metric rows from a (streaming or static) binaryFile frame:
     response records only, visible-text length + anchor count — the
-    shared per-row stage both the stream and its batch parity twin run."""
-    recs = warc_records(files, content_col="content", with_payload=True)
-    pages = recs.filter(F.col("rec_type") == "response").select(
-        F.col("target_uri"),
-        F.col("payload").cast("string").alias("html"),
-    )
+    shared per-row stage both the stream and its batch parity twin run.
+
+    Charset-aware since r12 (advice r11): the body is decoded by the
+    sniffing kernel (http header → meta prescan → utf-8 default, flagged
+    iso-8859-1 fallback) instead of a blind binary→string UTF-8 cast that
+    silently mangled non-UTF-8 pages; the profile counts fallback pages so
+    undecodable-as-declared content is visible, not silent."""
+    pages = warc_decoded_pages(files, content_col="content")
     text = html_text(F.col("html"))
     return pages.select(
         F.col("target_uri"),
         html_link_count(F.col("html")).cast("bigint").alias("n_links"),
         F.length(text).cast("bigint").alias("text_len"),
+        F.col("charset_fallback"),
     )
 
 
@@ -58,6 +61,9 @@ def warc_profile_aggs() -> list:
         F.sum(tl).cast(PROFILE_DEC).alias("sum_text_len"),
         F.min("text_len").cast("bigint").alias("min_text_len"),
         F.max("text_len").cast("bigint").alias("max_text_len"),
+        F.sum(F.col("charset_fallback").cast("bigint"))
+        .cast("bigint")
+        .alias("n_charset_fallback"),
     ]
 
 
