@@ -111,6 +111,46 @@ def _oracles_e_base() -> dict[str, str]:
             SELECT href, n_inlinks, n_src_docs, min_src FROM frag
             WHERE n_inlinks > 0
         """,
+        # revisit/request/response counts re-derived from the modular
+        # fixture layout (dom = doc_id%17, revisit iff doc_id%4==1,
+        # request iff doc_id%8==2); ratio = exact integer arithmetic
+        "warc_revisit_stats": """
+            WITH d AS (
+                SELECT doc_id, CAST(doc_id % 17 AS INT) AS dom
+                FROM documents),
+            agg AS (
+                SELECT dom,
+                       CAST(COUNT(*) AS BIGINT) AS n_responses,
+                       CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 1) AS BIGINT)
+                           AS n_revisits,
+                       CAST(COUNT(*) FILTER (WHERE doc_id % 8 = 2) AS BIGINT)
+                           AS n_requests
+                FROM d GROUP BY dom),
+            q AS (
+                SELECT *, n_revisits * 10000 AS a,
+                       n_responses + n_revisits AS b
+                FROM agg)
+            SELECT dom, n_responses, n_revisits, n_requests,
+                   CAST(CAST((a - a % b) / b AS BIGINT)
+                        + CASE WHEN 2 * (a % b) >= b THEN 1 ELSE 0 END
+                        AS DOUBLE) / 10000.0 + 0.0 AS revisit_ratio_r4
+            FROM q
+        """,
+        # WET roundtrip: framed length + md5 of the extracted text,
+        # recomputed from the SOURCE text (write->read must be byte-exact)
+        "warc_wet_roundtrip": f"""
+            WITH src AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS san
+                FROM documents),
+            ex AS (
+                SELECT doc_id, {_EXPECTED_TEXT} AS t
+                FROM src)
+            SELECT doc_id,
+                   CAST(strlen(t) AS BIGINT) AS payload_len,
+                   md5(t) AS payload_md5
+            FROM ex
+        """,
         # charset classes re-derived in closed form (cls = doc_id % 3):
         # decode∘encode is the identity per class, so expected text is the
         # constructed page text; payload_len is BYTES — utf-8 strlen for

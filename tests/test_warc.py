@@ -294,3 +294,74 @@ def test_warc_non_utf8_target_uri_refuses(spark):
     iri = "https://例え.jp/ページ"
     rec = _resp_record(b"<p>x</p>", uri=iri)
     assert parse_warc_bytes(rec)[0]["target_uri"] == iri
+
+
+# --- typed records: request / metadata / revisit (r12) ---------------------
+
+
+def _typed_rec(headers: list, block: bytes) -> bytes:
+    head = "WARC/1.0\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers
+    ) + f"Content-Length: {len(block)}\r\n\r\n"
+    return head.encode("utf-8") + block + b"\r\n\r\n"
+
+
+def test_typed_parser_breadth_and_kernel_agreement(spark):
+    from cassandra_data_migrator_spark.sources.warc import (
+        parse_warc_typed,
+        warc_typed_records,
+    )
+
+    uri = "https://d3.example.com/d/7"
+    body = b"<p>page 7</p>"
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+    buf = (
+        _typed_rec(
+            [("WARC-Type", "request"), ("WARC-Target-URI", uri)],
+            b"GET /d/7 HTTP/1.1\r\nHost: d3.example.com\r\n\r\n",
+        )
+        + _typed_rec([("WARC-Type", "response"), ("WARC-Target-URI", uri)], http)
+        + _typed_rec(
+            [
+                ("WARC-Type", "revisit"),
+                ("WARC-Target-URI", uri + "?recheck"),
+                ("WARC-Profile",
+                 "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+                ("WARC-Refers-To-Target-URI", uri),
+            ],
+            b"",
+        )
+        + _typed_rec([("WARC-Type", "metadata")], b"via: crawler")
+    )
+    recs = parse_warc_typed(buf)
+    assert [r["rec_type"] for r in recs] == [
+        "request", "response", "revisit", "metadata",
+    ]
+    assert recs[1]["http_status"] == 200 and recs[1]["payload_len"] == len(body)
+    assert recs[2]["profile"].endswith("identical-payload-digest")
+    assert recs[2]["refers_to"] == uri and recs[2]["payload_len"] == 0
+    assert recs[3]["target_uri"] is None
+    # inlined kernel agrees field-for-field
+    df = spark.createDataFrame([(bytearray(buf),)], "content binary")
+    got = [r.asDict() for r in warc_typed_records(df).collect()]
+    assert got == recs
+
+
+def test_typed_parser_refusals():
+    from cassandra_data_migrator_spark.sources.warc import parse_warc_typed
+
+    # revisit without WARC-Profile: unusable for dedup accounting
+    bad = _typed_rec(
+        [("WARC-Type", "revisit"), ("WARC-Target-URI", "https://e.x/p")], b""
+    )
+    with pytest.raises(ValueError, match="missing WARC-Profile"):
+        parse_warc_typed(bad)
+    # malformed HTTP request line
+    bad = _typed_rec(
+        [("WARC-Type", "request"), ("WARC-Target-URI", "https://e.x/p")],
+        b"NOT A REQUEST",
+    )
+    with pytest.raises(ValueError, match="malformed HTTP request"):
+        parse_warc_typed(bad)
