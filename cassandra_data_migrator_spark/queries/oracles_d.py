@@ -17,6 +17,9 @@ from cassandra_data_migrator_spark.queries.sql_frontend import (  # noqa: F401
     SQL_DS8_SQL,
     SQL_DS9_SQL,
     SQL_DS10_SQL,
+    SQL_DS11_SQL,
+    SQL_DS12_SQL,
+    SQL_DS13_SQL,
     SQL_DS2_SQL,
     SQL_DS3_SQL,
     SQL_DS4_SQL,
@@ -69,4 +72,7 @@ def oracles_d() -> dict[str, str]:
         "sql_frontend_ds8": SQL_DS8_SQL,
         "sql_frontend_ds9": SQL_DS9_SQL,
         "sql_frontend_ds10": SQL_DS10_SQL,
+        "sql_frontend_ds11": SQL_DS11_SQL,
+        "sql_frontend_ds12": SQL_DS12_SQL,
+        "sql_frontend_ds13": SQL_DS13_SQL,
     }

@@ -1819,3 +1819,173 @@ def q_sql_frontend_ds10(spark, sf_dir):
         spark, sf_dir, ["customer", "nation", "orders", "lineitem"]
     )
     return spark.sql(SQL_DS10_SQL)
+
+
+SQL_DS11_SQL = """
+    WITH sales AS (
+        SELECT p_brand AS brand,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n_sales,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS rev,
+               CAST(MIN(CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS min_disc,
+               CAST(MAX(CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS max_disc
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size <= 25
+        GROUP BY 1, 2
+    )
+    SELECT s1.brand,
+           s1.yr AS yr1, s2.yr AS yr2,
+           s1.n_sales AS n1, s2.n_sales AS n2,
+           CAST(s1.rev AS DOUBLE) AS rev1,
+           CAST(s2.rev AS DOUBLE) AS rev2,
+           CAST(s1.min_disc AS DOUBLE) AS min_disc1,
+           CAST(s2.max_disc AS DOUBLE) AS max_disc2
+    FROM sales s1
+    JOIN sales s2 ON s2.brand = s1.brand AND s2.yr = s1.yr + 1
+    WHERE s2.rev <= s1.rev
+"""
+
+
+def q_sql_frontend_ds11(spark, sf_dir):
+    """TPC-DS q64 shape: one expensive multi-join CTE (4-table
+    fact⋈orders⋈part⋈supplier aggregate per (brand, year)) consumed
+    TWICE through a self-join on consecutive years with a cross-channel
+    comparison predicate (q64's cs1⋈cs2 on item with cnt <= cnt) — the
+    double-channel reuse plan that forces the optimizer to either
+    materialize the CTE or run the join tree twice. All comparisons on
+    exact decimals; doubles only at output. IDENTICAL text runs on
+    DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "orders", "part", "supplier"])
+    return spark.sql(SQL_DS11_SQL)
+
+
+SQL_DS12_SQL = """
+    WITH ch_n AS (
+        SELECT o_custkey AS cust,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'N' GROUP BY 1, 2
+    ),
+    ch_r AS (
+        SELECT o_custkey AS cust,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R' GROUP BY 1, 2
+    ),
+    ch_a AS (
+        SELECT o_custkey AS cust,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'A' GROUP BY 1, 2
+    ),
+    matrix AS (
+        SELECT COALESCE(n.cust, r.cust, a.cust) AS cust,
+               COALESCE(n.yr, r.yr, a.yr) AS yr,
+               COALESCE(n.rev, CAST(0 AS DECIMAL(18,4))) AS rev_n,
+               COALESCE(r.rev, CAST(0 AS DECIMAL(18,4))) AS rev_r,
+               COALESCE(a.rev, CAST(0 AS DECIMAL(18,4))) AS rev_a
+        FROM ch_n n
+        FULL OUTER JOIN ch_r r ON r.cust = n.cust AND r.yr = n.yr
+        FULL OUTER JOIN ch_a a
+            ON a.cust = COALESCE(n.cust, r.cust)
+           AND a.yr = COALESCE(n.yr, r.yr)
+    )
+    SELECT cust, yr,
+           CAST(rev_n AS DOUBLE) AS rev_n,
+           CAST(rev_r AS DOUBLE) AS rev_r,
+           CAST(rev_a AS DOUBLE) AS rev_a,
+           CAST(rev_n + rev_r + rev_a AS DOUBLE) AS rev_total,
+           CAST(LAG(rev_n + rev_r + rev_a)
+                    OVER (PARTITION BY cust ORDER BY yr)
+                AS DOUBLE) AS prev_total
+    FROM matrix
+    WHERE rev_r > rev_a
+"""
+
+
+def q_sql_frontend_ds12(spark, sf_dir):
+    """TPC-DS q78 shape: three per-(customer, year) channel CTEs chained
+    through FULL OUTER joins — the second join keys on COALESCEd columns
+    of the first (the null-safe chaining every multi-channel full-outer
+    matrix needs) — then a year-over-year LAG window over the coalesced
+    matrix. Per-channel revenues stay exact decimals through the
+    COALESCE/addition; doubles only at output. IDENTICAL text runs on
+    DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(SQL_DS12_SQL)
+
+
+SQL_DS13_SQL = """
+    WITH year_total AS (
+        SELECT CAST(o_custkey % 100 AS INT) AS cust,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               l_returnflag AS channel,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS total
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('N', 'R', 'A')
+        GROUP BY 1, 2, 3
+    )
+    SELECT n2.cust,
+           CAST(n1.total AS DOUBLE) AS n_first,
+           CAST(n2.total AS DOUBLE) AS n_sec,
+           CAST(r1.total AS DOUBLE) AS r_first,
+           CAST(r2.total AS DOUBLE) AS r_sec,
+           CAST(a1.total AS DOUBLE) AS a_first,
+           CAST(a2.total AS DOUBLE) AS a_sec
+    FROM year_total n1
+    JOIN year_total n2 ON n2.cust = n1.cust AND n2.channel = 'N'
+                      AND n2.yr = 1997
+    JOIN year_total r1 ON r1.cust = n1.cust AND r1.channel = 'R'
+                      AND r1.yr = 1996
+    JOIN year_total r2 ON r2.cust = n1.cust AND r2.channel = 'R'
+                      AND r2.yr = 1997
+    JOIN year_total a1 ON a1.cust = n1.cust AND a1.channel = 'A'
+                      AND a1.yr = 1996
+    JOIN year_total a2 ON a2.cust = n1.cust AND a2.channel = 'A'
+                      AND a2.yr = 1997
+    WHERE n1.channel = 'N' AND n1.yr = 1996
+      AND n1.total > 0 AND r1.total > 0 AND a1.total > 0
+      AND CAST(r2.total AS DOUBLE) / CAST(r1.total AS DOUBLE)
+          > CAST(n2.total AS DOUBLE) / CAST(n1.total AS DOUBLE)
+      AND CAST(a2.total AS DOUBLE) / CAST(a1.total AS DOUBLE)
+          > CAST(n2.total AS DOUBLE) / CAST(n1.total AS DOUBLE)
+"""
+
+
+def q_sql_frontend_ds13(spark, sf_dir):
+    """TPC-DS q4 shape: the 6-way self-join of one year_total CTE — three
+    channels × two years per customer COHORT (custkey % 100: the matrix
+    stays dense at every fixture scale, where per-customer cells are
+    mostly absent below sf1), keeping only cohorts whose
+    second-year growth in BOTH secondary channels beats the primary
+    channel's growth. q4's ratio predicate (sec/first > sec/first) runs
+    as IEEE double division over the SAME exact-decimal inputs under
+    positivity guards — division of identical doubles is bit-identical on
+    any IEEE engine, so the comparison cannot diverge (decimal
+    cross-multiplication would overflow DuckDB's 18-digit product path).
+    IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(SQL_DS13_SQL)
