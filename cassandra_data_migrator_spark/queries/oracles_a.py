@@ -295,6 +295,35 @@ def oracles_a() -> dict[str, str]:
                OR o.event_type IS DISTINCT FROM t.event_type
                OR o.value IS DISTINCT FROM t.value
         """,
+        "validate_diff_skewed": """
+            WITH src AS (
+                SELECT CASE WHEN user_id % 10 = 0 THEN 0
+                            ELSE user_id END AS pk_user,
+                       event_id, event_type, value
+                FROM events
+            ),
+            target AS (
+                SELECT pk_user, event_id,
+                       CASE WHEN (pk_user * 7 + event_id) % 101 = 0 THEN 'X'
+                            ELSE event_type END AS event_type,
+                       value
+                FROM src WHERE (pk_user * 7 + event_id) % 97 <> 0
+            )
+            SELECT o.pk_user, o.event_id,
+                   CASE WHEN t.pk_user IS NULL THEN 'missing'
+                        WHEN o.event_type IS DISTINCT FROM t.event_type
+                          OR o.value IS DISTINCT FROM t.value THEN 'mismatch'
+                        ELSE 'valid' END AS status,
+                   CASE WHEN t.pk_user IS NULL THEN '' ELSE concat_ws(',',
+                        CASE WHEN o.event_type IS DISTINCT FROM t.event_type THEN 'event_type' END,
+                        CASE WHEN o.value IS DISTINCT FROM t.value THEN 'value' END
+                   ) END AS mismatch_cols
+            FROM src o LEFT JOIN target t
+              ON o.pk_user = t.pk_user AND o.event_id = t.event_id
+            WHERE t.pk_user IS NULL
+               OR o.event_type IS DISTINCT FROM t.event_type
+               OR o.value IS DISTINCT FROM t.value
+        """,
         "bm25_topk": f"""
             WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
             dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
