@@ -151,6 +151,25 @@ def _oracles_e_base() -> dict[str, str]:
                    md5(t) AS payload_md5
             FROM ex
         """,
+        # WAT roundtrip: the JSON metadata object re-assembled with the
+        # SAME concat, so framing + assembly + ExtractJson must all be
+        # byte-exact
+        "warc_wat_roundtrip": """
+            WITH wat AS (
+                SELECT doc_id,
+                       '{"url":"https://example.com/d/' || doc_id ||
+                       '","title":"doc ' || doc_id ||
+                       '","n_links":' || (1 + doc_id % 3) ||
+                       ',"next":"/d/' || (doc_id + 1) || '"}' AS js
+                FROM documents)
+            SELECT doc_id,
+                   CAST(strlen(js) AS BIGINT) AS payload_len,
+                   md5(js) AS payload_md5,
+                   'doc ' || doc_id AS title,
+                   CAST(1 + doc_id % 3 AS BIGINT) AS n_links,
+                   '/d/' || (doc_id + 1) AS next_path
+            FROM wat
+        """,
         # charset classes re-derived in closed form (cls = doc_id % 3):
         # decode∘encode is the identity per class, so expected text is the
         # constructed page text; payload_len is BYTES — utf-8 strlen for
