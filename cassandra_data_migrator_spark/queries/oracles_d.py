@@ -20,6 +20,8 @@ from cassandra_data_migrator_spark.queries.sql_frontend import (  # noqa: F401
     SQL_DS11_SQL,
     SQL_DS12_SQL,
     SQL_DS13_SQL,
+    SQL_DS14_SQL,
+    SQL_DS15_SQL,
     SQL_DS2_SQL,
     SQL_DS3_SQL,
     SQL_DS4_SQL,
@@ -75,4 +77,6 @@ def oracles_d() -> dict[str, str]:
         "sql_frontend_ds11": SQL_DS11_SQL,
         "sql_frontend_ds12": SQL_DS12_SQL,
         "sql_frontend_ds13": SQL_DS13_SQL,
+        "sql_frontend_ds14": SQL_DS14_SQL,
+        "sql_frontend_ds15": SQL_DS15_SQL,
     }

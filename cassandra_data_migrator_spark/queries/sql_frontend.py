@@ -1989,3 +1989,96 @@ def q_sql_frontend_ds13(spark, sf_dir):
     configure_session(spark)
     register_tables(spark, sf_dir, ["lineitem", "orders"])
     return spark.sql(SQL_DS13_SQL)
+
+
+SQL_DS14_SQL = """
+    SELECT s1.cnt AS b1_cnt, s2.cnt AS b2_cnt, s3.cnt AS b3_cnt,
+           s4.cnt AS b4_cnt, s5.cnt AS b5_cnt, s6.cnt AS b6_cnt,
+           s7.cnt AS b7_cnt, s8.cnt AS b8_cnt
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 1 AND l_quantity < 7
+            AND l_returnflag = 'N') s1
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 7 AND l_quantity < 13
+            AND l_returnflag = 'N') s2
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 13 AND l_quantity < 19
+            AND l_returnflag = 'N') s3
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 19 AND l_quantity < 25
+            AND l_returnflag = 'N') s4
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 1 AND l_quantity < 7
+            AND l_returnflag = 'R') s5
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 7 AND l_quantity < 13
+            AND l_returnflag = 'R') s6
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 13 AND l_quantity < 19
+            AND l_returnflag = 'R') s7
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+          WHERE l_quantity >= 19 AND l_quantity < 25
+            AND l_returnflag = 'R') s8
+"""
+
+
+def q_sql_frontend_ds14(spark, sf_dir):
+    """TPC-DS q88 shape: EIGHT independently-filtered single-row
+    aggregates over the fact table CROSS JOINed into one wide row (q88's
+    time-band store-sales counts, restated on quantity band × return
+    flag). Every join input is exactly one row, so the nested-loop joins
+    are 1-row broadcasts — the allowlisted BNLJ class — and the counts
+    are exact BIGINTs. The single-output-row multi-scan plan appears
+    nowhere else in the surface. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(SQL_DS14_SQL)
+
+
+SQL_DS15_SQL = """
+    WITH rates AS (
+        SELECT l_returnflag AS channel, l_partkey,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fin,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS amt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT channel, l_partkey, n_fin, n_all,
+               CAST(RANK() OVER (
+                   PARTITION BY channel
+                   ORDER BY CAST(n_fin AS DOUBLE) / n_all DESC, l_partkey
+               ) AS INT) AS rnk_rate,
+               CAST(RANK() OVER (
+                   PARTITION BY channel ORDER BY amt DESC, l_partkey
+               ) AS INT) AS rnk_amt
+        FROM rates
+    )
+    SELECT DISTINCT channel, l_partkey, rnk_rate, rnk_amt
+    FROM (
+        SELECT channel, l_partkey, rnk_rate, rnk_amt
+        FROM ranked WHERE rnk_rate <= 10
+        UNION ALL
+        SELECT channel, l_partkey, rnk_rate, rnk_amt
+        FROM ranked WHERE rnk_amt <= 10
+    ) u
+"""
+
+
+def q_sql_frontend_ds15(spark, sf_dir):
+    """TPC-DS q49 shape: per-channel DOUBLE ranking of the same aggregate
+    (rate rank + amount rank, each RANK() with a deterministic l_partkey
+    tie-break), the two top-10 lists UNION ALLed and collapsed with
+    DISTINCT — q49's 'worst return ratios by both orderings' structure.
+    The rate ordering divides identical exact BIGINTs in IEEE double
+    (bit-identical on both engines); the amount ordering ranks exact
+    decimals. IDENTICAL text runs on DuckDB."""
+    from cassandra_data_migrator_spark.sources.parquet import register_tables
+
+    configure_session(spark)
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(SQL_DS15_SQL)

@@ -500,6 +500,7 @@ BNLJ_KEYS = {
     "curation_pipeline": "total",  # 1-row z-moments + shard-total broadcasts
     "ivfadc_residual_recall_audit": "total",  # cell equi-join; 1-row hit carry
     "ivfadc_residual_recall_clustered": "total",  # cell equi-join; 1-row hit carry
+    "sql_frontend_ds14": "total",  # q88 shape: eight 1-row aggregates crossJoined
     "sq8_recall_audit": "probe",  # 1-row bounds broadcast + bounded-probe scoring
     "sq8_recall_clustered": "probe",  # same (clustered fixture)
     "scd2_history": "total",  # 3-row version table broadcast onto the dim keys
