@@ -170,6 +170,33 @@ def _oracles_e_base() -> dict[str, str]:
                    '/d/' || (doc_id + 1) AS next_path
             FROM wat
         """,
+        # the whole crawl-curation chain restated: construction → decode
+        # identity → length gate → md5 keep-first
+        "crawl_curation_pipeline": f"""
+            WITH src AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS san,
+                       CAST(doc_id % 3 AS INT) AS cls
+                FROM documents),
+            ex AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           san || CASE cls WHEN 0 THEN '{CHARSET_PLANTS[0]}'
+                                           WHEN 1 THEN '{CHARSET_PLANTS[1]}'
+                                           ELSE '{CHARSET_PLANTS[2]}' END,
+                           '\\s+', ' ', 'g')) AS t
+                FROM src),
+            q AS (SELECT doc_id, t FROM ex WHERE length(t) >= 80),
+            k AS (
+                SELECT doc_id, t,
+                       ROW_NUMBER() OVER (PARTITION BY md5(t)
+                                          ORDER BY doc_id) AS rn
+                FROM q)
+            SELECT doc_id,
+                   CAST(length(t) AS BIGINT) AS text_len,
+                   md5(t) AS text_md5
+            FROM k WHERE rn = 1
+        """,
         # charset classes re-derived in closed form (cls = doc_id % 3):
         # decode∘encode is the identity per class, so expected text is the
         # constructed page text; payload_len is BYTES — utf-8 strlen for

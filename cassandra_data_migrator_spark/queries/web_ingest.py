@@ -26,6 +26,7 @@ from cassandra_data_migrator_spark.functions.html import (
 )
 from cassandra_data_migrator_spark.queries._shared import (
     F,
+    Window,
     _binfile_stage_dir,
     _t,
 )
@@ -750,4 +751,94 @@ def q_warc_wat_roundtrip(spark, sf_dir):
         extract_json(js, "title").alias("title"),
         extract_json(js, "n_links").try_cast("bigint").alias("n_links"),
         extract_json(js, "next").alias("next_path"),
+    )
+
+
+CRAWL_MIN_TEXT = 80  # curation gate: minimum extracted-text chars
+
+
+def q_crawl_curation_pipeline(spark, sf_dir):
+    """End-to-end CRAWL curation in one oracled chain — the crawl-front-
+    door sibling of curation_pipeline (E55): real .warc files in three
+    wire charsets (the warc_charset_extract construction) → binaryFile →
+    charset-sniffing decode kernel → JVM text extraction → length
+    quality gate (≥ CRAWL_MIN_TEXT chars) → exact-dup drop (md5
+    keep-first by lowest doc_id — the deterministic dedup_exact
+    discipline) → surviving curated set. The oracle restates the WHOLE
+    chain from the documents table: construction, decode identity, gate,
+    and keep-first must all agree for the key to stay green. Plan: one
+    binaryFile scan → Arrow decode → codegen'd regexp chain → ONE
+    window shuffle on the text hash."""
+    from cassandra_data_migrator_spark.sources.warc import warc_decoded_pages
+
+    out_dir = _binfile_stage_dir(spark, sf_dir, tag="warccur")
+
+    d = _t(spark, sf_dir, "documents")
+    html = _charset_html(F.col("doc_id"), _san(F.col("text")))
+    files = (
+        d.select(
+            F.pmod(F.col("doc_id"), F.lit(WARC_GROUPS)).alias("grp"),
+            F.struct(
+                F.col("doc_id"),
+                html.alias("html"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("cls"),
+            ).alias("s"),
+        )
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list("s")).alias("recs"))
+    )
+
+    def _write(rows):
+        # same wire construction as warc_charset_extract (stdlib only)
+        import os as _os
+
+        for r in rows:
+            parts = []
+            for s in r["recs"]:
+                enc = "utf-8" if s["cls"] == 0 else "iso-8859-1"
+                body = s["html"].encode(enc)
+                ct = (
+                    "Content-Type: text/html; charset=utf-8"
+                    if s["cls"] == 0
+                    else "Content-Type: text/html"
+                )
+                http = (
+                    f"HTTP/1.1 200 OK\r\n{ct}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode("ascii") + body
+                head = (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: https://example.com/d/{s['doc_id']}\r\n"
+                    "Content-Type: application/http;msgtype=response\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode("ascii")
+                parts.append(head + http + b"\r\n\r\n")
+            path = _os.path.join(out_dir, f"{r['grp']}.warc")
+            with open(path, "wb") as fh:
+                fh.write(b"".join(parts))
+
+    files.foreachPartition(_write)
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(out_dir)
+    )
+    pages = warc_decoded_pages(bf, content_col="content")
+    text = html_text(F.col("html"))
+    extracted = pages.select(
+        F.regexp_extract(F.col("target_uri"), r"/d/(\d+)$", 1)
+        .try_cast("bigint")
+        .alias("doc_id"),
+        text.alias("t"),
+    )
+    gated = extracted.filter(F.length("t") >= CRAWL_MIN_TEXT)
+    w = Window.partitionBy(F.md5(F.col("t").cast("binary"))).orderBy("doc_id")
+    kept = gated.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return kept.select(
+        "doc_id",
+        F.length("t").cast("bigint").alias("text_len"),
+        F.md5(F.col("t").cast("binary")).alias("text_md5"),
     )
