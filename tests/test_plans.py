@@ -423,6 +423,11 @@ ARROW_PYTHON_KEYS = {
     "multimodal_jpeg_420",  # real 4:2:0 subsampled JPEG kernels (multimodal.jpeg_encode_color_420/jpeg_color_stats)
     "multimodal_jpeg_rst",  # real DRI/RSTn restart-interval JPEG encode+decode kernels (multimodal.jpeg_encode_gray_rst/jpeg_stats)
     "warc_ingest",  # real Content-Length-framed WARC record parse kernel (sources/warc.warc_records)
+    "warc_charset_extract",  # charset-sniffing decode kernel (sources/warc.warc_decoded_pages)
+    "warc_revisit_stats",  # typed record kernel (sources/warc.warc_typed_records)
+    "warc_wet_roundtrip",  # WET re-ingest through the record kernel
+    "warc_wat_roundtrip",  # WAT re-ingest through the record kernel (payload)
+    "crawl_curation_pipeline",  # decode kernel front door of the curation chain
     "warc_gzip_ingest",  # gzip-member split + record parse kernels (sources/warc.warc_gzip_records)
     "multimodal_jpeg_progressive",  # real SOF2 five-scan encode+decode kernels (multimodal.jpeg_encode_gray_progressive/jpeg_stats)
     "multimodal_exif",  # real Exif/TIFF IFD build+parse kernels (multimodal.jpeg_exif_encode/jpeg_exif_stats)
