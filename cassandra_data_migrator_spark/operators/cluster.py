@@ -182,6 +182,69 @@ def semdedup_pruned_ids(
     )
 
 
+def semdedup_flags(
+    assigned: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+    cluster_col: str = "cluster_id",
+    max_cluster_compare: int = 4096,
+) -> DataFrame:
+    """SemDeDup prune decision for EVERY row: (id, cluster, is_pruned),
+    exactly `semdedup_pruned_ids` membership (pinned by
+    tests/test_cluster.py::test_semdedup_flags_matches_pruned_ids).
+
+    Optimization-r12 shape (guide §2.4 "remove shuffles outright"): the old
+    consumer pattern — `assigned LEFT JOIN pruned_ids` to derive the flag —
+    re-evaluates the `assigned` subtree on BOTH join branches. When the
+    assignment is the expensive exact-decimal argmin (q_semantic_dedup),
+    that doubles the dominant cost and adds a join exchange. Every chunk
+    group already holds each member row exactly once, so the GEMM kernel
+    can emit the flag for every member directly: ONE evaluation of
+    `assigned`, zero joins downstream."""
+    import numpy as np
+    import pandas
+
+    if max_cluster_compare < 2:
+        raise ValueError(f"max_cluster_compare must be >= 2, got {max_cluster_compare}")
+
+    grouped = _semdedup_groups(
+        assigned, id_col, vec_col, cluster_col, max_cluster_compare
+    )
+    tau = float(tau)
+
+    def _flags(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        a = pdf[pdf["__is_anchor"] == 1].sort_values(id_col)
+        m = pdf[pdf["__is_member"] == 1].sort_values(id_col)
+        if len(m) == 0:
+            return pandas.DataFrame(
+                {id_col: [], cluster_col: [], "is_pruned": []}
+            ).astype({id_col: "int64", cluster_col: "int64", "is_pruned": "bool"})
+        if len(a) == 0:
+            hit = np.zeros(len(m), dtype=bool)
+        else:
+            A = np.array(a[vec_col].tolist(), dtype=np.float64)
+            X = np.array(m[vec_col].tolist(), dtype=np.float64)
+            na = np.sqrt((A * A).sum(axis=1))
+            nx = np.sqrt((X * X).sum(axis=1))
+            S = np.round((X @ A.T) / np.outer(nx, na), 4)
+            lower = (
+                a[id_col].to_numpy()[None, :] < m[id_col].to_numpy()[:, None]
+            )
+            hit = ((S >= tau) & lower).any(axis=1)
+        return pandas.DataFrame(
+            {
+                id_col: m[id_col].to_numpy(),
+                cluster_col: m[cluster_col].to_numpy(),
+                "is_pruned": hit,
+            }
+        )
+
+    return grouped.groupBy(cluster_col, "__chunk").applyInPandas(
+        _flags, f"{id_col} long, {cluster_col} long, is_pruned boolean"
+    )
+
+
 def _semdedup_groups(
     assigned: DataFrame,
     id_col: str,
@@ -271,6 +334,107 @@ def assign_clusters_exact(
     best = F.array_min(scored)
     return df.withColumn("cluster_id", best["c"].cast("bigint")).withColumn(
         "sq_dist", best["d"]
+    )
+
+
+def _assign_exact_arrow_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-vectorized kernel computing EXACTLY `assign_clusters_exact`'s
+    decimal argmin (optimization r12, guide §4.2: batch the work into numpy
+    instead of per-row interpreted lambda folds — the expression form walks
+    k·dim CodegenFallback HOF steps per row, measured ~1 ms/row at k=8,
+    dim=64).
+
+    Bit-exactness: the engine's decimal fold is, per (row, centroid):
+
+      t_j  = CAST((v_j − c_j)² AS DECIMAL(28,12))      -- HALF_UP of the
+                                                        -- double's shortest
+                                                        -- decimal repr
+      acc  = CAST(acc + t_j AS DECIMAL(38,12))          -- the Add itself is
+                                                        -- typed DECIMAL(38,11),
+                                                        -- so EVERY partial sum
+                                                        -- rounds HALF_UP at
+                                                        -- 1e-11 (verified
+                                                        -- empirically, pinned
+                                                        -- by the identity test)
+
+    The kernel replicates this in integer 1e-12 quanta: (v_j − c_j)² is the
+    same IEEE double numpy computes; its quantization to 12dp is done with
+    np.round on d·1e12, EXCEPT terms whose scaled value falls within a
+    provable error window of a .5 boundary (window = float error of the
+    d·1e12 product + the double's own repr half-ulp), which are re-done with
+    Python Decimal(repr(d)) — the exact JVM BigDecimal.valueOf semantics.
+    The per-step 1e-11 rounding is integer arithmetic ((acc + t + 5)//10*10),
+    exact by construction. Argmin ties break to the lowest centroid id via
+    first-minimum over ascending-cid columns, matching struct ordering.
+    Identity vs the expression path is pinned by
+    tests/test_cluster.py::test_assign_exact_arrow_identity (full
+    enumeration of the fixture corpus)."""
+    import numpy as np
+    import pandas
+    from decimal import ROUND_HALF_UP, Decimal
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(((int(cid), list(map(float, cv))) for cid, cv in centroids))
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)  # (k, dim)
+    Q12 = Decimal("1e-12")
+
+    def _assign(vs: pandas.Series) -> pandas.DataFrame:
+        if len(vs) == 0:
+            return pandas.DataFrame({"cluster_id": [], "sq_dist": []}).astype(
+                {"cluster_id": "int64", "sq_dist": "object"}
+            )
+        X = np.array(vs.tolist(), dtype=np.float64)  # raises on ragged input
+        diff = X[:, None, :] - C[None, :, :]
+        dsq = diff * diff                                   # (n, k, dim)
+        y = dsq * 1e12
+        t = np.round(y)
+        # terms whose 12dp HALF_UP could disagree with the float fast path:
+        # within (product rounding + repr half-ulp) of a .5 quantum boundary
+        frac = y - np.floor(y)
+        window = (np.spacing(y) + np.spacing(dsq) * 1e12) / 2.0 + 1e-3
+        risky = np.abs(frac - 0.5) < window
+        if risky.any():
+            flat = dsq[risky]
+            t[risky] = [
+                float(
+                    Decimal(repr(float(d))).quantize(Q12, rounding=ROUND_HALF_UP)
+                    .scaleb(12)
+                )
+                for d in flat
+            ]
+        ti = t.astype(np.int64)                             # quanta of 1e-12
+        acc = np.zeros(ti.shape[:2], dtype=np.int64)
+        for j in range(ti.shape[2]):                        # the engine's fold,
+            acc = (acc + ti[:, :, j] + 5) // 10 * 10        # 1e-11 per step
+        a = acc.argmin(axis=1)                              # first min = low cid
+        win = acc[np.arange(len(a)), a]
+        return pandas.DataFrame(
+            {
+                "cluster_id": cids[a],
+                "sq_dist": [Decimal(int(w)).scaleb(-12) for w in win],
+            }
+        )
+
+    _assign.__annotations__ = {"vs": pandas.Series, "return": pandas.DataFrame}
+    return pandas_udf(_assign, "cluster_id bigint, sq_dist decimal(38,12)")
+
+
+def assign_clusters_exact_arrow(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`assign_clusters_exact` semantics (same columns, bit-identical
+    values) through the Arrow kernel — the declared scale path for
+    corpus-sized exact assignment."""
+    udf = _assign_exact_arrow_udf(centroids)
+    v = as_double_array(vec_col)
+    out = df.withColumn("__a", udf(v))
+    return (
+        out.withColumn("cluster_id", F.col("__a.cluster_id"))
+        .withColumn("sq_dist", F.col("__a.sq_dist"))
+        .drop("__a")
     )
 
 

@@ -16,7 +16,6 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from cassandra_data_migrator_spark.functions.tokens import slice_bounds
 from cassandra_data_migrator_spark.operators.partition import restrict_to_slices
@@ -26,16 +25,54 @@ STATUS_PASSED = "passed"
 STATUS_FAILED = "failed"
 
 
-def _one_part_df(spark: SparkSession, rows, schema) -> DataFrame:
-    """Build a bookkeeping DataFrame as ONE partition from the start.
+# --- r12 optimization (guide §5 "the driver should do almost no data work",
+# inverted: BOOKKEEPING should do no CLUSTER work): the run-info and
+# slice-manifest tables are ≤ MAX_NUM_PARTS (10^4) rows by config contract,
+# yet each start/record/pending call launched full Spark jobs (parallelize →
+# write, read → collect) — ~6 scheduler round-trips per tracked run, ~2 s of
+# the run_tracking_resume key's 2.6 s. The reference engine writes these rows
+# through its driver-side Cassandra session for the same reason. The tables
+# stay ON DISK in the same parquet layout (Spark reads the manifest in the
+# resume/report paths unchanged — pinned by tests/test_jobs.py and the
+# run_tracking_resume oracle); only the bookkeeping I/O goes through pyarrow
+# in-process instead of Spark jobs.
 
-    ``spark.createDataFrame(local_rows)`` parallelizes to
-    defaultParallelism slices; coalescing that back to one output file
-    makes a single task compute every parent slice through sequential
-    Python-worker round-trips — measured ~5 s per tiny write at
-    local[32] vs ~0.3 s for a 1-slice parallelize. The manifest is
-    ≤ MAX_NUM_PARTS rows, so one partition is also the right layout."""
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+_INFO_SCHEMA = [
+    ("run_id", "string"), ("job", "string"),
+    ("num_slices", "int32"), ("start_ms", "int64"),
+]
+_DETAILS_SCHEMA = [
+    ("slice_id", "int64"), ("slice_min", "int64"),
+    ("slice_max", "int64"), ("status", "string"),
+]
+
+
+def _pa_schema(cols):
+    import pyarrow as pa
+
+    return pa.schema([(n, getattr(pa, t)()) for n, t in cols])
+
+
+def _write_bookkeeping(path: str, cols, rows) -> None:
+    """Overwrite `path` (a parquet directory) with one file of `rows`."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _pa_schema(cols)
+    table = pa.Table.from_pylist(
+        [dict(zip([n for n, _ in cols], r)) for r in rows], schema=schema
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def _read_bookkeeping(path: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
 
 
 class RunTracker:
@@ -51,43 +88,44 @@ class RunTracker:
 
     def start_run(self, job: str, num_slices: int, run_id: str | None = None) -> str:
         run_id = run_id or uuid.uuid4().hex[:16]
-        info = _one_part_df(
-            self.spark,
+        _write_bookkeeping(
+            self._info_path(run_id),
+            _INFO_SCHEMA,
             [(run_id, job, num_slices, int(time.time() * 1000))],
-            "run_id STRING, job STRING, num_slices INT, start_ms BIGINT",
         )
-        info.write.mode("overwrite").parquet(self._info_path(run_id))
-        manifest = _one_part_df(
-            self.spark,
+        _write_bookkeeping(
+            self._details_path(run_id),
+            _DETAILS_SCHEMA,
             [(*b, STATUS_PENDING) for b in slice_bounds(num_slices)],
-            "slice_id BIGINT, slice_min BIGINT, slice_max BIGINT, status STRING",
         )
-        manifest.write.mode("overwrite").parquet(self._details_path(run_id))
         return run_id
 
     def record_slices(self, run_id: str, slice_ids: list[int], status: str) -> None:
-        details = self.spark.read.parquet(self._details_path(run_id))
         # The manifest is numParts rows — bounded driver-side state by design,
         # and ENFORCED: config validation caps numParts at config.MAX_NUM_PARTS
-        # (10^4), so this collect is ≤10^4 tiny rows, never corpus-sized.
-        # Materialize it before overwriting the path it was read from (parquet
-        # is not updatable in place), so no staging directory is needed.
-        updated = details.withColumn(
-            "status",
-            F.when(F.col("slice_id").isin(slice_ids), F.lit(status)).otherwise(
-                F.col("status")
-            ),
-        )
-        rows = updated.collect()
-        fresh = _one_part_df(self.spark, rows, updated.schema)
-        fresh.write.mode("overwrite").parquet(self._details_path(run_id))
+        # (10^4), so this read-update-rewrite is ≤10^4 tiny rows, never
+        # corpus-sized. Read fully before overwriting the path (parquet is not
+        # updatable in place), so no staging directory is needed.
+        want = set(slice_ids)
+        rows = [
+            (
+                r["slice_id"],
+                r["slice_min"],
+                r["slice_max"],
+                status if r["slice_id"] in want else r["status"],
+            )
+            for r in _read_bookkeeping(self._details_path(run_id))
+        ]
+        _write_bookkeeping(self._details_path(run_id), _DETAILS_SCHEMA, rows)
 
     def pending_slices(self, run_id: str) -> list[int]:
         """Slices to (re)process on resume: everything not passed — the
         anti-join CDM does against cdm_run_details [upstream@6.0.1]."""
-        details = self.spark.read.parquet(self._details_path(run_id))
-        rows = details.filter(F.col("status") != STATUS_PASSED).select("slice_id").collect()
-        return sorted(r.slice_id for r in rows)
+        return sorted(
+            r["slice_id"]
+            for r in _read_bookkeeping(self._details_path(run_id))
+            if r["status"] != STATUS_PASSED
+        )
 
     def resume_scope(
         self, df: DataFrame, pk_col: str, num_slices: int, previous_run_id: str

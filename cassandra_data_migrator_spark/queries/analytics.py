@@ -1158,7 +1158,12 @@ def q_unigram_logprob(spark, sf_dir):
     1 row per word."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
-    freq = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # r12 optimization (guide §5): freq feeds the 1-row total AND the scoring
+    # join; persisting the vocab-bounded table keeps the tokenize+explode
+    # backbone at two passes (freq, scored) instead of three.
+    freq = tok.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).persist()
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
     scored = tok.join(freq, "word").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(

@@ -397,11 +397,17 @@ def _sq8_audit(spark, emb, brute, floor, query_pred=TOPK_QUERY_PRED,
         as_double_array,
         dot,
         norm,
+        unit_udf_factory,
     )
 
     v = as_double_array("embedding")
     unit = F.transform(v, lambda x: x / norm(v))
-    base = emb.select("vec_id", unit.alias("__v"))
+    # r12 optimization (guide §4.1): the expression `unit` re-evaluates the
+    # norm fold per element (O(dim²) interpreted steps/row); the corpus-side
+    # passes (bounds agg + encode) now normalize through the bit-identical
+    # sequential-fold Arrow kernel. The 5-row probe side keeps the
+    # expression form (no python node for a handful of rows).
+    base = emb.select("vec_id", unit_udf_factory()(v).alias("__v"))
     # per-dim bounds as ONE 128-expression partial aggregate over the
     # un-exploded corpus (the first draft posexploded 64x rows through a
     # shuffle — measured 3.9 s/key in-sweep; this form is 64 gets + 2
@@ -909,11 +915,15 @@ def q_kn_holdout_perplexity(spark, sf_dir):
         F.substring_index(F.col("p"), "\x00", 1).alias("w1"),
         F.substring_index(F.col("p"), "\x00", -1).alias("w2"),
     )
+    # r12 optimization (guide §2.4 / §5): c12 feeds c1, bwd, totals AND the
+    # eval left-join — four branches, and Catalyst does no cross-branch
+    # subtree dedup, so each one re-ran the tokenize+explode+shuffle train
+    # pass. Persisting the vocab-bounded count table bounds it to one pass.
     c12 = (
         bg.filter(F.col("is_train"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
-    )
+    ).persist()
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1f"),

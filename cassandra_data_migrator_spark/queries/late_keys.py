@@ -363,18 +363,38 @@ def zorder_prune_stats(e):
     drive it on the clone-union stress input."""
     z = _layout_zorder_binned(e, "user_id", "ts_us")
     y_lo, y_hi = ZORDER_BOX_Y
-    touched = (F.max("ys") >= y_lo) & (F.min("ys") <= y_hi)
+    # r12 optimization (guide §2.3 "aggregate before you shuffle" / §2.4):
+    # the three consumers (z buckets, linear buckets, n_rows) each re-ran
+    # the full bin+Morton corpus pass (plan: 8 exchanges, 3 scans + 3 rng
+    # aggs). min/max/count compose, so ONE pass aggregates the ≤ 16×16
+    # (zbkt, xbkt) cell grid and all three outputs re-aggregate cells:
+    # per-bucket min/max over cell-level min/max is the identical value, so
+    # `touched` and n_rows are unchanged. The cell table is persisted (256
+    # rows) so the corpus pass runs exactly once per action.
+    cells = (
+        z.groupBy(
+            F.expr(f"zv div {ZORDER_BUCKET_DIV}").alias("zbkt"),
+            F.expr(f"xs div {ZORDER_LIN_DIV}").alias("xbkt"),
+        )
+        .agg(
+            F.min("ys").alias("mny"),
+            F.max("ys").alias("mxy"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .persist()
+    )
+    touched = (F.max("mxy") >= y_lo) & (F.min("mny") <= y_hi)
     zt = (
-        z.groupBy(F.expr(f"zv div {ZORDER_BUCKET_DIV}").alias("bkt"))
+        cells.groupBy("zbkt")
         .agg(touched.alias("hit"))
         .agg(F.sum(F.col("hit").cast("int")).cast("bigint").alias("z_buckets_touched"))
     )
     lt = (
-        z.groupBy(F.expr(f"xs div {ZORDER_LIN_DIV}").alias("bkt"))
+        cells.groupBy("xbkt")
         .agg(touched.alias("hit"))
         .agg(F.sum(F.col("hit").cast("int")).cast("bigint").alias("lin_buckets_touched"))
     )
-    n = z.agg(F.max("n_rows").alias("n_rows"))
+    n = cells.agg(F.max("n_rows").alias("n_rows"))
     return (
         n.crossJoin(F.broadcast(zt))
         .crossJoin(F.broadcast(lt))

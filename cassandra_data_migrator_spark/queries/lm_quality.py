@@ -107,10 +107,19 @@ def q_lm_perplexity(spark, sf_dir):
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # r12 optimization (guide §2.4 / §5): doc_cnt feeds BOTH the model-count
+    # chain (c12 → c1) and the final scored join, and Catalyst performs no
+    # cross-branch subtree dedup — unpersisted, the tokenize+explode+shuffle
+    # backbone ran ~4× per action (plan showed 4 parquet scans). Persisting
+    # the two count tables bounds it to ONE tokenize pass (+1 for vocab):
+    # doc_cnt is the per-doc bigram-type table (the KenLM-style count
+    # artifact a real LM pipeline materializes anyway — spills to disk at
+    # scale), c12 is vocab-bounded. Cleanup: bench.py clears caches between
+    # keys; results are unchanged (same plans above the cache points).
     doc_cnt = bigrams.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
-    )
-    c12 = doc_cnt.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c12"))
+    ).persist()
+    c12 = doc_cnt.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c12")).persist()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = d.select(F.explode(t).alias("w")).agg(
         F.countDistinct("w").cast("bigint").alias("v")
@@ -1045,7 +1054,10 @@ def q_quality_ensemble(spark, sf_dir):
         )
         .cast("decimal(18,4)")
         .alias("s3"),
-    ).filter(F.col("s2").isNotNull())
+    ).filter(F.col("s2").isNotNull()).persist()
+    # ^ r12 optimization (guide §5): sig feeds the 1-row moments agg AND the
+    # z-scoring crossJoin; persisting the per-doc signal table (3 decimals a
+    # row) halves the tokenizer passes.
     moments = sig.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("s1").cast("decimal(38,8)").alias("t1"),
@@ -1130,10 +1142,18 @@ def q_kn_perplexity(spark, sf_dir):
         F.substring_index(F.col("p"), "\x00", 1).alias("w1"),
         F.substring_index(F.col("p"), "\x00", -1).alias("w2"),
     )
+    # r12 optimization (guide §2.4 / §5): dc feeds the whole count ladder
+    # (c12 → c1/bwd/tt → model) AND the final join; c12 alone is consumed by
+    # FOUR branches. Without persistence each branch re-ran the
+    # tokenize+explode+shuffle backbone (plan: 5 parquet scans, 11
+    # exchanges). Persisting dc (per-doc bigram types — the count artifact)
+    # and c12 (vocab-bounded) bounds the pipeline to ONE tokenize pass.
     dc = bg.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
-    )
-    c12 = dc.groupBy("w1", "w2").agg(F.sum("n_occ").cast("bigint").alias("c12"))
+    ).persist()
+    c12 = dc.groupBy("w1", "w2").agg(
+        F.sum("n_occ").cast("bigint").alias("c12")
+    ).persist()
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1f"),

@@ -184,7 +184,9 @@ def q_kmeans_assign(spark, sf_dir):
     bounded driver sync the trainer does; assignment itself is a codegen'd
     projection over the scan — the corpus never shuffles."""
     from cassandra_data_migrator_spark.functions.vectors import as_double_array
-    from cassandra_data_migrator_spark.operators.cluster import assign_clusters_exact
+    from cassandra_data_migrator_spark.operators.cluster import (
+        assign_clusters_exact_arrow,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     init = (
@@ -194,7 +196,11 @@ def q_kmeans_assign(spark, sf_dir):
         .collect()
     )  # bounded: exactly k rows of dim doubles (same sync lloyd_kmeans does)
     centroids = [(int(r["vec_id"]), list(r["v"])) for r in init]
-    assigned = assign_clusters_exact(emb, centroids, "embedding")
+    # r12 optimization (guide §4.2): the Arrow kernel computes the identical
+    # decimal argmin (bit-exact, full-enumeration-pinned by
+    # tests/test_cluster.py::test_assign_exact_arrow_identity) without the
+    # k·dim interpreted lambda folds per row.
+    assigned = assign_clusters_exact_arrow(emb, centroids, "embedding")
     return assigned.select(
         "vec_id",
         "cluster_id",
@@ -587,8 +593,8 @@ def q_semantic_dedup(spark, sf_dir):
     rounded-cosine threshold + id tie orientation."""
     from cassandra_data_migrator_spark.functions.vectors import as_double_array
     from cassandra_data_migrator_spark.operators.cluster import (
-        assign_clusters_exact,
-        semdedup_pruned_ids,
+        assign_clusters_exact_arrow,
+        semdedup_flags,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -599,19 +605,17 @@ def q_semantic_dedup(spark, sf_dir):
         .collect()
     )  # bounded: k rows (the same centroid sync kmeans_assign does)
     centroids = [(int(r["vec_id"]), list(r["v"])) for r in init]
-    assigned = assign_clusters_exact(emb, centroids, "embedding").select(
+    assigned = assign_clusters_exact_arrow(emb, centroids, "embedding").select(
         "vec_id", "cluster_id", as_double_array("embedding").alias("__v")
     )
-    pruned = semdedup_pruned_ids(assigned, SEMDEDUP_TAU).withColumnRenamed(
-        "vec_id", "id_b"
-    )
-    return (
-        assigned.select("vec_id", "cluster_id")
-        .join(pruned, assigned.vec_id == pruned.id_b, "left")
-        .select(
-            "vec_id", "cluster_id", F.col("id_b").isNotNull().alias("is_pruned")
-        )
-    )
+    # r12 optimization (guide §2.4): the prune flag comes straight out of the
+    # chunked GEMM groups — every member row is in exactly one group — so the
+    # expensive exact-decimal assignment is evaluated ONCE instead of feeding
+    # both sides of the old `assigned LEFT JOIN pruned_ids` (measured: the
+    # assignment subtree duplicated ≈2 s of the key's 3.3 s isolated median;
+    # equivalence vs the join form pinned by
+    # tests/test_cluster.py::test_semdedup_flags_matches_pruned_ids).
+    return semdedup_flags(assigned, SEMDEDUP_TAU)
 
 
 def q_slice_checksum(spark, sf_dir):

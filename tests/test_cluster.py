@@ -225,3 +225,73 @@ def test_semdedup_megacluster_resplit(spark):
     assert 51 in got and 151 not in got  # anchor dup caught; past-anchor pair missed
     # normal clusters: anchor semantics == exact all-pairs (cap > size)
     assert all(v in got for v in range(1000, vid + 1) if (v - 1001) % 8 == 5)
+
+
+def test_semdedup_flags_matches_pruned_ids(spark):
+    """r12 optimization contract: `semdedup_flags` (the single-pass flag
+    emitter q_semantic_dedup now uses instead of `assigned LEFT JOIN
+    pruned_ids`) marks exactly the pruned_ids set as True, emits every input
+    row exactly once, and carries the row's cluster through — on a fixture
+    with an over-cap mega cluster, normal clusters, and a singleton."""
+    from cassandra_data_migrator_spark.operators.cluster import (
+        semdedup_flags,
+        semdedup_pruned_ids,
+    )
+
+    rng = np.random.default_rng(11)
+    cap = 16
+    rows = []
+    base = rng.normal(size=(80, 8))
+    base[40] = base[2]      # anchor dup
+    base[60] = base[55]     # past-anchor pair (missed by both paths)
+    for j in range(80):
+        rows.append((0, j + 1, [float(x) for x in base[j]]))
+    X = rng.normal(size=(6, 8))
+    X[4] = X[1]
+    for j in range(6):
+        rows.append((1, 200 + j, [float(x) for x in X[j]]))
+    rows.append((2, 300, [float(x) for x in rng.normal(size=8)]))  # singleton
+
+    df = spark.createDataFrame(
+        rows, "cluster_id bigint, vec_id bigint, __v array<double>"
+    )
+    pruned = {
+        r.vec_id
+        for r in semdedup_pruned_ids(df, 0.99, max_cluster_compare=cap).collect()
+    }
+    flags = semdedup_flags(df, 0.99, max_cluster_compare=cap).collect()
+    assert len(flags) == len(rows)                      # every row exactly once
+    assert len({r.vec_id for r in flags}) == len(rows)  # no duplicates
+    cluster_of = {i: c for c, i, _ in rows}
+    for r in flags:
+        assert r.cluster_id == cluster_of[r.vec_id]
+        assert r.is_pruned == (r.vec_id in pruned)
+
+
+def test_assign_exact_arrow_identity(emb):
+    """r12 optimization contract: the Arrow exact-assignment kernel is
+    BIT-IDENTICAL to assign_clusters_exact on the full fixture corpus —
+    cluster_id AND the decimal(38,12) sq_dist (which pins the kernel's
+    replication of the engine's per-step 1e-11-rounded decimal fold)."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
+    from cassandra_data_migrator_spark.operators.cluster import (
+        assign_clusters_exact,
+        assign_clusters_exact_arrow,
+    )
+
+    init = (
+        emb.orderBy("vec_id").limit(8)
+        .select("vec_id", as_double_array("embedding").alias("v")).collect()
+    )
+    cents = [(int(r["vec_id"]), list(r["v"])) for r in init]
+    a = {
+        r.vec_id: (r.cluster_id, r.sq_dist)
+        for r in assign_clusters_exact(emb, cents, "embedding")
+        .select("vec_id", "cluster_id", "sq_dist").collect()
+    }
+    b = {
+        r.vec_id: (r.cluster_id, r.sq_dist)
+        for r in assign_clusters_exact_arrow(emb, cents, "embedding")
+        .select("vec_id", "cluster_id", "sq_dist").collect()
+    }
+    assert a == b

@@ -75,3 +75,32 @@ def test_sq8_quantizer_half_step_bound(spark):
             else:
                 # constant dim: code 0, reconstructs the shared value
                 assert r.codes[i] == 0 and r.rv[i] == x
+
+
+def test_unit_kernel_bit_identity(spark, sf_dir):
+    """r12 optimization contract: the Arrow unit-normalizer is bit-equal to
+    the interpreted HOF expression `transform(v, x / norm(v))` on the whole
+    fixture corpus (the kernel preserves the norm fold's sequential float
+    order, so every output double must match exactly)."""
+    from cassandra_data_migrator_spark.functions.vectors import (
+        as_double_array,
+        norm,
+        unit_udf_factory,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = as_double_array("embedding")
+    unit_expr = F.transform(v, lambda x: x / norm(v))
+    expr_rows = {
+        r.vec_id: r.u for r in emb.select("vec_id", unit_expr.alias("u")).collect()
+    }
+    kern_rows = {
+        r.vec_id: r.u
+        for r in emb.select("vec_id", unit_udf_factory()(v).alias("u")).collect()
+    }
+    assert set(expr_rows) == set(kern_rows)
+    for vid, ue in expr_rows.items():
+        uk = kern_rows[vid]
+        assert len(ue) == len(uk)
+        for a, b in zip(ue, uk):
+            assert a == b, (vid, a, b)  # exact, not approx
