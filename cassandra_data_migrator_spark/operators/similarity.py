@@ -110,6 +110,61 @@ def _bucket_sig(v, dim: int, num_planes: int, seed: int):
     return sig
 
 
+def _bucket_sig_norm_arrow(dim: int, num_planes: int, num_bands: int, seed: int):
+    """Arrow kernel: vec → struct(buckets array<bigint>, vnorm double),
+    BIT-IDENTICAL to ``[_bucket_sig(v, dim, num_planes, seed + 1000*b) for b
+    in range(num_bands)]`` plus ``norm(v)``.
+
+    r12 optimization (guide §4.1/§4.2): the expression path walks the vector
+    through an interpreted (CodegenFallback) ``aggregate(zip_with(...))``
+    fold once per plane — bands·planes·dim interpreted steps per row. The
+    kernel preserves the fold's EXACT float semantics: for each dim j it
+    does one IEEE multiply (x_j·p_j) and one IEEE add onto the running
+    accumulator, vectorized across rows and planes but SEQUENTIAL across
+    dims — the same left-to-right op sequence the JVM executes — so every
+    dot product, every sign bit, and the norm are bit-equal to the
+    expression path's (pinned by
+    tests/test_similarity.py::test_bucket_sig_kernel_bit_identity). The
+    same trick as vectors.unit_udf_factory; NOT the GEMM family hash
+    (_banded_sigs_arrow), whose pairwise summation may flip near-zero
+    signs."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(dim, seed + 1000 * b + p)
+            for b in range(num_bands)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )  # (num_bands*num_planes, dim)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    def _k(vs: pandas.Series) -> pandas.DataFrame:
+        X = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        n = len(X)
+        if n == 0:
+            return pandas.DataFrame({"buckets": [], "vnorm": []}).astype(
+                {"buckets": "object", "vnorm": "float64"}
+            )
+        acc = np.zeros((n, planes.shape[0]), dtype=np.float64)
+        nsq = np.zeros(n, dtype=np.float64)
+        for j in range(dim):  # the engine's fold: sequential over dims
+            xj = X[:, j]
+            acc = acc + xj[:, None] * planes[None, :, j]
+            nsq = nsq + xj * xj
+        bits = (acc > 0).astype(np.int64).reshape(n, num_bands, num_planes)
+        sig = (bits * weights).sum(axis=2)  # disjoint bits == the bitwiseOR
+        return pandas.DataFrame(
+            {"buckets": list(map(list, sig)), "vnorm": np.sqrt(nsq)}
+        )
+
+    _k.__annotations__ = {"vs": pandas.Series, "return": pandas.DataFrame}
+    return pandas_udf(_k, "buckets array<bigint>, vnorm double")
+
+
 def cosine_near_dup_bucketed(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -136,20 +191,27 @@ def cosine_near_dup_bucketed(
     """
     from cassandra_data_migrator_spark.operators.dedup import _bucketed_pairs
 
-    base = corpus.select(
-        F.col(id_col), as_double_array(vec_col).alias("vec")
-    ).withColumn("vnorm", norm(F.col("vec")))
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _bucket_sig(F.col("vec"), dim, num_planes, seed + 1000 * b).alias("bucket"),
-            )
-            for b in range(num_bands)
-        ]
+    # r12 optimization (guide §4.2 + §2.4): one Arrow-kernel pass computes
+    # every band signature AND the norm (bit-identical to the _bucket_sig /
+    # norm expression forms — see _bucket_sig_norm_arrow), and the enriched
+    # base is persisted because THREE consumers read it (band explode + both
+    # refine sides): unpersisted, Catalyst re-evaluates the subtree per
+    # branch. The table is |corpus| rows of (id, vec, 4 longs, 1 double) —
+    # the same working set any LSH index materializes.
+    kern = _bucket_sig_norm_arrow(dim, num_planes, num_bands, seed)
+    base = (
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("vec"))
+        .withColumn("__k", kern(F.col("vec")))
+        .select(
+            id_col,
+            "vec",
+            F.col("__k.buckets").alias("__buckets"),
+            F.col("__k.vnorm").alias("vnorm"),
+        )
+        .persist()
     )
-    banded = base.select(F.col(id_col), F.explode(bands_arr).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = base.select(
+        F.col(id_col), F.posexplode("__buckets").alias("band", "bucket")
     )
     pairs = _bucketed_pairs(banded, id_col, ["band", "bucket"], max_bucket_size)
     # exact-cosine refine: join the vectors back onto the candidate ids only

@@ -119,42 +119,61 @@ def _pq_audit(spark, emb, brute, floor, cache_key, cents, nprobe=None,
         as_double_array,
         dot,
         norm,
+        unit_udf_factory,
     )
     from cassandra_data_migrator_spark.operators import cluster as cl
     from cassandra_data_migrator_spark.operators import similarity
 
     v = as_double_array("embedding")
     unit = F.transform(v, lambda x: x / norm(v))
-    base = emb.select("vec_id", unit.alias("__v"))
     dim = 64
     bs = dim // PQ_BLOCKS
-    codebooks = _pq_codebooks(spark, base, cache_key)
-
-    def code_expr(m):
-        blk = F.slice("__v", m * bs + 1, bs)
-        scored = F.array(
-            *[
-                F.struct(cl._sq_dist_exact(blk, c).alias("d"), F.lit(i).alias("c"))
-                for i, c in enumerate(codebooks[m])
-            ]
-        )
-        return F.array_min(scored)["c"]
+    # r12 optimization (guide §4.1 + §5): the codebook trainer's input was
+    # `emb.select(unit)` — an O(dim²)-interpreted-steps-per-row lineage that
+    # lloyd_kmeans re-evaluates on EVERY iteration of EVERY block (8 blocks
+    # × (init + iters + final) ≈ 40 corpus passes; measured as the bulk of
+    # the one-time 59 s index build). Materializing the unit-normalized
+    # corpus ONCE through the bit-identical Arrow kernel (the sq8 keys'
+    # unit_udf_factory) turns each training pass into a parquet read — the
+    # normalized copy is exactly what a real index build persists first.
+    ubase = _session_artifact(
+        spark,
+        f"pq_unit_base|{cache_key}",
+        lambda: emb.select("vec_id", unit_udf_factory()(v).alias("__v")),
+    )
+    codebooks = _pq_codebooks(spark, ubase, cache_key)
 
     # ONE standing index feeds both the plain-PQ and the IVFADC audits:
     # (vec_id, coarse cell, unit vector, 8 one-byte codes) — exactly what a
     # real IVFADC index persists. Built once per session as a parquet
     # artifact (the _brute_topk precedent; without it every consumer re-ran
     # the 128-fold decimal argmin over the corpus — measured 13 s → ~2 s).
+    # r12: the per-block code assignment goes through the Arrow exact-
+    # decimal argmin kernel (cluster._assign_exact_arrow_udf — bit-identical
+    # to the `array_min(struct(_sq_dist_exact, i))` expression, pinned by
+    # tests/test_cluster.py::test_assign_exact_arrow_identity) instead of
+    # 8 × 16 interpreted decimal folds per row (guide §4.2).
     def _build_index():
         cells = similarity.assign_ivf_cells(emb, cents, "embedding", nprobe=1)
         b = cells.select(
-            "vec_id", F.element_at("cells", 1).alias("cell"), unit.alias("__v")
+            "vec_id",
+            F.element_at("cells", 1).alias("cell"),
+            unit_udf_factory()(v).alias("__v"),
         )
+        code_ks = [
+            cl._assign_exact_arrow_udf(list(enumerate(codebooks[m])))
+            for m in range(PQ_BLOCKS)
+        ]
         return b.select(
             "vec_id",
             "cell",
             "__v",
-            *[code_expr(m).alias(f"c{m}") for m in range(PQ_BLOCKS)],
+            *[
+                code_ks[m](F.slice("__v", m * bs + 1, bs))["cluster_id"]
+                .cast("int")
+                .alias(f"c{m}")
+                for m in range(PQ_BLOCKS)
+            ],
         )
 
     enc = _session_artifact(spark, f"pq_index|{cache_key}", _build_index)
@@ -535,6 +554,7 @@ def _ivfadc_residual_audit(spark, emb, brute, floor, cache_key, cents,
         as_double_array,
         dot,
         norm,
+        unit_udf_factory,
     )
     from cassandra_data_migrator_spark.operators import cluster as cl
     from cassandra_data_migrator_spark.operators import similarity
@@ -558,16 +578,30 @@ def _ivfadc_residual_audit(spark, emb, brute, floor, cache_key, cents,
 
     cents_df = _session_artifact(spark, f"ivfadc_cents|{cache_key}", _cents_build)
 
-    def _residual_base():
+    # r12 optimization (guide §4.1 + §5, same fix as _pq_audit): the
+    # residual base (unit vector + per-cell residual) used to be rebuilt
+    # from the interpreted unit-HOF lineage on EVERY lloyd iteration of
+    # EVERY block codebook (~40 corpus passes; the bulk of the one-time
+    # 59 s index build this key showed in run-level profiling). It is now
+    # a standing parquet artifact built ONCE through the bit-identical
+    # Arrow unit kernel.
+    def _residual_base_build():
         a = similarity.assign_ivf_cells(emb, cents, "embedding", nprobe=1)
         b = a.select(
-            "vec_id", F.element_at("cells", 1).alias("cell"), unit.alias("__v")
+            "vec_id",
+            F.element_at("cells", 1).alias("cell"),
+            unit_udf_factory()(v).alias("__v"),
         )
         return b.join(F.broadcast(cents_df), "cell").select(
             "vec_id",
             "cell",
             "__v",
             F.zip_with("__v", "ucvec", lambda a_, b_: a_ - b_).alias("__r"),
+        )
+
+    def _residual_base():
+        return _session_artifact(
+            spark, f"ivfadc_res_base|{cache_key}", _residual_base_build
         )
 
     # residual codebooks: lloyd per block on the residual table (same
@@ -583,23 +617,25 @@ def _ivfadc_residual_audit(spark, emb, brute, floor, cache_key, cents,
         _PQ_CODEBOOKS_CACHE[key] = books
     codebooks = _PQ_CODEBOOKS_CACHE[key]
 
-    def code_expr(m):
-        blk = F.slice("__r", m * bs + 1, bs)
-        scored = F.array(
-            *[
-                F.struct(cl._sq_dist_exact(blk, c).alias("d"), F.lit(i).alias("c"))
-                for i, c in enumerate(codebooks[m])
-            ]
-        )
-        return F.array_min(scored)["c"]
-
     def _build_index():
+        # per-block residual codes through the Arrow exact-decimal argmin
+        # kernel — bit-identical to the array_min(struct(_sq_dist_exact, i))
+        # expression it replaces (guide §4.2; see _pq_audit)
         rb = _residual_base()
+        code_ks = [
+            cl._assign_exact_arrow_udf(list(enumerate(codebooks[m])))
+            for m in range(PQ_BLOCKS)
+        ]
         return rb.select(
             "vec_id",
             "cell",
             "__v",
-            *[code_expr(m).alias(f"c{m}") for m in range(PQ_BLOCKS)],
+            *[
+                code_ks[m](F.slice("__r", m * bs + 1, bs))["cluster_id"]
+                .cast("int")
+                .alias(f"c{m}")
+                for m in range(PQ_BLOCKS)
+            ],
         )
 
     enc = _session_artifact(spark, f"ivfadc_res_index|{cache_key}", _build_index)

@@ -100,6 +100,23 @@ def q_group_ksample(spark, sf_dir):
 
 
 DHASH_TWIN_MOD = 5  # mod-5 docs re-arrive brightness-shifted (+1 per channel)
+
+
+def _shift_printable_up1(c):
+    """`+1 per channel byte` over a printable-ASCII payload string.
+
+    r12 optimization (guide §4.1 'prefer built-ins'): the original form
+    `array_join(transform(split(s, ''), c -> char(ascii(c)+1)), '')` boxes
+    every CHARACTER of every payload into a 1-char string and walks it with
+    an interpreted (CodegenFallback) lambda — millions of boxed evals per
+    batch. `translate` is one codegen'd dictionary pass. Bit-identical on
+    the domain the callers guarantee (payloads are sanitized to [ -~], i.e.
+    0x20..0x7E): for every printable c, char(ascii(c)+1) IS the next code
+    point 0x21..0x7F, exactly this translate mapping, and both forms leave
+    no other characters to map."""
+    printable = "".join(chr(i) for i in range(0x20, 0x7F))
+    shifted_to = "".join(chr(i) for i in range(0x21, 0x80))
+    return F.translate(c, printable, shifted_to)
 DHASH_TWIN_SHIFT = 10_000_000
 
 
@@ -130,13 +147,7 @@ def q_dhash_near_dup(spark, sf_dir):
             F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
         ).alias("__h"),
     ).filter(F.col("__h") >= 1)
-    shifted = F.array_join(
-        F.transform(
-            F.split(F.col("__s"), ""),
-            lambda c: F.char(F.ascii(c) + 1),
-        ),
-        "",
-    )
+    shifted = _shift_printable_up1(F.col("__s"))
     twins = base.filter(F.col("media_id") % DHASH_TWIN_MOD == 0).select(
         (F.col("media_id") + DHASH_TWIN_SHIFT).alias("media_id"),
         shifted.alias("__s"),
@@ -199,10 +210,7 @@ def q_dhash_banded_near_dup(spark, sf_dir):
             F.lit(PPM_MAX_H), (F.length(san) / F.lit(row_bytes)).cast("int")
         ).alias("__h"),
     ).filter(F.col("__h") >= 1)
-    shifted = F.array_join(
-        F.transform(F.split(F.col("__s"), ""), lambda c: F.char(F.ascii(c) + 1)),
-        "",
-    )
+    shifted = _shift_printable_up1(F.col("__s"))
     bright = base.filter(F.col("media_id") % DHASH_TWIN_MOD == 0).select(
         (F.col("media_id") + DHASH_TWIN_SHIFT).alias("media_id"),
         shifted.alias("__s"),
@@ -332,11 +340,36 @@ def q_substring_dedup_spans(spark, sf_dir):
     )
     w = Window.partitionBy("gram")
     tagged = pos.withColumn("cnt", F.count(F.lit(1)).over(w))
-    dup = F.sum((F.col("cnt") > 1).cast("bigint"))
-    return tagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-        dup.cast("bigint").alias("n_dup_grams"),
-        F.round(dup / F.count(F.lit(1)), 4).alias("dup_frac_r4"),
+    # r12 optimization (guide §2.3 "shuffle fewer bytes"): only DUP positions
+    # (cnt > 1) enter the per-doc re-aggregation — the old form shipped every
+    # position row through the second exchange to count rows whose total is
+    # already known arithmetically: n_grams(doc) == len(text) − L + 1 is
+    # EXACTLY the per-doc position count the explode emits (sequence(1,
+    # len−L+1)), so it comes off the base scan. Zero-dup docs surface via
+    # the left join with n_dup_grams = 0, the same row the old sum-of-flags
+    # aggregate produced. Value-identical: count/sum types (bigint), the
+    # bigint/bigint double division and round(…,4) are unchanged.
+    dups = (
+        tagged.filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"))
+    )
+    n_grams = (F.length("text") - SUBSTR_DEDUP_LEN + 1).cast("bigint")
+    return (
+        d.select("doc_id", n_grams.alias("n_grams"))
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint"))
+                / F.col("n_grams"),
+                4,
+            ).alias("dup_frac_r4"),
+        )
     )
 
 

@@ -438,6 +438,7 @@ ARROW_PYTHON_KEYS = {
     "sq8_recall_audit",  # r12: bit-identical Arrow unit-normalizer (vectors.unit_udf_factory)
     "sq8_recall_clustered",  # same kernel on the clustered fixture
     "kmeans_assign",  # r12: bit-identical Arrow exact-decimal argmin (cluster.assign_clusters_exact_arrow)
+    "dedup_embedding_lsh",  # r12: bit-identical Arrow banded-sig/norm kernel (similarity._bucket_sig_norm_arrow)
 }
 
 
