@@ -87,6 +87,14 @@ def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     """Inverted index: one row per (shingle, doc) — the candidate generator.
     Tokens are projected to a concrete column before shingling so the regex
     split runs once per row (see shingles_from_tokens)."""
+    # r12 note: a spread() (pre-explode repartition) was measured here and
+    # REJECTED — every shingle_index consumer aggregates or joins right
+    # after the explode, and the 1-split fixture scan lets that first
+    # partial aggregation run over the WHOLE index in one map task,
+    # deduplicating repeated shingles before the exchange; fragmenting the
+    # scan 32 ways shipped 32 partial rows per hot shingle instead
+    # (dedup_prefix_filter 5.97→7.59 s, dedup_incremental_batch 1.68→2.36,
+    # dedup_threshold_sweep 2.31→2.85, contamination_check 1.59→1.74).
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return toked.select(
         F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")

@@ -326,9 +326,16 @@ def q_substring_dedup_spans(spark, sf_dir):
     as the raw string here so the DuckDB oracle is hash-free). A
     pathological hot gram is the same skew class the dedup family's
     hot-bucket caps treat."""
+    from cassandra_data_migrator_spark.operators.partition import spread
+
     d = _t(spark, sf_dir, "documents").filter(
         F.length("text") >= SUBSTR_DEDUP_LEN
     )
+    # r12 (guide §2.5): the gram explode fans 10k docs into 1.3M rows; on
+    # the 1-split fixture scan it ran serial (measured 1.67 s explode-only,
+    # 2.71 s with the window vs 0.43 / 1.23 s spread; spread() is a no-op
+    # once the scan itself is parallel)
+    d = spread(d)
     pos = d.select(
         "doc_id",
         F.explode(
