@@ -87,8 +87,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    # r12: the scored session artifact (the q_topk_similarity/_brute_topk
+    # convention — the primary key returns the standing table its family
+    # shares), filtered at the key's declared threshold
+    return _ngram_scored_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= NGRAM_THRESHOLD
     )
 
 
@@ -314,15 +317,39 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 # cost, never results. (Mechanics now live in _session_artifact.)
 
 
-def _ngram_pairs(spark, sf_dir, threshold=NGRAM_THRESHOLD):
-    """Session-shared near-dup edge list at ``threshold`` (the standing
-    artifact four graph/audit keys consume)."""
+NGRAM_BASE_THRESHOLD = 0.1  # == min(multimodal_keys.SWEEP_THRESHOLDS); the
+# lowest threshold ANY consumer filters at (pinned by test_dedup's
+# base-threshold assertion) — ngram_jaccard_pairs applies its threshold
+# only AFTER the shingle self-join, so building the shared artifact at the
+# base costs the same join and every consumer is a parquet filter
+
+
+def _ngram_scored_pairs(spark, sf_dir):
+    """Session-shared SCORED near-dup pair list at the base threshold —
+    ONE shingle-index pass per session feeding every exact-Jaccard
+    consumer (r12, guide §2.4: dedup_ngram, dedup_threshold_sweep and the
+    two _ngram_pairs thresholds each re-derived the identical self-join;
+    now each is a filter over this standing artifact, the round-5
+    verdict #6 treatment finally applied to the whole family)."""
     return _session_artifact(
         spark,
-        f"ngram_pairs|{sf_dir}|{threshold}",
+        f"ngram_scored|{sf_dir}|{NGRAM_BASE_THRESHOLD}",
         lambda: dedup.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=threshold
-        ).select("id_a", "id_b"),
+            _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_BASE_THRESHOLD
+        ),
+    )
+
+
+def _ngram_pairs(spark, sf_dir, threshold=NGRAM_THRESHOLD):
+    """Session-shared near-dup edge list at ``threshold`` (the standing
+    artifact four graph/audit keys consume). The jaccard column in the
+    artifact is the SAME round(·,4) expression the direct derivation
+    filtered on, so filter-at-read is value-identical to
+    derive-at-threshold."""
+    return (
+        _ngram_scored_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
     )
 
 

@@ -797,8 +797,16 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     """Dedup-threshold tuning curve: near-dup pair counts at each Jaccard
     threshold, computed from ONE shingle-index pass (the pair list with
     scores is reused across all thresholds — no re-scan per setting)."""
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, threshold=min(SWEEP_THRESHOLDS)
+    # r12: min(SWEEP_THRESHOLDS) == the shared artifact's base threshold
+    # (pinned by tests/test_dedup.py), so the sweep reads the session's
+    # standing scored pair list instead of re-deriving the shingle
+    # self-join per run
+    from cassandra_data_migrator_spark.queries.dedup_text import (
+        _ngram_scored_pairs,
+    )
+
+    pairs = _ngram_scored_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= min(SWEEP_THRESHOLDS)
     )
     t = F.explode(F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])).alias("threshold")
     swept = pairs.select("jaccard", t).filter(F.col("jaccard") >= F.col("threshold"))

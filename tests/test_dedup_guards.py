@@ -250,3 +250,25 @@ def test_prefix_filter_threshold_boundary(spark):
     df = spark.createDataFrame([(1, a), (2, b)], "doc_id LONG, text STRING")
     got = prefix_filter_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
+
+
+def test_ngram_base_threshold_covers_every_consumer():
+    """r12: the scored ngram-pair session artifact is built ONCE at
+    NGRAM_BASE_THRESHOLD and every consumer filters it at its own
+    threshold — sound only while the base sits at or below the lowest
+    consumer threshold (a pair below the base never materializes, so a
+    consumer filtering below it would silently lose pairs)."""
+    from cassandra_data_migrator_spark.queries.dedup_text import (
+        NGRAM_BASE_THRESHOLD,
+        NGRAM_THRESHOLD,
+    )
+    from cassandra_data_migrator_spark.queries.multimodal_keys import (
+        SWEEP_THRESHOLDS,
+    )
+    from cassandra_data_migrator_spark.queries.sql_frontend import (
+        MINHASH_AUDIT_THRESHOLD,
+    )
+
+    assert NGRAM_BASE_THRESHOLD <= NGRAM_THRESHOLD
+    assert NGRAM_BASE_THRESHOLD <= MINHASH_AUDIT_THRESHOLD
+    assert NGRAM_BASE_THRESHOLD <= min(SWEEP_THRESHOLDS)
