@@ -771,24 +771,33 @@ JL_I_MULT = 7_919  # distortion is ~1.0 (the 10007/101 grid correlated rows
 # under one Knuth multiplier and systematically SHRANK distances to 0.64)
 
 
+def _jl_entries() -> list[list[float]]:
+    """The deterministic JL matrix entries (16 rows × 64 cols) from EXACT
+    integer hash arithmetic (((j·10007 + i·101)·KNUTH mod P) / P − 0.5,
+    uniform in [−0.5, 0.5)), NOT sin(): libm sin() is not bit-identical
+    across engines, integer modular arithmetic plus one double division
+    is. Shared by the data-table form (the oracle's side) and the r12
+    projection kernel, so both see the identical doubles."""
+    return [
+        [
+            ((j * JL_J_MULT + i * JL_I_MULT) * JL_HASH_MULT % JL_HASH_MOD)
+            / JL_HASH_MOD
+            - 0.5
+            for i in range(64)
+        ]
+        for j in range(JL_DIM_OUT)
+    ]
+
+
 def _jl_matrix(spark):
-    """The deterministic JL projection matrix as a 16-row DATA table
-    (j, pvec[64]) — entries from EXACT integer hash arithmetic
-    (((j·10007 + i·101)·KNUTH mod P) / P − 0.5, uniform in [−0.5, 0.5)),
-    NOT sin(): libm sin() is not bit-identical across engines, integer
-    modular arithmetic plus one double division is. Session artifact —
-    the matrix is what a real pipeline ships with its index."""
+    """The JL projection matrix as a 16-row DATA table (j, pvec[64]) —
+    session artifact; the matrix is what a real pipeline ships with its
+    index. Since r12 the declared key projects through the bit-identical
+    Arrow kernel (_jl_project_udf_factory); this table remains the
+    expression path's input for the pinned identity contract."""
 
     def _build():
-        rows = []
-        for j in range(JL_DIM_OUT):
-            pv = [
-                ((j * JL_J_MULT + i * JL_I_MULT) * JL_HASH_MULT % JL_HASH_MOD)
-                / JL_HASH_MOD
-                - 0.5
-                for i in range(64)
-            ]
-            rows.append((j, pv))
+        rows = [(j, pv) for j, pv in enumerate(_jl_entries())]
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1),
             schema="j int, pvec array<double>",
@@ -797,26 +806,16 @@ def _jl_matrix(spark):
     return _session_artifact(spark, "jl_matrix", _build)
 
 
-def q_jl_projection_audit(spark, sf_dir):
-    """Johnson-Lindenstrauss random-projection distance audit: project the
-    embeddings 64 → 16 dims through the deterministic integer-hash matrix
-    and report, for every (probe, sampled-corpus) pair, the squared-
-    distance distortion ||Py_a − Py_b||² / (E·||x_a − x_b||²) with
-    E = k·Var(entry) = 16/12 — the dimensionality-reduction primitive a
-    100 TB ANN pipeline uses to cut index width before IVF/PQ.
-
-    Spark-first AND oracle-exact end-to-end: the matrix is a broadcast
-    16-row table (projection = one join + one DECIMAL-exact fold per
-    output dim — order-free, so DuckDB's unordered SUM reproduces it
-    bit-for-bit); distances fold the same way; the final ratio is one
-    double expression both engines state identically (×12 / ×16 integer
-    literals, never the rounded 4/3). Unlike the recall audits, every
-    VALUE here crosses the oracle — no floor boolean needed."""
-    from cassandra_data_migrator_spark.functions.vectors import as_double_array
-
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", as_double_array("embedding").alias("__x"))
-    mat = _jl_matrix(spark)
+def _jl_project_expr(base, mat):
+    """The expression-path 64→16 projection: broadcast 16-row matrix
+    crossjoin, one DECIMAL-exact fold per output dim (terms CAST to
+    DECIMAL(28,12) — HALF_UP of the product double's shortest repr — then
+    folded through an Add typed DECIMAL(38,11), i.e. every partial sum
+    rounds HALF_UP at 1e-11), yj cast to double, groupBy(vec_id)
+    re-assembly in j order. This is the form the DuckDB oracle mirrors
+    term for term; since r12 it is the pinned identity-contract REFERENCE
+    for the Arrow kernel the declared key runs
+    (tests/test_round12_opt.py::test_jl_kernel_bit_identity)."""
     yj = base.join(F.broadcast(mat), F.lit(True)).select(
         "vec_id",
         "j",
@@ -828,12 +827,104 @@ def q_jl_projection_audit(spark, sf_dir):
         .cast("double")
         .alias("yj"),
     )
-    proj = yj.groupBy("vec_id").agg(
+    return yj.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "yj"))), lambda st: st["yj"]
         ).alias("__y")
     )
-    both = base.join(proj, "vec_id")
+
+
+def _jl_project_udf_factory():
+    """Arrow kernel computing EXACTLY _jl_project_expr's per-dim decimal
+    fold (optimization r12, guide §4.2 — the cluster._assign_exact_arrow
+    _udf treatment applied to the JL projection):
+
+      t_i  = CAST(x_i · p_ji AS DECIMAL(28,12))   -- HALF_UP of the double
+                                                   -- product's shortest repr
+      acc  = CAST(acc + t_i AS DECIMAL(38,12))     -- the Add is typed
+                                                   -- DECIMAL(38,11): every
+                                                   -- partial sum rounds
+                                                   -- HALF_UP at 1e-11
+      y_j  = CAST(acc AS DOUBLE)                   -- correctly-rounded
+
+    Same integer-quanta replication as the assign kernel: products are the
+    identical IEEE doubles numpy computes; 12dp quantization via np.round
+    with the provable-error-window fallback to Decimal(repr(d)) (the JVM's
+    BigDecimal.valueOf semantics); the per-step 1e-11 rounding is exact
+    int64 arithmetic — sign-aware here, since JL terms (unlike squared
+    distances) are signed and HALF_UP rounds ties AWAY FROM ZERO. Identity
+    vs the expression path is pinned over the full fixture corpus."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(_jl_entries(), dtype=np.float64)  # (16, 64)
+    Q12 = Decimal("1e-12")
+
+    def _proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vs.tolist(), dtype=np.float64)  # raises on ragged input
+        D = X[:, None, :] * P[None, :, :]  # (n, 16, 64) IEEE products
+        y = D * 1e12
+        t = np.round(y)
+        # terms whose 12dp HALF_UP could disagree with the float fast path:
+        # within (product rounding + repr half-ulp) of a .5 quantum boundary
+        frac = y - np.floor(y)
+        window = (np.spacing(y) + np.spacing(np.abs(D)) * 1e12) / 2.0 + 1e-3
+        risky = np.abs(frac - 0.5) < window
+        if risky.any():
+            flat = D[risky]
+            t[risky] = [
+                float(
+                    Decimal(repr(float(d))).quantize(Q12, rounding=ROUND_HALF_UP)
+                    .scaleb(12)
+                )
+                for d in flat
+            ]
+        ti = t.astype(np.int64)  # quanta of 1e-12
+        acc = np.zeros(ti.shape[:2], dtype=np.int64)
+        for i in range(ti.shape[2]):  # the engine's fold, 1e-11 per step,
+            s = acc + ti[:, :, i]  # HALF_UP == away from zero on signed sums
+            acc = np.sign(s) * ((np.abs(s) + 5) // 10) * 10
+        return pd.Series(
+            [
+                [float(Decimal(int(v)).scaleb(-12)) for v in row]
+                for row in acc
+            ]
+        )
+
+    _proj.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_proj, "array<double>")
+
+
+def q_jl_projection_audit(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection distance audit: project the
+    embeddings 64 → 16 dims through the deterministic integer-hash matrix
+    and report, for every (probe, sampled-corpus) pair, the squared-
+    distance distortion ||Py_a − Py_b||² / (E·||x_a − x_b||²) with
+    E = k·Var(entry) = 16/12 — the dimensionality-reduction primitive a
+    100 TB ANN pipeline uses to cut index width before IVF/PQ.
+
+    Spark-first AND oracle-exact end-to-end: the projection is a
+    DECIMAL-exact fold per output dim — order-free, so DuckDB's unordered
+    SUM reproduces it bit-for-bit; since r12 the declared key computes it
+    through the bit-identical Arrow kernel (_jl_project_udf_factory, the
+    expression form pinned as its identity contract); distances fold the
+    same way in expressions; the final ratio is one double expression
+    both engines state identically (×12 / ×16 integer literals, never
+    the rounded 4/3). Unlike the recall audits, every VALUE here crosses
+    the oracle — no floor boolean needed."""
+    from cassandra_data_migrator_spark.functions.vectors import as_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_array("embedding").alias("__x"))
+    # r12 (guide §4.1/§4.2): the broadcast-crossjoin + per-dim interpreted
+    # decimal fold + groupBy re-assembly (2 000 rows × 16 dims × 64
+    # CodegenFallback HOF steps, two exchanges) collapses to ONE Arrow
+    # kernel evaluated in the scan stage — zero added exchanges
+    both = base.withColumn("__y", _jl_project_udf_factory()(F.col("__x")))
     a = both.filter(TOPK_QUERY_PRED).select(
         F.col("vec_id").alias("id_a"), F.col("__x").alias("__xa"),
         F.col("__y").alias("__ya"),

@@ -439,6 +439,7 @@ ARROW_PYTHON_KEYS = {
     "sq8_recall_clustered",  # same kernel on the clustered fixture
     "kmeans_assign",  # r12: bit-identical Arrow exact-decimal argmin (cluster.assign_clusters_exact_arrow)
     "dedup_embedding_lsh",  # r12: bit-identical Arrow banded-sig/norm kernel (similarity._bucket_sig_norm_arrow)
+    "jl_projection_audit",  # r12: bit-identical Arrow decimal-fold projection (ann_pq._jl_project_udf_factory)
 }
 
 
