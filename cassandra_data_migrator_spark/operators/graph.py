@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 PAGERANK_ITERS = 5
 PAGERANK_D = 0.85  # damping; the base term uses the literal 0.15
+PAGERANK_CKPT_EVERY = 2  # r12 (guide §2.4): each eager localCheckpoint is a
+# full materialization job; per-iteration cuts measured 2.46 s vs 1.94 s at
+# every-2 (sf0.1 isolated 3-run medians). Lineage still stays bounded (at
+# most 2 iterations of join+agg stack before a cut), so high iteration
+# counts cannot blow up planning — the reason the cut exists at all.
 
 
 def pagerank_pairs(
@@ -46,7 +51,7 @@ def pagerank_pairs(
         return spark.createDataFrame([], "doc_id bigint, pr_r double")
     base = 0.15 / n
     pr = deg.select("doc_id", "deg", F.lit(1.0 / n).alias("pr"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = edges.join(pr, edges.src == pr.doc_id).select(
             F.col("dst"),
             F.round(F.col("pr") * F.lit(damping) / F.col("deg"), 10)
@@ -54,15 +59,13 @@ def pagerank_pairs(
             .alias("c"),
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
-        pr = (
-            deg.join(sums, deg.doc_id == sums.dst, "left")
-            .select(
-                deg.doc_id,
-                deg.deg,
-                (
-                    F.lit(base) + F.coalesce(F.col("sc").cast("double"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint()
+        pr = deg.join(sums, deg.doc_id == sums.dst, "left").select(
+            deg.doc_id,
+            deg.deg,
+            (
+                F.lit(base) + F.coalesce(F.col("sc").cast("double"), F.lit(0.0))
+            ).alias("pr"),
         )
+        if (it + 1) % PAGERANK_CKPT_EVERY == 0:
+            pr = pr.localCheckpoint()
     return pr.select("doc_id", (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pr_r"))
