@@ -119,7 +119,14 @@ def q_binaryfile_ingest(spark, sf_dir):
             with open(path, "wb") as fh:
                 fh.write(bytes(r["payload"]))
 
-    media.select("media_id", payload.alias("payload")).foreachPartition(_write)
+    from cassandra_data_migrator_spark.operators.partition import spread
+
+    # r12 (guide §2.5): the fixture scan is ONE split, so the per-file
+    # writes otherwise run serially on one task; spread() fans the writer
+    # across the session (no-op at scale, where the scan is already split)
+    spread(media.select("media_id", payload.alias("payload"))).foreachPartition(
+        _write
+    )
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.ppm")
