@@ -118,3 +118,28 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """``spread`` keyed on existing high-cardinality columns — the variant
+    for consumers whose pre-shuffle work is expression-heavy but NOT
+    row-multiplying (decimal partial aggregates, Expand fan-outs).
+
+    A keyless ``repartition(n)`` pays a local sort of its whole input
+    before the exchange (sort-before-repartition, SPARK-23207) so task
+    retries are deterministic — measured r12 on corr_stats that sort made
+    the cure worse than the disease (2.57 → 4.95 s isolated, the sort and
+    full-row shuffle on the single scan core). Hash partitioning needs no
+    such sort: row placement is a pure function of the key columns, so
+    retries are deterministic for free. With a high-cardinality key
+    (guide §2.5: use many × more distinct values than partitions) the same
+    corr_stats aggregate measured 0.85 s.
+
+    Same conditional contract as ``spread``: production-scale inputs pass
+    through untouched. Callers pick columns that are (a) already in the
+    projection and (b) near-unique — never a rand()-derived key (retry
+    duplication, guide §2.5)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in cols])

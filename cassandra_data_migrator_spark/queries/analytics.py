@@ -1320,8 +1320,22 @@ def q_corr_stats(spark, sf_dir):
     extendedprice — computed from EXACT decimal moment sums (n, Σx, Σy, Σxy,
     Σx², Σy²), then one double-precision formula per group. Order-independent
     by construction (no streaming double accumulation), one partial-agg
-    shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
+    shuffle.
+
+    r12: the six decimal(38,8) partial sums (a BigDecimal allocation per
+    double→decimal cast) measured 2.56 of the key's 2.57 s isolated — all
+    on the single scan core (every fixture parquet is ONE row group, so no
+    split config can widen the scan; double sums of the same shape cost
+    0.27 s). Keyless spread() was tried and REJECTED (2.57 → 4.95 s: the
+    sort-before-repartition local sort costs more than it buys); the
+    hash-keyed spread_by on the two near-unique measure columns needs no
+    sort and measured the aggregate at 0.85 s. Decimal addition is exactly
+    associative/commutative, so the re-grouping is value-identical."""
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
+    li = spread_by(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
@@ -1415,8 +1429,15 @@ def q_unpivot_metrics(spark, sf_dir):
     """Wide→long reshape (unpivot/melt) + per-metric rollup: the inverse of
     pivot_events. Spark plans unpivot as a map-side Expand (no shuffle for
     the reshape itself — each input row fans to 4 long rows in place), then
-    one partial-agg shuffle on the 4-value metric key."""
-    li = _t(spark, sf_dir, "lineitem")
+    one partial-agg shuffle on the 4-value metric key.
+
+    r12: spread_by widens the 1-task fixture scan (one parquet row group)
+    so the 4× Expand and its decimal partial sums run on every core; the
+    id column is the natural near-unique hash key. Pass-through at
+    production split counts."""
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
+    li = spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     long = li.unpivot(
         ids=["l_orderkey"],
         values=UNPIVOT_METRICS,

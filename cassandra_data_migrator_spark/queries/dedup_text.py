@@ -793,7 +793,13 @@ def q_asof_join(spark, sf_dir):
 
 
 def q_group_agg(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # r12: spread_by parallelizes the decimal partial sums off the 1-task
+    # fixture scan (one parquet row group — see operators/partition.spread_by
+    # and the corr_stats note); l_partkey is near-unique and already shipped
+    # for the count_distinct. Pass-through at production split counts.
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
+    li = spread_by(_t(spark, sf_dir, "lineitem"), "l_partkey")
     qty = F.col("l_quantity").cast("decimal(18,4)")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
