@@ -90,8 +90,15 @@ def q_codec_duration(spark, sf_dir):
     the canonical re-formatted text. The oracle computes the expected triple
     ARITHMETICALLY from the same source columns — if the parse mishandles
     the m/mo/ms ambiguity or unit scaling, the hashes diverge. Pure codegen
-    expressions; embarrassingly parallel at any scale."""
-    e = _t(spark, sf_dir, "events")
+    expressions; embarrassingly parallel at any scale.
+
+    r12: spread_by widens the 1-task fixture scan (one parquet row group)
+    so the regex tokenize + str_to_map chain runs on every core instead of
+    one; only (event_id, user_id) cross the exchange after pruning.
+    Pass-through at production split counts."""
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
+    e = spread_by(_t(spark, sf_dir, "events"), "event_id")
     comp = {
         "y": F.col("event_id") % 3,
         "mo": F.col("user_id") % 14,

@@ -57,7 +57,10 @@ def q_sql_frontend_q1(spark, sf_dir):
     from cassandra_data_migrator_spark.sources.parquet import register_tables
 
     configure_session(spark)
-    register_tables(spark, sf_dir, ["lineitem"])
+    # r12: spread the lineitem view (sources/parquet.register_tables note) —
+    # Q1's decimal partial sums otherwise run on the 1-task fixture scan.
+    # Measured isolated 1.95 -> 1.38 s; SQL text unchanged.
+    register_tables(spark, sf_dir, ["lineitem"], spread=("lineitem",))
     return spark.sql(TPCH_Q1_SQL)
 
 
@@ -1750,7 +1753,9 @@ def q_sql_frontend_ds8(spark, sf_dir):
     from cassandra_data_migrator_spark.sources.parquet import register_tables
 
     configure_session(spark)
-    register_tables(spark, sf_dir, ["lineitem", "part"])
+    # r12: spread the lineitem view (sources/parquet.register_tables note) —
+    # measured isolated 2.46 -> 1.20 s; SQL text unchanged.
+    register_tables(spark, sf_dir, ["lineitem", "part"], spread=("lineitem",))
     return spark.sql(SQL_DS8_SQL)
 
 

@@ -74,9 +74,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_events(df)
 
 
-def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+# Opt-in view widening for the SQL frontend: a view named in ``spread`` gets
+# a hash-keyed spread on its primary key (operators/partition.spread_by) —
+# every fixture parquet is ONE row group, so its scan is one task no matter
+# the split config, and a heavy map side fed straight by the scan (Q1's
+# decimal partial sums) otherwise runs on a single core. PK-keyed
+# (near-unique, deterministic — no retry hazard), pass-through whenever the
+# scan is already split at least session-parallelism fine (production scans),
+# and gated on file size so sub-open-cost views never pay an exchange. The
+# SQL text of every frontend key is untouched — this widens the view the text
+# reads, nothing else. OPT-IN per key because it is not uniformly a win
+# (measured r12: q1 1.95 -> 1.38, ds8 2.46 -> 1.20, but ds9/ds12/ds15/q5
+# each ~0.4 s WORSE — their plans re-read the view several times and pay the
+# exchange per read).
+_SPREAD_BYTES_MIN = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    spread: tuple[str, ...] = (),
+) -> None:
     """Register every fixture table as a temp view so the engine's surface is
     also reachable through plain ``spark.sql`` (the reference has no SQL
     frontend — this is free with Spark and costs nothing to expose)."""
+    import os
+
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
     for name in tables or TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = load_table(spark, sf_dir, name)
+        if name in spread:
+            path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+            try:
+                big = os.path.getsize(path) >= _SPREAD_BYTES_MIN
+            except OSError:
+                big = False
+            if big:
+                df = spread_by(df, *PRIMARY_KEYS[name])
+        df.createOrReplaceTempView(name)

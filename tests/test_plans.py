@@ -435,7 +435,7 @@ ARROW_PYTHON_KEYS = {
     "codec_vector",  # CQL vector wire codec kernel (multimodal.cql_vector_roundtrip — IEEE bit-casts have no JVM expression)
     "dhash_near_dup",  # perceptual difference-hash kernel (multimodal.ppm_dhash)
     "dhash_banded_near_dup",  # same kernel feeding the banded-Hamming join
-    "sq8_recall_audit",  # r12: bit-identical Arrow unit-normalizer (vectors.unit_udf_factory)
+    "sq8_recall_audit",  # r12: bit-identical Arrow unit-normalizer + encode/dequantize kernels (vectors.unit_udf_factory, ann_pq._sq8_recon_udf_factory)
     "sq8_recall_clustered",  # same kernel on the clustered fixture
     "kmeans_assign",  # r12: bit-identical Arrow exact-decimal argmin (cluster.assign_clusters_exact_arrow)
     "dedup_embedding_lsh",  # r12: bit-identical Arrow banded-sig/norm kernel (similarity._bucket_sig_norm_arrow)

@@ -104,3 +104,76 @@ def test_unit_kernel_bit_identity(spark, sf_dir):
         assert len(ue) == len(uk)
         for a, b in zip(ue, uk):
             assert a == b, (vid, a, b)  # exact, not approx
+
+
+def test_sq8_recon_kernel_bit_identity(spark, sf_dir):
+    """r12 optimization contract: the Arrow encode→dequantize kernel
+    (_sq8_recon_udf_factory) is bit-equal to the audit's expression path
+    (transform(_code) → transform(_recon)) over both fixture corpora,
+    using the audit's own unit-normalized vectors and per-dim bounds."""
+    from cassandra_data_migrator_spark.functions.vectors import (
+        as_double_array,
+        unit_udf_factory,
+    )
+    from cassandra_data_migrator_spark.queries.ann_pq import (
+        SQ_LEVELS,
+        _clustered_emb,
+        _sq8_recon_udf_factory,
+    )
+
+    def corpora():
+        yield spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        yield _clustered_emb(spark, sf_dir)
+
+    for emb in corpora():
+        v = as_double_array("embedding")
+        base = emb.select("vec_id", unit_udf_factory()(v).alias("__v"))
+        dim = 64
+        stats = base.agg(
+            *[F.min(F.get("__v", i)).alias(f"__mn{i}") for i in range(dim)],
+            *[F.max(F.get("__v", i)).alias(f"__mx{i}") for i in range(dim)],
+        )
+        bounds = stats.select(
+            F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("__mins"),
+            F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("__maxs"),
+        )
+
+        def _code(x, i):
+            mn, mx = F.get(F.col("__mins"), i), F.get(F.col("__maxs"), i)
+            return (
+                F.when(
+                    mx > mn,
+                    F.round((x - mn) / (mx - mn) * F.lit(float(SQ_LEVELS))).cast(
+                        "int"
+                    ),
+                )
+                .otherwise(F.lit(0))
+            )
+
+        def _recon(c, i):
+            mn, mx = F.get(F.col("__mins"), i), F.get(F.col("__maxs"), i)
+            return mn + c.cast("double") / F.lit(float(SQ_LEVELS)) * (mx - mn)
+
+        joined = base.join(F.broadcast(bounds))
+        expr_rows = {
+            r.vec_id: r.rv
+            for r in joined.select(
+                "vec_id",
+                F.transform(F.transform("__v", _code), _recon).alias("rv"),
+            ).collect()
+        }
+        kern_rows = {
+            r.vec_id: r.rv
+            for r in joined.select(
+                "vec_id",
+                _sq8_recon_udf_factory()(
+                    F.col("__v"), F.col("__mins"), F.col("__maxs")
+                ).alias("rv"),
+            ).collect()
+        }
+        assert set(expr_rows) == set(kern_rows)
+        for vid, re_ in expr_rows.items():
+            rk = kern_rows[vid]
+            assert len(re_) == len(rk)
+            for a, b in zip(re_, rk):
+                assert a == b, (vid, a, b)  # exact, not approx
