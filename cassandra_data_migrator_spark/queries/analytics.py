@@ -1156,7 +1156,9 @@ def q_unigram_logprob(spark, sf_dir):
     before its shuffle. Scale-safe: no global order, no driver loops; the
     word join's skew (stopwords) is bounded because the frequency side is
     1 row per word."""
-    d = _t(spark, sf_dir, "documents")
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
+    d = spread_by(_t(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("word"))
     # r12 optimization (guide §5): freq feeds the 1-row total AND the scoring
     # join; persisting the vocab-bounded table keeps the tokenize+explode
@@ -2001,6 +2003,10 @@ def q_migrate_writetime_roundtrip(spark, sf_dir):
 
     from cassandra_data_migrator_spark.plans.upsert import upsert_parquet
 
+    # r12: spread_by on the events source was tried and REJECTED by
+    # measurement (2.32 -> 2.92 s isolated): at this row count the extra
+    # exchange and the multi-file staging layout cost more than the
+    # parallelized attach/merge passes save. The key stays scan-shaped.
     e = attach_event_writetimes(attach_event_ttls(_t(spark, sf_dir, "events")))
     base = e.select(
         "event_id",

@@ -1287,6 +1287,10 @@ def q_curation_pipeline(spark, sf_dir):
     running-sum budget, ROW_NUMBER shard assignment)."""
     from cassandra_data_migrator_spark.operators import rank as rank_ops
 
+    # r12: spread_by on the survivors artifact was tried and REJECTED by
+    # measurement (2.42 -> 2.68 s isolated): the chain's cost is its many
+    # small stages, not the tokenize map side, and the extra exchange only
+    # added latency.
     surv = _curation_survivors(spark, sf_dir)
     # 4) quality ensemble over survivors (quality_ensemble's arithmetic,
     #    s2 from length(text) — survivors carry only (doc_id, text))

@@ -94,6 +94,9 @@ def q_lm_perplexity(spark, sf_dir):
     aggregated vocab — bounded, never the raw token stream); per-bigram
     log-probs are rounded to 6dp DECIMAL so the per-doc sum is exact and
     order-independent; V rides as a 1-row broadcast."""
+    # r12: spread_by on the scan was tried and REJECTED by measurement
+    # (1.76 -> 1.88/1.77 s isolated, two repeats): the persisted vocab
+    # tables already bound the backbone, and the exchange buys nothing.
     d = _t(spark, sf_dir, "documents")
     t = tokens("text")
     with_arr = d.select("doc_id", t.alias("ts")).filter(F.size("ts") >= 2)
@@ -1034,6 +1037,10 @@ def q_quality_ensemble(spark, sf_dir):
     selected = pos*4 < n_total, exact integer math in both engines."""
     from cassandra_data_migrator_spark.operators import rank as rank_ops
 
+    # r12: spread_by on the scan was tried and REJECTED by measurement
+    # (1.23 -> 1.76/1.83 s isolated, two repeats): the persisted sig table
+    # rematerializes through the exchange and costs more than the
+    # parallelized tokenize saves at this corpus size.
     d = _t(spark, sf_dir, "documents")
     # project the token array once (the distinct_n discipline): each ts
     # reference below would otherwise re-run the tokenizer per row
@@ -1123,7 +1130,13 @@ def q_kn_perplexity(spark, sf_dir):
     vocab-bounded table; per-bigram logprobs round to 6dp DECIMAL so doc
     sums are exact/order-free (the lm_perplexity discipline); the type
     total rides a 1-row broadcast carry."""
-    d = _t(spark, sf_dir, "documents")
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
+    # r12: spread_by widens the 1-task fixture scan (one parquet row group)
+    # so the tokenize+explode backbone feeding the persisted KN count
+    # tables runs on all cores (measured 1.82 -> 1.24-1.40 s isolated, two
+    # repeats); pass-through at production split counts.
+    d = spread_by(_t(spark, sf_dir, "documents"), "doc_id")
     # project the token array once (the distinct_n discipline): each ts
     # reference below would otherwise re-run the tokenizer per row
     arr = d.select("doc_id", tokens("text").alias("ts"))
