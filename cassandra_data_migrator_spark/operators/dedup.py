@@ -794,6 +794,17 @@ def dedup_clusters(
     small one — AQE broadcasts it when it fits).
     Returns (id, cluster_id); singletons keep their own id.
     """
+    labels = cluster_labels(pairs, max_iterations=max_iterations)
+    return attach_cluster_labels(ids, labels, id_col=id_col)
+
+
+def cluster_labels(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """The label-propagation loop of ``dedup_clusters``, factored out (r12)
+    so the resolved (id, cluster_id) table over the pair graph can stand as
+    a session artifact shared by the assignment/report/canonical keys — a
+    real pipeline checkpoints exactly this table after the components job.
+    Covers ONLY edge endpoints; singletons are attached by
+    ``attach_cluster_labels``."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -843,8 +854,15 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # singletons (ids not in the pair graph) keep their own id; one
-    # corpus-sized left join against the small resolved-label table
+    return labels
+
+
+def attach_cluster_labels(
+    ids: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Project resolved graph labels onto the corpus: singletons (ids not in
+    the pair graph) keep their own id; one corpus-sized left join against
+    the small resolved-label table (AQE broadcasts it when it fits)."""
     return ids.select(F.col(id_col).alias("id")).join(labels, "id", "left").select(
         F.col("id").alias(id_col),
         F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),

