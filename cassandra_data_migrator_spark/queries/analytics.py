@@ -1294,6 +1294,10 @@ def q_regional_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r12: spread_by on lineitem was tried and REJECTED by measurement
+    # (1.66 -> 1.86 s isolated): the all-broadcast probe side is cheap per
+    # row (the decimal math fires only on the ASIA slice), so the extra
+    # exchange outweighed the widened map side.
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )

@@ -535,6 +535,9 @@ def q_cross_source_chunk_overlap(spark, sf_dir):
     an index self-join — one shuffle keyed by chunk hash, uniform unless a
     chunk floods every source (star-guard semantics not needed here because
     the per-hash list is bounded by the source count, not the corpus)."""
+    # r12: spread_by on the chunker input was tried and REJECTED by
+    # measurement (1.87 -> 2.16 s isolated): this key's cost is its
+    # distinct + collect_list shuffles, not the posexplode map side.
     d = _t(spark, sf_dir, "documents")
     chunks = dedup.content_defined_chunks(d)
     src_chunks = (
