@@ -172,6 +172,28 @@ def _session_artifact(spark, tag: str, build):
         build().write.mode("overwrite").parquet(path)
         _SESSION_ARTIFACTS[key] = spark.read.parquet(path)
     return _SESSION_ARTIFACTS[key]
+
+
+def purge_session_artifacts(spark) -> None:
+    """Forget AND delete every standing artifact so the next consumer pays
+    its own full derivation (r12 verdict #1: bench numbers for artifact-
+    backed keys measured a parquet re-read, not the declared computation).
+    bench.py calls this before EVERY timed run — each run rebuilds whatever
+    artifacts its key consumes, so the reported median charges the build.
+    Results are unaffected: every build is deterministic, and the memo was
+    always per-application (never keyed on the fixture path)."""
+    import os
+    import shutil
+    import tempfile
+
+    _SESSION_ARTIFACTS.clear()
+    shutil.rmtree(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"cdm_shared_{spark.sparkContext.applicationId}",
+        ),
+        ignore_errors=True,
+    )
 KMEANS_K = 8
 KMEANS_ITERS = 4
 _BINFILE_STAGE_DIRS: dict = {}
