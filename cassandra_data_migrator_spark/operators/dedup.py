@@ -693,6 +693,14 @@ def simhash_near_dup_pairs(
             ]
         )
 
+    # r13 (§2.3): the exact hamming refine is applied BEFORE the candidate
+    # dedup — measured at sf0.1 only 88k of 2.8M distinct candidates (3%)
+    # survive hamming<=8, so the distinct used to shuffle 6.5M raw pair
+    # rows to keep 2.8M and then throw 97% of them away in the refine. The
+    # refine is a per-row deterministic function of the pair (two
+    # broadcast-sized joins + bit_count in codegen), so filter-then-
+    # distinct is value-identical to distinct-then-filter; the dedup
+    # shuffle now carries only the ~3% survivors.
     banded = sigs.select(
         F.col(id_col), F.explode(_chunks_of(F.col("simhash"), "c")).alias("c")
     ).select(
@@ -706,8 +714,13 @@ def simhash_near_dup_pairs(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket_size is None:
-        cand = _pairs_from_sorted_ids(grouped, None).distinct()
+        cand = _pairs_from_sorted_ids(grouped, None)
     else:
+        # r13 (§2.4/§5): small and hot are two branches over the same
+        # grouped table — unpersisted, Catalyst re-runs the banded explode
+        # and the bucket shuffle once per branch. The bucket table is one
+        # row per (chunk, value) with the member id list: persist it.
+        grouped = grouped.persist()
         small = grouped.filter(F.size("ids") <= max_bucket_size)
         hot = grouped.filter(F.size("ids") > max_bucket_size)
         p_small = _pairs_from_sorted_ids(small, None)
@@ -751,9 +764,13 @@ def simhash_near_dup_pairs(
         # level-2: full pairs when small, star when still hot (exact-dup
         # floods — identical signatures never split under any rotation)
         p_sub = _pairs_from_sorted_ids(sub_grouped, max_bucket_size)
-        cand = p_small.unionByName(p_sub).distinct()
+        cand = p_small.unionByName(p_sub)
     # exact hamming refine: join the (small, one-row-per-doc) signature table
-    # back onto the candidate ids — AQE broadcasts it when it fits
+    # back onto the candidate ids — AQE broadcasts it when it fits. The
+    # refine runs on the RAW candidate stream; the distinct afterwards
+    # dedups only the ~3% survivors (see the r13 note above). hamming is a
+    # pure function of (id_a, id_b), so distinct over the triple equals
+    # distinct over the pair.
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b"))
     return (
@@ -761,6 +778,7 @@ def simhash_near_dup_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", hamming64(F.col("__sig_a"), F.col("__sig_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

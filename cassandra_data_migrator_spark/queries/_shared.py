@@ -169,6 +169,13 @@ def _session_artifact(spark, tag: str, build):
             # every application leaks its artifact parquet into /tmp
             atexit.register(shutil.rmtree, session_dir, ignore_errors=True)
         path = os.path.join(session_dir, f"{tag.split('|')[0]}_{digest}")
+        # r13 note (§1.1): a REBALANCE hint before this write was tried
+        # (guide §6 file sizing) and measured NEUTRAL at fixture scale in
+        # an interleaved A/B (min 4.89 s vs 4.25 s plain for the ngram
+        # family's build+consume chain — within the host's noise band);
+        # small multi-file artifacts don't fan downstream scans anyway
+        # (openCostInBytes packs ~32 tiny files per split). Left plain:
+        # the hint's extra exchange is a real cost at scale.
         build().write.mode("overwrite").parquet(path)
         _SESSION_ARTIFACTS[key] = spark.read.parquet(path)
     return _SESSION_ARTIFACTS[key]

@@ -32,6 +32,7 @@ from cassandra_data_migrator_spark.queries._shared import (  # noqa: F401
     token_count_ws,
     tokens,
 )
+from cassandra_data_migrator_spark.operators.partition import spread_by
 
 # ---------------------------------------------------------------------------
 # 2b north-star extension queries
@@ -186,23 +187,34 @@ def q_dedup_fuzzy(spark, sf_dir):
 def _simhash_sigs(spark, sf_dir):
     """Session-shared SimHash signature table. The SWAR-packed signature
     aggregation is deterministic, so both consumers (simhash_near_dup,
-    simhash_recall_audit) read the identical standing table."""
+    simhash_recall_audit) read the identical standing table.
+
+    r13 (§2.5): the build input rides spread_by(doc_id) — the per-token
+    xxhash + 22 SWAR partial sums are expression-heavy map work off the
+    1-split fixture scan, and hash partitioning keeps each doc's tokens
+    together so the per-doc partial agg still combines map-side (isolated
+    build: 2.81 → 2.12 s; pass-through at production split counts)."""
     return _session_artifact(
         spark,
         f"simhash_sigs|{sf_dir}",
-        lambda: dedup.simhash(_t(spark, sf_dir, "documents")),
+        lambda: dedup.simhash(
+            spread_by(_t(spark, sf_dir, "documents"), "doc_id")
+        ),
     )
 
 
 def _minhash_sigs(spark, sf_dir):
     """Session-shared 32-hash MinHash signature table — one shingle+hash
     pass feeding dedup_fuzzy AND minhash_recall_audit (both band at
-    num_bands=8 over the same 32 hashes)."""
+    num_bands=8 over the same 32 hashes). r13 (§2.5): spread_by(doc_id) on
+    the build input — 32 xxhash64 per shingle is the heavy map side; the
+    per-doc min-agg combines map-side either way (isolated build:
+    1.44 → 0.71 s)."""
     return _session_artifact(
         spark,
         f"minhash_sigs|{sf_dir}",
         lambda: dedup.minhash_signatures(
-            _t(spark, sf_dir, "documents"), num_hashes=32
+            spread_by(_t(spark, sf_dir, "documents"), "doc_id"), num_hashes=32
         ),
     )
 
@@ -331,6 +343,14 @@ def _ngram_scored_pairs(spark, sf_dir):
     two _ngram_pairs thresholds each re-derived the identical self-join;
     now each is a filter over this standing artifact, the round-5
     verdict #6 treatment finally applied to the whole family)."""
+    # r13 note (§1.1 discipline): spread_by(doc_id) on the build input was
+    # measured bare (2.91 → 2.23 s noop win) and then through the full
+    # build+label-loop+consumer chain in an INTERLEAVED A/B (4 rounds,
+    # min-of-4: spread 4.14 s vs no-spread 4.25 s — a ~3% delta inside a
+    # host noise band where single runs swung 4.1–6.5 s on identical
+    # code). No reliable end-to-end win — left unspread, matching the r12
+    # spread() rejection for this family (the 1-split build lets the first
+    # partial agg dedup repeated shingles map-side).
     return _session_artifact(
         spark,
         f"ngram_scored|{sf_dir}|{NGRAM_BASE_THRESHOLD}",

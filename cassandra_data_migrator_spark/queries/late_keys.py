@@ -234,19 +234,26 @@ def q_dhash_banded_near_dup(spark, sf_dir):
         F.lit("\n255\n"),
         F.col("__s").substr(F.lit(1), F.col("__h") * F.lit(row_bytes)),
     ).cast("binary")
-    # one-file fixture scan -> one task; round-robin the tiny payload rows
-    # so the decode kernel uses every core (the JPEG-key discipline)
+    # one-file fixture scan -> one task; fan the payload rows so the decode
+    # kernel uses every core. r13 (r12 verdict #2): hash-partition on
+    # media_id instead of round-robin — keyless repartition pays a local
+    # sort of the full payload rows (SPARK-23207), pure waste here.
+    from cassandra_data_migrator_spark.operators.partition import spread_by
+
     hashed = ppm_dhash(
-        media.select("media_id", payload.alias("payload")).repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        spread_by(media.select("media_id", payload.alias("payload")), "media_id")
     )
     # production dHash is FIXED-SIZE (a 9x8 resample -> 72 bits); the
     # variable-height fixture analog is the full-height stratum (30 bits).
     # Short hashes (h=1 -> 3 bits) are meaningless for near-dup AND make
     # the candidate join quadratic in the short-image population — a real
     # 100x hazard, so they are excluded by CONTRACT, not by luck.
-    hashed = hashed.filter(F.col("height") == PPM_MAX_H)
+    # r13 (§2.4/§5, the r12-verdict dhash regression): BOTH sides of the
+    # band self-join below re-evaluated the whole construct→decode subtree
+    # (4 MapInPandas in the r12 plan — the decode ran twice per run, plus
+    # the payload exchange twice). The hash table is 4 small columns per
+    # image; persist it so the decode runs ONCE and the join reads cache.
+    hashed = hashed.filter(F.col("height") == PPM_MAX_H).persist()
     bands = hashed.select(
         "media_id",
         "height",
